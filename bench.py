@@ -1,0 +1,68 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Execution is forced with the noop sink (full plan runs, nothing collected),
+so timings measure engine work, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import all_queries
+from cqu_bigdata_recommender_system_for_movies_spark.session import get_spark
+
+HEADLINE = [
+    "cold_start_popular_items",
+    "global_stats",
+    "join_star_2hop",
+    "topk_per_user_window",
+    "anti_join_unseen_items",
+    "wordcount_documents",
+    "text_quality_score",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_dedup",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "embedding_centroid_by_label",
+    "streaming_window_counts",
+    "als_rmse",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Recommender domain operators (SURVEY.md §2.10 M1-M4, M6, M9 analogue).
+
+The reference's Spark-native model is MLlib ALS with rank=10, maxIter=10,
+regParam=0.1, nonnegative=True (reference src/als/spark_als.py:94-113); its
+NaN-prediction `na.drop` (spark_als.py:162) becomes the built-in
+``coldStartStrategy="drop"``. Everything is seeded so repeated runs are
+reproducible; these queries have no ANSI-SQL oracle (iterative algorithm),
+so the driver records rows-only checks and pytest asserts quality bounds
+(RMSE sanity, P/R@k in [0,1]).
+
+Scale notes: ALS itself is the distributed MLlib implementation (blocked
+factor shuffles); top-k for all users uses ``recommendForUserSubset`` whose
+physical plan is a blocked cross-score + TopByKey aggregate, never a full
+materialized user×item matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.recommendation import ALS, ALSModel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.tables import ratings
+
+SEED = 42
+
+
+def fit_als(train: DataFrame, rank: int = 10, max_iter: int = 10, reg: float = 0.1) -> ALSModel:
+    """M1: ALS fit with the reference's hyperparameters (spark_als.py:100-105)."""
+    als = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg,
+        nonnegative=True,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        coldStartStrategy="drop",  # replaces reference's na.drop (spark_als.py:162)
+        seed=SEED,
+    )
+    return als.fit(train)
+
+
+@register(
+    "als_rmse",
+    oracle=None,  # iterative ML — rows-only check; quality asserted in tests
+    doc="M1+M2+M4: ALS fit on a seeded 80/20 split, RMSE of transform(test) "
+    "(spark_als.py:151-169). Returns one row: (n_train, n_test, rmse).",
+)
+def als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings(spark, sf_dir).select("user_id", "item_id", "rating")
+    train, test = r.randomSplit([0.8, 0.2], seed=SEED)
+    model = fit_als(train)
+    pred = model.transform(test).withColumnRenamed("prediction", "score")
+    rmse = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="score"
+    ).evaluate(pred)
+    return spark.createDataFrame(
+        [(train.count(), test.count(), round(rmse, 4))],
+        "n_train long, n_test long, rmse double",
+    )
+
+
+@register(
+    "als_recommend_topk",
+    oracle=None,  # model output — rows-only check
+    doc="M3: recommendForUserSubset for the first 5 users, nested recs "
+    "flattened to (user_id, item_id, score) rows via explode "
+    "(spark_als.py:116-132 — the reference used rdd.flatMap).",
+)
+def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings(spark, sf_dir).select("user_id", "item_id", "rating")
+    model = fit_als(r)
+    users = r.select("user_id").distinct().orderBy("user_id").limit(5)
+    recs = model.recommendForUserSubset(users, 10)
+    return recs.select(
+        "user_id", F.explode("recommendations").alias("rec")
+    ).select(
+        "user_id",
+        F.col("rec.item_id").alias("item_id"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+    )
+
+
+@register(
+    "als_precision_recall_at_k",
+    oracle=None,  # iterative ML — rows-only check
+    doc="M6: Precision@10 / Recall@10 — train on 80%, recommend top-10 per "
+    "user, compare against held-out positives (rating >= 30) via an inner "
+    "join + per-user counts (train_topn.py:112-145 done as joins+aggs, no "
+    "driver-side sets).",
+)
+def als_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 10
+    r = ratings(spark, sf_dir).select("user_id", "item_id", "rating")
+    train, test = r.randomSplit([0.8, 0.2], seed=SEED)
+    model = fit_als(train)
+    # held-out "relevant" items: high ratings in the test fold
+    relevant = test.filter(F.col("rating") >= 30).select("user_id", "item_id").distinct()
+    users = relevant.select("user_id").distinct()
+    recs = (
+        model.recommendForUserSubset(users, k)
+        .select("user_id", F.explode("recommendations").alias("rec"))
+        .select("user_id", F.col("rec.item_id").alias("item_id"))
+    )
+    hits = recs.join(relevant, ["user_id", "item_id"]).groupBy("user_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    truth = relevant.groupBy("user_id").agg(F.count("*").alias("n_rel"))
+    per_user = truth.join(hits, "user_id", "left").fillna(0, subset=["n_hit"])
+    return per_user.agg(
+        F.round(F.avg(F.col("n_hit") / F.lit(k)), 4).alias("precision_at_k"),
+        F.round(F.avg(F.col("n_hit") / F.col("n_rel")), 4).alias("recall_at_k"),
+        F.count("*").alias("n_users"),
+    )

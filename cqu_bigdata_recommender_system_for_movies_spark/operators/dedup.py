@@ -1,0 +1,245 @@
+"""Deduplication operators (north-star extension): exact, n-gram Jaccard,
+and MinHash+LSH near-dup detection over the documents table.
+
+Scale design:
+- exact dedup      -> hash-groupBy on the full text: one shuffle, map-side
+  partial agg; at 100 TB group on md5(text) so the shuffle key is 16 bytes,
+  not the document body.
+- n-gram Jaccard   -> inverted-index self-join on 5-token shingles. 5-grams
+  are sparse enough that the join output is ~(true near-dup pairs) +
+  a small collision tail, instead of the O(n²) all-pairs blow-up.
+- MinHash + LSH    -> the 100 TB path: fixed-size signature (8 hashes) per
+  doc, banded into 4 LSH keys; candidate pairs come from equi-joins on
+  band keys (shuffle on a tiny key), then only candidates are verified
+  with exact Jaccard.
+
+Portability trick for the DuckDB oracle: both engines hash a shingle to
+int64 via ``int(md5(s)[:8], 16)`` (Spark ``conv(substring(md5,1,8),16,10)``,
+DuckDB ``('0x' || substr(md5,1,8))::BIGINT``), and MinHash uses integer
+affine hashes ``(a*v + b) % P`` — exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+SHINGLE_N = 5
+JACCARD_THRESHOLD = 0.3
+MINHASH_P = 2147483647  # 2^31 - 1
+# fixed affine-hash coefficients (a odd, < 2^20) — deterministic across engines
+MINHASH_AB = (
+    (387461, 817504),
+    (552581, 193937),
+    (721589, 664817),
+    (117191, 412889),
+    (986407, 271829),
+    (299717, 938401),
+    (443891, 550921),
+    (673787, 104729),
+)
+N_BANDS = 4  # bands of 2 hashes each
+
+# --- shared SQL fragments (DuckDB oracle side) -----------------------------
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+_SHINGLES_SQL = f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM t, unnest([
+            array_to_string(toks[i:i+{SHINGLE_N - 1}], '_')
+            for i in range(1, greatest(len(toks) - {SHINGLE_N - 1}, 0) + 1)
+        ]) u(s)
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): distinct 5-token shingles per document, as column exprs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_sh = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
+    shingles = F.when(n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws("_", F.slice(toks, i, SHINGLE_N)),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) >= 1
+    """,
+    doc="Exact dedup: hash-groupBy on content; keep_id = canonical survivor. "
+    "At scale the 16-byte hash, not the text, is the shuffle key.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("copies"))
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}
+    """,
+    doc="n-gram Jaccard near-dup pairs: inverted-index self-join on 5-token "
+    "shingles, Jaccard = |A∩B| / |A∪B| >= 0.3.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    pairs = (
+        a.join(b, (a.s == b.s_b) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def _shingle_val_col() -> Column:
+    """Portable 32-bit shingle hash: int(md5(s)[:8], 16)."""
+    return F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * hv + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    bands = "\n        UNION ALL\n".join(
+        f"SELECT doc_id, {bi} AS band, concat(h{2 * bi}, '_', h{2 * bi + 1}) AS key FROM sig"
+        for bi in range(N_BANDS)
+    )
+    return f"""
+    v AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
+        FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM v GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    """
+
+
+@register(
+    "minhash_lsh_dedup",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_minhash_sql()},
+    verified AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.doc_a
+        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.s = s1.s
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+    FROM verified
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}
+    """,
+    doc="MinHash+LSH near-dup detection — the 100 TB dedup path: 8-hash "
+    "MinHash signature per doc, 4 bands of 2 -> candidate pairs from "
+    "band-key equi-joins only, exact-Jaccard verify on candidates. "
+    "Candidate generation never compares all pairs.",
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir).cache()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    v = sh.select("doc_id", _shingle_val_col().alias("hv"))
+    sig = v.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
+    )
+    band_rows = [
+        sig.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", f"h{2 * bi}", f"h{2 * bi + 1}").alias("key"),
+        )
+        for bi in range(N_BANDS)
+    ]
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.union(extra)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b"))
+    cand = (
+        a.join(
+            b,
+            (a.band == b.band_b) & (a.key == b.key_b) & (a.doc_a < b.doc_b),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    s2 = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
+    verified = (
+        cand.join(s1, "doc_a")
+        .join(s2, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        verified.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,365 @@
+"""Core relational operators (SURVEY.md §2.1-2.4, §2.7-2.8).
+
+Each query is declarative DataFrame API — Catalyst handles predicate
+pushdown, column pruning, broadcast-join selection, and AQE coalescing.
+Where the reference used RDD lambdas or driver-side python sets
+(reference src/als/spark_als.py:52-70, src/csv/recommend.py:113-135), we
+use column expressions and anti-joins so plans stay inside whole-stage
+codegen and scale out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.tables import RATINGS_SQL, load, ratings
+
+# ---------------------------------------------------------------------------
+# Aggregations + cold-start analytics (A2, A3, A4, M9, M10, T4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cold_start_popular_items",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL})
+    SELECT item_id, COUNT(*) AS cnt, AVG(rating) AS avg_rating
+    FROM ratings
+    GROUP BY item_id
+    HAVING COUNT(*) >= 35
+    ORDER BY avg_rating DESC, item_id
+    LIMIT 20
+    """,
+    doc="M9 cold-start 'popular items' (reference src/cold_strategy/cold_rec.py:53-65): "
+    "group-count -> HAVING -> avg -> order desc -> limit. Flagship query.",
+)
+def cold_start_popular_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: single shuffle on item_id (partial aggregation map-side), then
+    # TakeOrderedAndProject for the limit — no full sort at 100 TB.
+    return (
+        ratings(spark, sf_dir)
+        .groupBy("item_id")
+        .agg(F.count("*").alias("cnt"), F.avg("rating").alias("avg_rating"))
+        .filter(F.col("cnt") >= 35)
+        .orderBy(F.desc("avg_rating"), F.asc("item_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "cold_start_new_items",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL})
+    SELECT p_partkey AS item_id, COUNT(rating) AS cnt
+    FROM part LEFT JOIN ratings ON p_partkey = item_id
+    GROUP BY p_partkey
+    HAVING COUNT(rating) < 20
+    """,
+    doc="M10 new-movie detection (cold_rec.py:68-76): items with < k ratings, "
+    "including never-rated ones via left outer join.",
+)
+def cold_start_new_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    r = ratings(spark, sf_dir)
+    return (
+        part.join(r, part.p_partkey == r.item_id, "left")
+        .groupBy(part.p_partkey.alias("item_id"))
+        .agg(F.count("rating").alias("cnt"))
+        .filter(F.col("cnt") < 20)
+    )
+
+
+@register(
+    "global_stats",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL})
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT item_id) AS n_items,
+           COUNT(*) AS n_ratings,
+           AVG(rating) AS avg_rating
+    FROM ratings
+    """,
+    doc="A4 dataset stats (reference doc/课程报告.md:600-644): global counts + mean rating.",
+)
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ratings(spark, sf_dir).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("item_id").alias("n_items"),
+        F.count("*").alias("n_ratings"),
+        F.avg("rating").alias("avg_rating"),
+    )
+
+
+@register(
+    "group_count_having_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    HAVING COUNT(*) >= 10
+    """,
+    doc="A2/A3 grouped count+avg with HAVING on the event stream table.",
+)
+def group_count_having_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .filter(F.col("cnt") >= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / distinct (P1-P10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "project_cast_rename",
+    oracle="""
+    SELECT event_id AS record_id,
+           CAST(user_id AS INTEGER) AS uid,
+           event_type AS kind,
+           ROUND(value, 2) AS val
+    FROM events
+    """,
+    doc="P1-P3 projection, rename, typed cast (reference streaming_rec.py:181-188).",
+)
+def project_cast_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("record_id"),
+        F.col("user_id").cast("int").alias("uid"),
+        F.col("event_type").alias("kind"),
+        F.round(F.col("value"), 2).alias("val"),
+    )
+
+
+@register(
+    "filter_point_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id = 7 AND event_type = 'purchase'
+    """,
+    doc="P9 point-lookup predicate (Cypher {UserID:%d} match, recommend.py:115) "
+    "as a pushed-down parquet filter.",
+)
+def filter_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .filter((F.col("user_id") == 7) & (F.col("event_type") == "purchase"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "filter_notnull_range",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE value IS NOT NULL AND value BETWEEN 50 AND 100
+    """,
+    doc="P4/P10 not-null + range predicate on an edge property.",
+)
+def filter_notnull_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("value").between(50, 100))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "distinct_user_event_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="P7 distinct (reference recommend.py:119 dropDuplicates).",
+)
+def distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT event_id, e.user_id AS user_id, event_type, value, c_mktsegment AS segment
+    FROM events e LEFT JOIN customer ON e.user_id = c_custkey
+    """,
+    doc="J1 stream-static left equi join (streaming_rec.py:189), batch twin: "
+    "fact left-joined to a broadcast dimension.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer")
+    return events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "left"
+    ).select(
+        "event_id",
+        events.user_id.alias("user_id"),
+        "event_type",
+        "value",
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "join_star_2hop",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL})
+    SELECT n_name AS nation, p_brand AS brand,
+           COUNT(*) AS cnt, SUM(rating) AS sum_rating
+    FROM ratings
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN part ON item_id = p_partkey
+    GROUP BY n_name, p_brand
+    """,
+    doc="J2 graph-pattern join (MATCH (u)-[r]->(m), spark_als.py:145-150) as a "
+    "star join: fact ⋈ two broadcast dims, grouped rollup.",
+)
+def join_star_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part")
+    return (
+        r.join(F.broadcast(customer), r.user_id == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(part), r.item_id == part.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("cnt"), F.sum("rating").alias("sum_rating"))
+    )
+
+
+@register(
+    "anti_join_unseen_items",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL})
+    SELECT p_partkey AS item_id FROM part
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ratings WHERE user_id = 1 AND item_id = p_partkey
+    )
+    """,
+    doc="J3 anti-join: candidate items minus user 1's already-rated set. The "
+    "reference collected the rated set to a driver-side python set "
+    "(recommend.py:113-135); left_anti keeps it distributed.",
+)
+def anti_join_unseen_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    seen = ratings(spark, sf_dir).filter(F.col("user_id") == 1).select("item_id")
+    return part.join(seen, part.p_partkey == seen.item_id, "left_anti").select(
+        part.p_partkey.alias("item_id")
+    )
+
+
+@register(
+    "cross_join_scoring",
+    oracle="""
+    SELECT c_custkey AS user_id, p_partkey AS item_id,
+           ROUND(p_retailprice * 0.01, 4) AS score
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey = 1) CROSS JOIN part
+    """,
+    doc="J5 cartesian score expansion (recommend.py:127-130): one user x all "
+    "items -> scoring input. Single-row side is broadcast, so the 'cross' "
+    "join is a free map-side expansion at scale.",
+)
+def cross_join_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    user = (
+        load(spark, sf_dir, "customer").filter(F.col("c_custkey") == 1).select("c_custkey")
+    )
+    part = load(spark, sf_dir, "part")
+    return F.broadcast(user).crossJoin(part).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("p_partkey").alias("item_id"),
+        F.round(F.col("p_retailprice") * 0.01, 4).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7 — beyond-reference coverage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_union_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+    doc="Set op: UNION (distinct) of two filtered scans.",
+)
+def set_ops_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "purchase").select("user_id")
+    b = events.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_ops_except",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """,
+    doc="Set op: EXCEPT — purchasers who never hit an error.",
+)
+def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = events.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Delimited-text round trip (S1 scan semantics + F1/F2/F8 parse functions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "roundtrip_delimited_parse",
+    oracle="SELECT event_id, user_id, value FROM events",
+    doc="S1 delimited scan semantics (spark_als.py:43-70): serialize rows to "
+    "tab-separated lines, then split/get/cast back to typed columns — all as "
+    "column expressions (the reference used an RDD map). Oracle is identity: "
+    "a correct round-trip reproduces the input exactly.",
+)
+def roundtrip_delimited_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    lines = events.select(
+        F.concat_ws(
+            "\t",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("value").cast("string"),
+        ).alias("line")
+    )
+    parts = lines.select(F.split(F.col("line"), "\t").alias("p"))
+    return parts.select(
+        F.element_at("p", 1).cast("long").alias("event_id"),
+        F.element_at("p", 2).cast("long").alias("user_id"),
+        F.element_at("p", 3).cast("double").alias("value"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS item_ref
+    FROM events
+    """,
+    doc="F12 JSON/regex extraction: pull the numeric key out of the props "
+    "payload (used as the stream's item reference).",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item_ref"),
+    )

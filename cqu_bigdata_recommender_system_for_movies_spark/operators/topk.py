@@ -1,0 +1,95 @@
+"""Sorts, limits, top-k, window ranking (SURVEY.md §2.5, §2.6).
+
+The reference computed top-k five different ways (rdd.top, orderBy.limit,
+driver-side sorted()[:k], Cypher LIMIT, torch.topk — SURVEY §2.6); all of
+them land on two Spark shapes here:
+
+- global top-k  -> orderBy(...).limit(k): Catalyst plans TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows — no global sort, scales to
+  any input size);
+- per-key top-k -> Window.partitionBy(key).orderBy(desc) + row_number() <= k:
+  one shuffle on the key, sort within partitions only.
+
+Every LIMIT query orders by a tie-broken unique key set so the selected
+rows are deterministic for the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.tables import RATINGS_SQL, load, ratings
+
+
+@register(
+    "orderby_limit_topk",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 25
+    """,
+    doc="T2/T4 order-by + limit (distributed.py:277): global top-25 events by "
+    "value. Plans as TakeOrderedAndProject, not a full sort.",
+)
+def orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(25)
+    )
+
+
+@register(
+    "topk_per_user_window",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL}),
+    ranked AS (
+        SELECT user_id, item_id, rating,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY rating DESC, item_id, ts
+               ) AS rnk
+        FROM ratings
+    )
+    SELECT user_id, item_id, rating, rnk FROM ranked WHERE rnk <= 5
+    """,
+    doc="§2.5 per-user top-k via window rank — the distributed form of the "
+    "reference's per-user recommendation ranking (recommend.py:134, "
+    "recommendForAllUsers' TopByKey). One shuffle on user_id.",
+)
+def topk_per_user_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("rating"), F.asc("item_id"), F.asc("ts")
+    )
+    return (
+        ratings(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("user_id", "item_id", "rating", "rnk")
+    )
+
+
+@register(
+    "topk_avg_rating_items",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL})
+    SELECT item_id, AVG(rating) AS avg_rating, COUNT(*) AS cnt
+    FROM ratings
+    GROUP BY item_id
+    ORDER BY avg_rating DESC, item_id
+    LIMIT 10
+    """,
+    doc="T4 aggregate-then-top-k (cold_rec.py:57-65 ORDER BY avg DESC head(k)).",
+)
+def topk_avg_rating_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ratings(spark, sf_dir)
+        .groupBy("item_id")
+        .agg(F.avg("rating").alias("avg_rating"), F.count("*").alias("cnt"))
+        .orderBy(F.desc("avg_rating"), F.asc("item_id"))
+        .limit(10)
+    )

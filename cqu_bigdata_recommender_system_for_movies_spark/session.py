@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (the settings below are chosen for a real cluster, then adapted
+to local[N] testing):
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned partition counts at
+  100 TB scale.
+- ``spark.sql.shuffle.partitions`` is a *floor* locally; with AQE enabled
+  it acts as the initial partitioning that AQE coalesces down. On a large
+  cluster this would be set to ~2-3x total cores (or left to AQE's
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
+- Arrow on: every pandas_udf / applyInPandas crosses the JVM<->Python
+  boundary in columnar Arrow batches, not pickled rows.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (naive-UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cqu-bigdata-spark-engine") -> SparkSession:
+    """Build (or get) the session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,110 @@
+"""Per-key stateful interest-vector fold (SURVEY.md ST3 / F7 / M8).
+
+The reference maintains a per-user "interest vector" updated per rating
+event: ``U := U*(1 - λ·r) + T·(λ·r)`` with λ=0.05, where T is the item's
+feature vector (reference src/streaming/streaming_rec.py:77-127, update rule
+at line 99). Its implementation had two scale bugs we deliberately fix
+(SURVEY.md §3.2): it processed only ``batch_df.first()`` (one event per
+micro-batch) and kept state in an external DB with a per-event
+read-modify-write.
+
+Here the fold runs as proper distributed streaming state:
+``groupBy(user_id).applyInPandasWithState`` — state is the interest vector,
+partitioned by user across executors; each micro-batch folds *all* of a
+user's events in event-time order. No external round-trips; state lives in
+the engine's state store and scales with the number of keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+LAMBDA = 0.05  # reference streaming_rec.py:99 (docstring says 0.8; code wins)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+DIM = len(EVENT_TYPES)
+RATING_SCALE = 50.0  # maps value (~0..250) into a rating-like magnitude
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("interest", ArrayType(DoubleType())),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("interest", ArrayType(DoubleType())),
+    ]
+)
+
+
+def one_hot(event_type: str) -> np.ndarray:
+    t = np.zeros(DIM)
+    if event_type in EVENT_TYPES:
+        t[EVENT_TYPES.index(event_type)] = 1.0
+    return t
+
+
+def fold_events(interest: np.ndarray, events: pd.DataFrame) -> np.ndarray:
+    """Apply the reference's update rule over events sorted by event time."""
+    ordered = events.sort_values(["ts", "event_id"])
+    for _, row in ordered.iterrows():
+        r = float(row["value"]) / RATING_SCALE
+        t = one_hot(row["event_type"])
+        interest = interest * (1.0 - LAMBDA * r) + t * (LAMBDA * r)
+    return interest
+
+
+def update_interest(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState callback: fold the batch into per-user state."""
+    if state.exists:
+        n_events, interest_list = state.get
+        interest = np.array(interest_list)
+    else:
+        n_events, interest = 0, np.zeros(DIM)
+    for pdf in pdfs:
+        interest = fold_events(interest, pdf)
+        n_events += len(pdf)
+    state.update((n_events, [float(x) for x in interest]))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "interest": [[round(float(x), 6) for x in interest]],
+        }
+    )
+
+
+def interest_fold_stream(stream_df, output_mode: str = "update"):
+    """Wire the stateful fold onto a streaming events DataFrame."""
+    from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
+
+    ensure_shipped(stream_df.sparkSession)
+    return (
+        stream_df.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_interest,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            output_mode,
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,96 @@
+"""Table catalog: parquet loaders + derived logical views.
+
+The reference's data model (SURVEY.md §1) is a property graph flattened to a
+ratings relation ``(user_id, movie_id, rating, timestamp)``. Our engine maps
+that onto the driver's TPC-H-ish star schema:
+
+- ``ratings``  := lineitem ⋈ orders → (user_id=o_custkey, item_id=l_partkey,
+  rating=l_quantity, ts=o_orderdate).  Mirrors the Cypher projection
+  ``MATCH (u:User)-[r:Rate]->(m:Movie)`` (reference src/als/spark_als.py:145-150).
+- ``items``    := part (categorical dim ≈ movies; p_type words ≈ genres).
+- ``users``    := customer (demographic dim ≈ ml-1m users,
+  reference src/cypher/init-ml-1m.cypher:5).
+- ``events``   := the unbounded stream table (socket lines in the reference,
+  src/streaming/streaming_rec.py:170-188).
+- ``documents`` / ``embeddings`` := text + vector extension tables.
+
+``RATINGS_SQL`` is the DuckDB-oracle twin of ``ratings()`` — both sides of
+every correctness check derive the fact table identically.
+
+Scale note: the lineitem⋈orders join is a large-fact-to-large-fact equi
+join; at 100 TB both sides shuffle on the order key. Catalyst plans a
+sort-merge join with AQE skew splitting; we keep the join key as the
+natural parquet sort order so bucketed/sorted tables could elide the
+shuffle entirely. Nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects by
+# default; read nanos as long, then truncate to microseconds — exactly what
+# DuckDB does when it coerces TIMESTAMP_NS to TIMESTAMP, so oracle
+# comparisons agree. Integer `div` (not `/`) — epoch-nanos exceed 2^53.
+EVENTS_RAW_SCHEMA = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _nanos_to_ts(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst pushes filters/projections into it."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _nanos_to_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core fact: who "rated" which item how much, when.
+
+    Equivalent of the reference's graph flattening (spark_als.py:145-150),
+    done as a single equi join instead of a Cypher pattern match.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+            F.col("l_quantity").alias("rating"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+
+
+# DuckDB twin of ratings() — embedded as a CTE in oracle SQL strings.
+RATINGS_SQL = (
+    "SELECT o_custkey AS user_id, l_partkey AS item_id, "
+    "l_quantity AS rating, o_orderdate AS ts "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+)

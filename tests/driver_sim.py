@@ -1,0 +1,78 @@
+"""Simulate the driver's verify: plain SparkSession (driver-style, none of
+the engine's session config), run entry() + every queries() entry at sf0.01,
+compare oracle-paired ones against DuckDB on count/schema/values."""
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as e
+
+# deliberately a PLAIN session — the driver won't use our get_spark()
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+SF = "/root/testdata/sf0.01"
+
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}", flush=True)
+assert len(rows) >= 0
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+queries = e.queries()
+oracles = e.oracle_sql()
+n_ok = n_rowsonly = 0
+failures = []
+for name in sorted(queries):
+    t0 = time.perf_counter()
+    try:
+        sdf = queries[name](spark, SF)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if name in oracles:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            ok_schema = sorted(scols) == sorted(dcols)
+            ok_count = len(srows) == len(drows)
+            o = sorted(range(len(scols)), key=lambda i: scols[i])
+            od = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            sv = sorted(tuple(norm(r[i]) for i in o) for r in srows)
+            dv = sorted(tuple(norm(r[i]) for i in od) for r in drows)
+            ok_vals = sv == dv
+            if ok_schema and ok_count and ok_vals:
+                n_ok += 1
+                status = "MATCH"
+            else:
+                failures.append(name)
+                status = f"MISMATCH schema={ok_schema} count={ok_count}({len(srows)}/{len(drows)}) vals={ok_vals}"
+        else:
+            n_rowsonly += 1
+            status = f"rows-only ({len(srows)} rows)"
+        print(f"  {name}: {status} [{time.perf_counter()-t0:.1f}s]", flush=True)
+    except Exception as ex:
+        failures.append(name)
+        print(f"  {name}: ERROR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
+
+print(f"\n{n_ok} oracle-matched, {n_rowsonly} rows-only, {len(failures)} failures: {failures}")
+sys.exit(1 if failures else 0)

@@ -1,0 +1,55 @@
+"""Column-expression function library (F6-F8, F10) against numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.functions import (
+    cosine_similarity,
+    dot_product,
+    parse_vector,
+    serialize_vector,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.functions.vector_ops import (
+    interest_update,
+)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+
+
+def test_dot_product(vec_df):
+    got = vec_df.select(dot_product("a", "b").alias("d")).collect()[0].d
+    assert got == pytest.approx(32.0)
+
+
+def test_cosine_epsilon_matches_reference(vec_df):
+    # np.dot(a,b)/(||a||*||b|| + 1e-8) — reference streaming_rec.py:111
+    a, b = np.array([1.0, 2.0, 3.0]), np.array([4.0, 5.0, 6.0])
+    exp = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-8))
+    got = vec_df.select(cosine_similarity("a", "b").alias("c")).collect()[0].c
+    assert got == pytest.approx(exp, rel=1e-12)
+
+
+def test_serialize_parse_roundtrip(vec_df):
+    out = vec_df.select(
+        parse_vector(serialize_vector("a")).alias("back")
+    ).collect()[0].back
+    assert out == [1.0, 2.0, 3.0]
+
+
+def test_interest_update_rule(spark):
+    # U := U*(1-λr) + T*(λr) with λ=0.05, r=4 (reference streaming_rec.py:99)
+    df = spark.createDataFrame(
+        [([0.5, 0.5], [1.0, 0.0], 4.0)], "u array<double>, t array<double>, r double"
+    )
+    got = df.select(interest_update("u", "t", F.col("r")).alias("o")).collect()[0].o
+    lam_r = 0.05 * 4.0
+    exp = [0.5 * (1 - lam_r) + 1.0 * lam_r, 0.5 * (1 - lam_r)]
+    assert got == pytest.approx(exp)

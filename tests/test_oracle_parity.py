@@ -1,0 +1,71 @@
+"""Local replay of the driver's correctness gate: every registered query
+with a DuckDB oracle must match on row count, column names, and
+order-insensitive values at sf0.001 (the driver runs sf0.01).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+    all_oracles,
+    all_queries,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.tables import TABLE_NAMES
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):  # datetime/date: compare on the wire format
+        return v.isoformat()
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(row[i]) for i in order) for row in rows)
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = _QUERIES[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(_ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    assert _canon(spark_rows, spark_cols) == _canon(duck_rows, duck_cols), (
+        f"{name}: value mismatch"
+    )
+
+
+def test_all_oracle_keys_have_queries():
+    assert set(_ORACLES) <= set(_QUERIES)

@@ -1,0 +1,52 @@
+"""Quality/sanity checks for the ML queries (no SQL oracle — iterative)."""
+
+from __future__ import annotations
+
+from cqu_bigdata_recommender_system_for_movies_spark.ml.als import (
+    als_precision_recall_at_k,
+    als_recommend_topk,
+    als_rmse,
+    fit_als,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.tables import ratings
+
+
+def test_als_rmse_sane(spark, sf_dir):
+    row = als_rmse(spark, sf_dir).collect()[0]
+    assert row.n_train > 0 and row.n_test > 0
+    # ratings are 1..50 ~uniform (std ≈ 14.4); a fitted model must beat a
+    # constant predictor by a wide margin being unnecessary — just sanity.
+    assert 0.0 < row.rmse < 25.0
+
+
+def test_als_rmse_deterministic(spark, sf_dir):
+    a = als_rmse(spark, sf_dir).collect()[0].rmse
+    b = als_rmse(spark, sf_dir).collect()[0].rmse
+    assert a == b  # seeded fit + seeded split
+
+
+def test_als_recommend_topk_shape(spark, sf_dir):
+    rows = als_recommend_topk(spark, sf_dir).collect()
+    assert len(rows) == 5 * 10
+    by_user: dict[int, list[float]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.score)
+    assert len(by_user) == 5
+    for scores in by_user.values():
+        assert scores == sorted(scores, reverse=True)  # ranked desc per user
+
+
+def test_precision_recall_bounds(spark, sf_dir):
+    row = als_precision_recall_at_k(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.precision_at_k <= 1.0
+    assert 0.0 <= row.recall_at_k <= 1.0
+    assert row.n_users > 0
+
+
+def test_als_model_predicts_in_range(spark, sf_dir):
+    r = ratings(spark, sf_dir).select("user_id", "item_id", "rating")
+    model = fit_als(r, max_iter=5)
+    pred = model.transform(r.limit(100))
+    scores = [row.prediction for row in pred.collect()]
+    assert len(scores) > 0
+    assert all(s >= 0 for s in scores)  # nonnegative=True

@@ -1,0 +1,52 @@
+"""The stateful interest fold must equal an independently-computed pandas
+reference (the reference's update rule U := U*(1-λr) + T*(λr), λ=0.05,
+applied over each user's events in (ts, event_id) order)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+    DIM,
+    EVENT_TYPES,
+    LAMBDA,
+    RATING_SCALE,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+    streaming_interest_fold,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+
+def _expected_interest(events: pd.DataFrame) -> dict[int, np.ndarray]:
+    out: dict[int, np.ndarray] = {}
+    for uid, grp in events.sort_values(["ts", "event_id"]).groupby("user_id"):
+        u = np.zeros(DIM)
+        for _, row in grp.iterrows():
+            r = row["value"] / RATING_SCALE
+            t = np.zeros(DIM)
+            if row["event_type"] in EVENT_TYPES:
+                t[EVENT_TYPES.index(row["event_type"])] = 1.0
+            u = u * (1 - LAMBDA * r) + t * (LAMBDA * r)
+        out[uid] = u
+    return out
+
+
+def test_interest_fold_matches_pandas_reference(spark, sf_dir):
+    result = streaming_interest_fold(spark, sf_dir).collect()
+    events_pd = load(spark, sf_dir, "events").toPandas()
+    expected = _expected_interest(events_pd)
+
+    got: dict[int, dict[int, float]] = {}
+    counts: dict[int, int] = {}
+    for row in result:
+        got.setdefault(row.user_id, {})[row.pos] = row.weight
+        counts[row.user_id] = row.n_events
+
+    assert set(got) == set(expected)
+    for uid, exp_vec in expected.items():
+        assert counts[uid] == (events_pd.user_id == uid).sum()
+        vec = np.array([got[uid][i] for i in range(DIM)])
+        assert vec == pytest.approx(exp_vec, abs=1e-6)
