@@ -85,6 +85,32 @@ def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "als_cross_validation",
+    oracle=None,  # iterative ML — rows-only check
+    doc="M11: 5-fold cross-validation (reference doc/课程报告.md:890-892, "
+    "train_topn.py:209-215): seeded 5-way split, each fold held out once, "
+    "RMSE per fold + mean. Returns 5 rows (fold, rmse) + 1 ('mean').",
+)
+def als_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings(spark, sf_dir).select("user_id", "item_id", "rating")
+    folds = r.randomSplit([0.2] * 5, seed=SEED)
+    evaluator = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    )
+    rows = []
+    for i, held_out in enumerate(folds):
+        train = None
+        for j, f in enumerate(folds):
+            if j != i:
+                train = f if train is None else train.union(f)
+        model = fit_als(train, max_iter=5)
+        rmse = evaluator.evaluate(model.transform(held_out))
+        rows.append((f"fold_{i + 1}", round(rmse, 4)))
+    rows.append(("mean", round(sum(v for _, v in rows) / len(rows), 4)))
+    return spark.createDataFrame(rows, "fold string, rmse double")
+
+
+@register(
     "als_precision_recall_at_k",
     oracle=None,  # iterative ML — rows-only check
     doc="M6: Precision@10 / Recall@10 — train on 80%, recommend top-10 per "

@@ -147,6 +147,52 @@ def _shingle_val_col() -> Column:
     return F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
 
 
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (
+        SELECT DISTINCT doc_id, w FROM t, unnest(toks) u(w)
+    ),
+    v AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv
+        FROM tok
+    )
+    SELECT doc_id,
+           concat({", ".join(f"CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS))}) AS simhash
+    FROM v
+    GROUP BY doc_id
+    """,
+    doc="SimHash fingerprint (north star): 32-bit signature from the "
+    "bit-majority of portable token hashes (distinct tokens, unweighted). "
+    "Near-dup docs differ in few bits; one groupBy with 32 conditional "
+    "sums — no per-row Python, constant output size per doc.",
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("w")).distinct()
+    v = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv")
+    )
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(F.expr(f"(hv >> {b}) & 1") == 1, 1).otherwise(-1)
+            )
+            >= 0,
+            "1",
+        ).otherwise("0")
+        for b in range(SIMHASH_BITS)
+    ]
+    return v.groupBy("doc_id").agg(F.concat(*bit_cols).alias("simhash"))
+
+
 def _minhash_sql() -> str:
     mins = ", ".join(
         f"MIN(({a} * hv + {b}) % {MINHASH_P}) AS h{i}"

@@ -1,0 +1,82 @@
+"""Materialization sinks (SURVEY.md S3, S7, J4): set-oriented writes.
+
+The reference wrote results edge-by-edge through the Bolt driver
+(reference src/csv/recommend.py:85-93, src/distributed/distributed.py:280-287
+— one MERGE round-trip per row). The engine's equivalent is a partitioned,
+set-oriented parquet overwrite of a results table: at 100 TB this is the
+difference between O(rows) network round-trips and a parallel columnar
+write.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load, ratings
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_sinks", name)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+@register(
+    "parquet_sink_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="S7 parquet write/read (horovod_test.py:94,73): aggregate -> "
+    "coalesce(4) -> overwrite parquet -> re-read. Oracle sees only the "
+    "logical result; the round-trip must be lossless.",
+)
+def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    path = _scratch("event_agg")
+    agg.coalesce(4).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "write_recommendations_table",
+    oracle=f"""
+    WITH ratings AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+                            l_quantity AS rating
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    ranked AS (
+        SELECT user_id, item_id, rating,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY rating DESC, item_id
+               ) AS rnk
+        FROM ratings
+    )
+    SELECT user_id, item_id, rating AS score, rnk
+    FROM ranked WHERE rnk <= 3 AND user_id < 100
+    """,
+    doc="S3/J4 result-table write: per-user top-3 'recommendations' written "
+    "as a partitioned parquet overwrite and re-read — the set-oriented "
+    "replacement for the reference's per-row MERGE loop.",
+)
+def write_recommendations_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("rating"), F.asc("item_id"))
+    recs = (
+        ratings(spark, sf_dir)
+        .filter(F.col("user_id") < 100)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "item_id", F.col("rating").alias("score"), "rnk")
+    )
+    path = _scratch("recommendations")
+    recs.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

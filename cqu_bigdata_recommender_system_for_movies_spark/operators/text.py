@@ -104,6 +104,72 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "los", "una", "que", "por"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _lang_id_oracle() -> str:
+    score_rows = "\n        UNION ALL\n".join(
+        f"SELECT doc_id, '{lang}' AS cand,"
+        f" len(list_filter(toks, w -> list_contains({list(words)}, w))) AS score"
+        f" FROM t"
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    scores AS ({score_rows}),
+    ranked AS (
+        SELECT doc_id, cand, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, cand
+               ) AS rn
+        FROM scores
+    )
+    SELECT doc_id, cand AS predicted_lang, score AS marker_hits
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=_lang_id_oracle(),
+    doc="Language identification (north star): stopword-marker scoring per "
+    "candidate language, argmax with alphabetical tie-break — the cheap "
+    "n-gram/marker heuristic a corpus triage pass runs before a real "
+    "lang-ID model. Unpivot -> window-rank keeps it one shuffle.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    scored = None
+    for lang, words in sorted(LANG_MARKERS.items()):
+        marker = F.array(*[F.lit(w) for w in words])
+        part = base.select(
+            "doc_id",
+            F.lit(lang).alias("cand"),
+            F.size(
+                F.filter(F.col("toks"), lambda w: F.array_contains(marker, w))
+            ).cast("long").alias("score"),
+        )
+        scored = part if scored is None else scored.union(part)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("predicted_lang"), F.col("score").alias("marker_hits"))
+    )
+
+
 @register(
     "lang_distribution",
     oracle="""

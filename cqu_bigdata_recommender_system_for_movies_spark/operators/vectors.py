@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
-from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+from cqu_bigdata_recommender_system_for_movies_spark.tables import RATINGS_SQL, load, ratings
 
 EPS = 1e-8  # cosine denominator epsilon — matches reference streaming_rec.py:111
 
@@ -130,6 +130,29 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vector_argmax",
+    oracle="""
+    SELECT vec_id,
+           list_position(embedding, list_max(embedding)) - 1 AS argmax_pos,
+           ROUND(list_max(embedding)::DOUBLE, 6) AS max_val
+    FROM embeddings
+    """,
+    doc="F9 argmax (horovod_test.py:153-154 used a Python UDF): index of the "
+    "max element — pure column expressions, first occurrence wins in both "
+    "engines.",
+)
+def vector_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        (F.array_position("embedding", F.array_max("embedding")) - 1)
+        .cast("long")
+        .alias("argmax_pos"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-hot encoding (F5 — genre vector in the reference)
 # ---------------------------------------------------------------------------
@@ -199,6 +222,104 @@ def _lsh_bucket_col(col: str) -> Column:
         plane = F.array(*[F.lit(float(c)) for c in _plane(p)])
         bits.append(F.when(dot(F.col(col), plane) >= 0, "1").otherwise("0"))
     return F.concat(*bits)
+
+
+@register(
+    "graph_embedding_propagation",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL}),
+    deg_u AS (SELECT user_id, COUNT(*) AS du FROM ratings GROUP BY user_id),
+    deg_i AS (SELECT item_id, COUNT(*) AS di FROM ratings GROUP BY item_id),
+    e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    )
+    SELECT r.user_id, e.pos,
+           ROUND(SUM(e.v / sqrt(di)) / sqrt(ANY_VALUE(du)), 6) AS val
+    FROM ratings r
+    JOIN deg_u USING (user_id)
+    JOIN deg_i USING (item_id)
+    JOIN e ON r.item_id = e.vec_id
+    WHERE r.user_id < 50
+    GROUP BY r.user_id, e.pos
+    """,
+    doc="M5 capability (LightGCN layer, reference doc/课程报告.md:801-820): one "
+    "round of normalized neighbor aggregation on the user-item graph — "
+    "e_u = (1/√deg_u) Σ_{{i∈N(u)}} e_i/√deg_i — as joins + grouped sums "
+    "over exploded embedding positions. K layers = K repetitions of this "
+    "plan; no torch, fully distributed.",
+)
+def graph_embedding_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings(spark, sf_dir).select("user_id", "item_id")
+    deg_u = r.groupBy("user_id").agg(F.count("*").alias("du"))
+    deg_i = r.groupBy("item_id").agg(F.count("*").alias("di"))
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    return (
+        r.filter(F.col("user_id") < 50)
+        .join(deg_u, "user_id")
+        .join(F.broadcast(deg_i), "item_id")
+        .join(e, r.item_id == e.vec_id)
+        .groupBy("user_id", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double") / F.sqrt("di"))
+                / F.sqrt(F.first("du")),
+                6,
+            ).alias("val")
+        )
+    )
+
+
+NEAR_DUP_COSINE = 0.4  # calibrated to the synthetic embeddings (max pairwise
+# cosine ≈ 0.48 — no injected dups); at a real 0.95+ the plan is identical
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {_lsh_bucket_sql_expr('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], x.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) + 1e-8),
+                 6) AS cosine
+    FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], x.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) + 1e-8)
+          >= {NEAR_DUP_COSINE}
+    """,
+    doc="Embedding-cosine near-dup pairs (north-star dedup family): LSH "
+    "bucket join restricts candidates, cosine threshold verifies — same "
+    "candidates-then-verify shape as MinHash dedup, on vectors.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = emb.withColumn("bucket", _lsh_bucket_col("embedding"))
+    left = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_x"),
+        F.col("bucket").alias("bucket_x"),
+    )
+    cos = cosine("e_a", "e_x")
+    return (
+        left.join(
+            right,
+            (F.col("bucket") == F.col("bucket_x")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(cos >= NEAR_DUP_COSINE)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
 
 
 @register(

@@ -1,0 +1,173 @@
+"""Window functions, sessionization, and time-ordered joins (SURVEY.md §2.5
++ standard OLAP patterns the reference lacked but a complete engine needs).
+
+All window queries shuffle once on the partition key and sort within
+partitions — the plan shape that scales linearly with data per key. The
+as-of join is the union-and-fill trick (no native as-of in Spark): tag both
+sides, union, and take the last order row per user at or before each event
+— one shuffle+sort, no range explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "window_functions_suite",
+    oracle="""
+    SELECT event_id, user_id, value,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank,
+           ROUND(LAG(value, 1, 0.0) OVER w, 4) AS prev_value,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="§2.5 window-function suite: row_number, rank, lag-with-default, and "
+    "a running sum per user in event-time order — one shuffle serves all "
+    "four frames.",
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_rank = Window.partitionBy("user_id").orderBy("event_type")
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_rank).alias("type_rank"),
+        F.round(F.lag("value", 1, 0.0).over(w), 4).alias("prev_value"),
+        F.round(F.sum("value").over(w_sum), 4).alias("running_sum"),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         <= {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization: lag(ts) + gap>30min flag + cumulative sum = session "
+    "id, then per-session rollup. The batch twin of streaming "
+    "session_window — standard behavioral-analytics operator.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000  # microsecond precision, not
+    # unix_timestamp (seconds) — DuckDB's interval comparison is exact
+    events = load(spark, sf_dir, "events")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) <= gap_us,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+@register(
+    "asof_join_last_order",
+    oracle="""
+    WITH o1 AS (  -- one order per (custkey, date): keep the max orderkey
+        SELECT o_custkey, o_orderdate, o_totalprice
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+            ) AS rn FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_order_date,
+           o.o_totalprice AS last_order_price
+    FROM events e
+    ASOF LEFT JOIN o1 o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="As-of join (Spark has no native one): each event enriched with the "
+    "user's most recent order at-or-before the event time. Implemented as "
+    "tagged union + last_value(ignore nulls) over a per-user time sort — "
+    "one shuffle, no range cross-product; DuckDB oracle uses native "
+    "ASOF JOIN.",
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+    )
+    left = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("o_date"),
+        F.lit(None).cast("double").alias("o_price"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("o_date"),
+        F.col("o_totalprice").alias("o_price"),
+    )
+    # orders sort before events at identical t (is_event asc) => '>=' semantics
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "uid",
+        "event_id",
+        "is_event",
+        F.last("o_date", ignorenulls=True).over(w).alias("last_o_date"),
+        F.last("o_price", ignorenulls=True).over(w).alias("last_o_price"),
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.date_format("last_o_date", "yyyy-MM-dd HH:mm:ss").alias("last_order_date"),
+        F.col("last_o_price").alias("last_order_price"),
+    )

@@ -71,6 +71,12 @@ def _load_operator_modules() -> None:
         return
     import cqu_bigdata_recommender_system_for_movies_spark.operators.relational  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.topk  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.windows  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.olap  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.sampling  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.io_sinks  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.multimodal  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.ml.pipeline  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.vectors  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.text  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.dedup  # noqa: F401

@@ -50,3 +50,33 @@ def test_als_model_predicts_in_range(spark, sf_dir):
     scores = [row.prediction for row in pred.collect()]
     assert len(scores) > 0
     assert all(s >= 0 for s in scores)  # nonnegative=True
+
+
+def test_als_cross_validation_shape(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import als_cross_validation
+
+    rows = als_cross_validation(spark, sf_dir).collect()
+    assert len(rows) == 6
+    by_fold = {r.fold: r.rmse for r in rows}
+    assert "mean" in by_fold
+    assert all(v > 0 for v in by_fold.values())
+
+
+def test_pipeline_classifier_eval(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.pipeline import (
+        pipeline_classifier_eval,
+    )
+
+    row = pipeline_classifier_eval(spark, sf_dir).collect()[0]
+    assert row.n_train > 0 and row.n_test > 0
+    assert 0.0 <= row.accuracy <= 1.0
+
+
+def test_multimodal_decode_stub_raises():
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.multimodal import (
+        decode_image_real,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
