@@ -87,8 +87,9 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
            END AS media_type,
            strlen(text) AS size_bytes,
-           list_sum([ascii(substr(text, i, 1))
-                     for i in range(1, 1 + least(strlen(text), 8))]) AS checksum8
+           CAST(list_sum([ascii(substr(text, i, 1))
+                     for i in range(1, 1 + least(strlen(text), 8))])
+                AS BIGINT) AS checksum8
     FROM documents
     """,
     doc="Multimodal decode/feature-extract: binary payload column -> "
