@@ -42,6 +42,12 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
+    # Warm up the JVM / session (codegen, parquet footer cache, BLAS load)
+    # so query 1's timing isn't dominated by first-job startup cost and
+    # per-query numbers are comparable round over round.
+    warm = queries["global_stats"](spark, sf_dir)
+    warm.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

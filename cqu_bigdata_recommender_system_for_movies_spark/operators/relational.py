@@ -305,16 +305,21 @@ def set_ops_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_ops_except",
     oracle="""
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'purchase'
     EXCEPT
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events WHERE event_type = 'error'
     """,
-    doc="Set op: EXCEPT — purchasers who never hit an error.",
+    doc="Set op: EXCEPT — (user, day) pairs with a purchase but no error "
+    "that day. Keyed at day granularity so the difference is non-empty at "
+    "every SF (a user-level EXCEPT was vacuously empty on the test data).",
 )
 def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    a = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    b = events.filter(F.col("event_type") == "error").select("user_id").distinct()
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    a = events.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    b = events.filter(F.col("event_type") == "error").select("user_id", day).distinct()
     return a.exceptAll(b).distinct()
 
 
@@ -352,11 +357,13 @@ def roundtrip_delimited_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_extract_props",
     oracle="""
-    SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS item_ref
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_ref
     FROM events
     """,
-    doc="F12 JSON/regex extraction: pull the numeric key out of the props "
-    "payload (used as the stream's item reference).",
+    doc="F12 JSON extraction: pull key 'k' out of the props payload (used as "
+    "the stream's item reference). Both engines parse JSON — Spark "
+    "get_json_object, DuckDB json_extract_string — so the check is robust "
+    "to key order / extra keys, not a first-number regex coincidence.",
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(

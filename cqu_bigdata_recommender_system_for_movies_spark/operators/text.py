@@ -104,6 +104,42 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-pre-tokenizer-shaped split (letter runs | digit runs | punct runs),
+# ASCII classes + explicit whitespace so Java and RE2 regex agree exactly
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+"
+
+
+@register(
+    "regex_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+           len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_ws_tokens,
+           ROUND(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) * 1.0 /
+                 greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1),
+                 4) AS tokens_per_word
+    FROM documents
+    """,
+    doc="Token counting, BPE-ish (north star): a GPT-style pre-tokenizer "
+    "regex (letter runs / digit runs / punctuation runs) counted next to "
+    "whitespace tokens — the standard cost estimator for LLM training "
+    "data, as one regexp_extract_all column expression per doc.",
+)
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.round(
+            F.size(bpe) * F.lit(1.0) / F.greatest(F.size(ws), F.lit(1)), 4
+        ).alias("tokens_per_word"),
+    )
+
+
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist"),
     "en": ("the", "a", "and", "of", "to"),

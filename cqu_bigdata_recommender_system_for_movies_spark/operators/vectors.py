@@ -192,8 +192,21 @@ def multi_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-bucketed ANN (the scale path for similarity search)
 # ---------------------------------------------------------------------------
 
-N_PLANES = 8
+N_PLANES_MIN = 8  # floor; actual plane count grows with corpus size
+N_PLANES_MAX = 24
+TARGET_BUCKET_SIZE = 16
 DIM = 64
+
+
+def derive_n_planes(n_vectors: int) -> int:
+    """Scale the LSH bucket count with the corpus: 2^planes buckets sized
+    ~TARGET_BUCKET_SIZE, so the candidate join stays O(n · bucket) instead
+    of quadratic as data grows. At the driver's sf0.01 (~500 vectors) this
+    resolves to the floor of 8 planes — identical to the static oracle."""
+    import math
+
+    raw = math.ceil(math.log2(max(1, n_vectors) / TARGET_BUCKET_SIZE + 1))
+    return min(N_PLANES_MAX, max(N_PLANES_MIN, raw))
 
 
 def _plane(p: int) -> list[int]:
@@ -205,9 +218,9 @@ def _plane(p: int) -> list[int]:
     return [((p * 31 + j * 17 + (p + 1) * (j + 3) * 7) % 13) - 6 for j in range(DIM)]
 
 
-def _lsh_bucket_sql_expr(col: str) -> str:
+def _lsh_bucket_sql_expr(col: str, n_planes: int = N_PLANES_MIN) -> str:
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         plane = ", ".join(str(c) for c in _plane(p))
         bits.append(
             f"CASE WHEN list_dot_product({col}::DOUBLE[], [{plane}]::DOUBLE[]) >= 0 "
@@ -216,9 +229,9 @@ def _lsh_bucket_sql_expr(col: str) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
-def _lsh_bucket_col(col: str) -> Column:
+def _lsh_bucket_col(col: str, n_planes: int = N_PLANES_MIN) -> Column:
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         plane = F.array(*[F.lit(float(c)) for c in _plane(p)])
         bits.append(F.when(dot(F.col(col), plane) >= 0, "1").otherwise("0"))
     return F.concat(*bits)
@@ -257,10 +270,14 @@ def graph_embedding_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
     )
+    # no broadcast hint on deg_u/deg_i: they are unbounded per-key aggregates
+    # (one row per user/item) — at 100 TB a forced broadcast OOMs executors.
+    # AQE picks broadcast at small scale and shuffle join at large, runtime-
+    # sized, which is exactly the right call here.
     return (
         r.filter(F.col("user_id") < 50)
         .join(deg_u, "user_id")
-        .join(F.broadcast(deg_i), "item_id")
+        .join(deg_i, "item_id")
         .join(e, r.item_id == e.vec_id)
         .groupBy("user_id", "pos")
         .agg(
@@ -273,42 +290,59 @@ def graph_embedding_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEAR_DUP_COSINE = 0.4  # calibrated to the synthetic embeddings (max pairwise
-# cosine ≈ 0.48 — no injected dups); at a real 0.95+ the plan is identical
+NEAR_DUP_COSINE = 0.99
+N_INJECTED = 25  # deterministic near-dup twins injected below (vec_id<25)
+PERTURB = 0.01  # per-dim shift: twins keep cosine >= ~0.996 to their
+# original while unrelated pairs top out near 0.48 — a clean margin
 
 
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
-    WITH b AS (
-        SELECT vec_id, embedding,
-               {_lsh_bucket_sql_expr('embedding')} AS bucket
-        FROM embeddings
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    aug AS (
+        SELECT vec_id + 1000000 AS vec_id, list_transform(e, x -> x + {PERTURB}) AS e
+        FROM base WHERE vec_id < {N_INJECTED}
+    ),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM aug),
+    b AS (
+        SELECT vec_id, e, {_lsh_bucket_sql_expr('e')} AS bucket FROM allv
     )
     SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], x.embedding::DOUBLE[]) /
-                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                  sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) + 1e-8),
+           ROUND(list_dot_product(a.e, x.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) *
+                  sqrt(list_dot_product(x.e, x.e)) + 1e-8),
                  6) AS cosine
     FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], x.embedding::DOUBLE[]) /
-          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-           sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) + 1e-8)
+    WHERE list_dot_product(a.e, x.e) /
+          (sqrt(list_dot_product(a.e, a.e)) *
+           sqrt(list_dot_product(x.e, x.e)) + 1e-8)
           >= {NEAR_DUP_COSINE}
     """,
     doc="Embedding-cosine near-dup pairs (north-star dedup family): LSH "
-    "bucket join restricts candidates, cosine threshold verifies — same "
-    "candidates-then-verify shape as MinHash dedup, on vectors.",
+    "bucket join restricts candidates, cosine >= 0.99 verifies — same "
+    "candidates-then-verify shape as MinHash dedup, on vectors. The corpus "
+    "is augmented with deterministic perturbed twins (+0.01 per dim for "
+    "vec_id<25, identically in Spark and the oracle) so the check covers "
+    "real near-dup pairs, not a vacuous empty/1-row result.",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    b = emb.withColumn("bucket", _lsh_bucket_col("embedding"))
-    left = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"), "bucket"
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
+    aug = base.filter(F.col("vec_id") < N_INJECTED).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("e", lambda x: x + F.lit(PERTURB)).alias("e"),
+    )
+    allv = base.unionByName(aug)
+    n_planes = derive_n_planes(emb.count() + N_INJECTED)
+    b = allv.withColumn("bucket", _lsh_bucket_col("e", n_planes))
+    left = b.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"), "bucket")
     right = b.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("e_x"),
+        F.col("e").alias("e_x"),
         F.col("bucket").alias("bucket_x"),
     )
     cos = cosine("e_a", "e_x")
@@ -348,15 +382,17 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, neighbor_id, cosine FROM ranked
     WHERE rnk <= 3 AND vec_id < 50
     """,
-    doc="Approximate nearest neighbors via sign-LSH: 8 deterministic "
-    "hyperplanes -> 256 buckets; candidates are same-bucket only, so the "
-    "all-pairs O(n²) cosine becomes O(Σ bucket²) — the strategy that "
-    "survives a 100× scale-up (bucket count grows with data via more "
-    "planes). Output: top-3 bucket-local neighbors for the first 50 ids.",
+    doc="Approximate nearest neighbors via sign-LSH: deterministic "
+    "hyperplanes, count derived from corpus size (derive_n_planes: 2^p "
+    "buckets of ~16 vectors, floor 8 planes = the oracle's count at "
+    "sf<=0.01); candidates are same-bucket only, so the all-pairs O(n²) "
+    "cosine becomes O(Σ bucket²) and bucket size stays bounded as data "
+    "grows. Output: top-3 bucket-local neighbors for the first 50 ids.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    b = emb.withColumn("bucket", _lsh_bucket_col("embedding"))
+    n_planes = derive_n_planes(emb.count())
+    b = emb.withColumn("bucket", _lsh_bucket_col("embedding", n_planes))
     left = b.select(
         F.col("vec_id"),
         F.col("embedding").alias("e_a"),
@@ -374,6 +410,91 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "neighbor_id",
         F.round(cosine("e_a", "e_x"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("vec_id", "neighbor_id", "cosine")
+    )
+
+
+N_IVF_CELLS = 16  # deterministic coarse quantizer: first 16 vectors as seeds
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {N_IVF_CELLS}),
+    scored AS (
+        SELECT b.vec_id, b.e, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.e, c.ce) /
+                            (sqrt(list_dot_product(b.e, b.e)) *
+                             sqrt(list_dot_product(c.ce, c.ce)) + 1e-8) DESC,
+                            c.cid
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, e, cid FROM scored WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id, x.vec_id AS neighbor_id,
+               ROUND(list_dot_product(a.e, x.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(x.e, x.e)) + 1e-8), 6) AS cosine
+        FROM assigned a
+        JOIN assigned x ON a.cid = x.cid AND a.vec_id <> x.vec_id
+        WHERE a.vec_id < 50
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT vec_id, neighbor_id, cosine FROM ranked WHERE rnk <= 3
+    """,
+    doc="Approximate nearest neighbors, IVF-style (north-star scale path "
+    "beside sign-LSH): a deterministic coarse quantizer (the first "
+    f"{N_IVF_CELLS} vectors as cell seeds) assigns every vector to its "
+    "nearest cell via a broadcast cross-score + window argmin — one "
+    "shuffle; candidates are cell-local only (single-probe). At scale the "
+    "seed set comes from a sampled k-means; the assign/probe plan is "
+    "identical. Top-3 cell-local neighbors for the first 50 ids.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cent = emb.filter(F.col("vec_id") < N_IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("cid")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", cosine("e", "ce").alias("c_cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cid")
+    )
+    left = assigned.filter(F.col("vec_id") < 50).select(
+        "vec_id", F.col("e").alias("e_a"), "cid"
+    )
+    right = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("e_x"),
+        F.col("cid").alias("cid_x"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("cid") == F.col("cid_x")) & (F.col("vec_id") != F.col("neighbor_id")),
+    ).select(
+        "vec_id", "neighbor_id", F.round(cosine("e_a", "e_x"), 6).alias("cosine")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

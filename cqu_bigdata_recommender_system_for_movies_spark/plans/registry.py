@@ -69,18 +69,23 @@ def _load_operator_modules() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Registration order == the order the driver checks queries. The round-1
+    # driver run was truncated by its time budget exactly at the tail modules
+    # (ml.als, streaming) — so the historically-unverified modules register
+    # right after the relational core, and the cheapest modules go last.
     import cqu_bigdata_recommender_system_for_movies_spark.operators.relational  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.ml.als  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.streaming.queries  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.topk  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.windows  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.olap  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.sampling  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.io_sinks  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.multimodal  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.sources.binary_files  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.ml.pipeline  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.dedup  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.vectors  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.text  # noqa: F401
-    import cqu_bigdata_recommender_system_for_movies_spark.operators.dedup  # noqa: F401
-    import cqu_bigdata_recommender_system_for_movies_spark.ml.als  # noqa: F401
-    import cqu_bigdata_recommender_system_for_movies_spark.streaming.queries  # noqa: F401
 
     _LOADED = True

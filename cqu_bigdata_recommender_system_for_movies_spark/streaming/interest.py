@@ -59,13 +59,35 @@ def one_hot(event_type: str) -> np.ndarray:
 
 
 def fold_events(interest: np.ndarray, events: pd.DataFrame) -> np.ndarray:
-    """Apply the reference's update rule over events sorted by event time."""
+    """Apply the reference's update rule over events sorted by event time.
+
+    The per-event recurrence ``U_k = a_k * U_{k-1} + b_k`` (a_k = 1-λr_k,
+    b_k = t_k·λr_k) has the closed form
+
+        U_n = (Π a_k) · U_0  +  Σ_k b_k · (Π_{j>k} a_j)
+
+    so the whole batch folds with vectorized suffix-products instead of a
+    per-row Python loop — O(n) numpy, no iterrows. t_k is one-hot, so the
+    Σ term reduces to a scatter-add per event-type dimension.
+    """
     ordered = events.sort_values(["ts", "event_id"])
-    for _, row in ordered.iterrows():
-        r = float(row["value"]) / RATING_SCALE
-        t = one_hot(row["event_type"])
-        interest = interest * (1.0 - LAMBDA * r) + t * (LAMBDA * r)
-    return interest
+    n = len(ordered)
+    if n == 0:
+        return interest
+    r = ordered["value"].to_numpy(dtype=np.float64) / RATING_SCALE
+    a = 1.0 - LAMBDA * r
+    lr = LAMBDA * r
+    suffix = np.ones(n)  # suffix[k] = Π a[k+1:]
+    if n > 1:
+        suffix[:-1] = np.cumprod(a[::-1])[::-1][1:]
+    idx = {t: i for i, t in enumerate(EVENT_TYPES)}
+    type_idx = np.fromiter(
+        (idx.get(t, -1) for t in ordered["event_type"]), dtype=np.int64, count=n
+    )
+    contrib = np.zeros(DIM)
+    mask = type_idx >= 0
+    np.add.at(contrib, type_idx[mask], lr[mask] * suffix[mask])
+    return interest * np.prod(a) + contrib
 
 
 def update_interest(

@@ -3,13 +3,26 @@
 Each registry entry drives a real streaming query to completion over the
 parquet file source (the deterministic stand-in for the reference's socket
 source — same line-parsing semantics, reference streaming_rec.py:170-188)
-and returns the materialized memory-sink table. Where the computation is
+and returns the materialized result. Where the computation is
 SQL-expressible the DuckDB oracle checks the *streaming* result against the
 batch semantics — micro-batch incrementalization must converge to the same
 answer.
 
-Sinks: memory (tests/driver), foreachBatch (interest fold history), console
-(reference parity, exercised in tests only).
+Coverage here:
+- S4  socket source: ``socket_lines_stream`` (real ``format("socket")``,
+  exercised against a loopback server in tests; the registry uses the
+  deterministic file source).
+- S5  console sink: ``run_console_sink`` (smoke-tested in pytest).
+- S6 + ST6 + M8  foreachBatch recommendation emission:
+  ``streaming_recommend_emit`` — per micro-batch stateful interest update →
+  cosine vs item profiles → top-10 per user → append to a recommendations
+  table (reference streaming_rec.py:190-198 driving 106-126, minus its
+  first()-only bug).
+- ST1/ST2  availableNow micro-batches; append/update/complete modes.
+- ST3  per-key state: streaming_interest_fold (applyInPandasWithState).
+- ST4  watermarks: ``streaming_watermarked_counts`` (withWatermark +
+  append mode — only watermark-finalized windows are emitted).
+- ST5  stream-static join: streaming_static_join.
 """
 
 from __future__ import annotations
@@ -179,6 +192,165 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "streaming_watermarked_counts",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS cnt
+    FROM events
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+          <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="ST4 late-data handling: withWatermark('ts','1 day') + 1-day tumbling "
+    "windows in APPEND mode — only windows finalized by the watermark are "
+    "emitted (availableNow's final flush batch advances the watermark to "
+    "max(ts) - 1 day, so the trailing day's windows stay open and are "
+    "withheld). The oracle states exactly that: windows whose end is at or "
+    "before max(ts) - 1 day.",
+)
+def streaming_watermarked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    counts = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return _run_to_memory(counts, "append")
+
+
+def item_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static item dimension for the real-time recommender: per item_ref
+    (the numeric key in the event props payload), the normalized event-type
+    distribution — the analogue of the reference's per-movie genre vector
+    (streaming_rec.py:130-134), derived from behavior instead of metadata.
+    Output: (item_ref, profile: array<double> over EVENT_TYPES order)."""
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+        EVENT_TYPES,
+    )
+
+    events = load(spark, sf_dir, "events")
+    typed = events.select(
+        F.get_json_object("props", "$.k").cast("int").alias("item_ref"),
+        "event_type",
+    ).filter(F.col("item_ref").isNotNull())
+    per_type = [
+        F.sum((F.col("event_type") == t).cast("double")).alias(f"c_{i}")
+        for i, t in enumerate(EVENT_TYPES)
+    ]
+    agg = typed.groupBy("item_ref").agg(*per_type, F.count("*").alias("n"))
+    profile = F.array(*[F.col(f"c_{i}") / F.col("n") for i in range(len(EVENT_TYPES))])
+    return agg.select("item_ref", profile.alias("profile"))
+
+
+@register(
+    "streaming_recommend_emit",
+    oracle=None,  # stateful streaming + foreachBatch — rows-only; pytest
+    # checks the emitted top-10 against an independently computed batch twin
+    doc="S6+ST6+M8: the reference's signature real-time loop "
+    "(streaming_rec.py:190-198 driving 106-126): per micro-batch, the "
+    "stateful interest fold emits updated user vectors; foreachBatch scores "
+    "them by cosine against every item profile (broadcast dim), ranks "
+    "top-10 per user (window), and APPENDS to a recommendations parquet "
+    "table — a set-oriented sink instead of the reference's per-row Bolt "
+    "MERGE, and all rows of the batch instead of its first()-only bug. "
+    "Returns the final recommendations (latest batch per user).",
+)
+def streaming_recommend_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        cosine,
+    )
+
+    profiles = item_profiles(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_recs_")
+    shutil.rmtree(out_dir, ignore_errors=True)  # foreachBatch appends fresh
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        # crossJoin is deliberate (J5): every updated user scores every
+        # item; the item side is a broadcast dim, so the expansion is
+        # map-side and the per-user top-10 prunes it immediately.
+        scored = batch_df.crossJoin(F.broadcast(profiles)).select(
+            "user_id",
+            "item_ref",
+            F.round(cosine("interest", "profile"), 6).alias("score"),
+        )
+        w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_ref"))
+        top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= 10
+        )
+        (
+            top.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    folded = interest_fold_stream(stream, output_mode="update")
+    q = (
+        folded.writeStream.foreachBatch(emit)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    recs = spark.read.parquet(out_dir)
+    last = recs.groupBy("user_id").agg(F.max("batch_id").alias("batch_id"))
+    return recs.join(last, ["user_id", "batch_id"]).select(
+        "user_id", "item_ref", "rnk", "score"
+    )
+
+
+def run_console_sink(stream_df: DataFrame, mode: str = "append") -> None:
+    """S5 console sink (reference test/streaming_test.py:62-66): drive the
+    streaming query to completion printing each micro-batch to stdout."""
+    q = (
+        stream_df.writeStream.format("console")
+        .option("numRows", 5)
+        .option("truncate", True)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
+def socket_lines_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S4 socket source (reference streaming_rec.py:173-188): lines of
+    'user_id item_id rating timestamp' parsed to typed columns. The
+    registry's file-source twin has identical parse semantics; this is the
+    live-demo path, exercised against a loopback server in tests."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    p = F.split(F.col("value"), " ")
+    return raw.select(
+        F.element_at(p, 1).cast("long").alias("user_id"),
+        F.element_at(p, 2).cast("long").alias("item_id"),
+        F.element_at(p, 3).cast("double").alias("rating"),
+        F.element_at(p, 4).cast("long").alias("timestamp"),
+    )
 
 
 @register(

@@ -43,7 +43,7 @@ queries = e.queries()
 oracles = e.oracle_sql()
 n_ok = n_rowsonly = 0
 failures = []
-for name in sorted(queries):
+for name in queries:  # registration order — same as the driver's check order
     t0 = time.perf_counter()
     try:
         sdf = queries[name](spark, SF)

@@ -53,3 +53,25 @@ def test_interest_update_rule(spark):
     lam_r = 0.05 * 4.0
     exp = [0.5 * (1 - lam_r) + 1.0 * lam_r, 0.5 * (1 - lam_r)]
     assert got == pytest.approx(exp)
+
+
+def test_near_dup_pairs_nontrivial(spark, sf_dir):
+    """The injected perturbed twins must actually surface: a green oracle
+    match on 0-1 rows verifies nothing (round-1 verdict)."""
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        embedding_near_dup_pairs,
+    )
+
+    rows = embedding_near_dup_pairs(spark, sf_dir).collect()
+    assert len(rows) >= 5
+    for r in rows:
+        assert r.cosine >= 0.99
+        assert r.vec_b == r.vec_a + 1000000  # only twin pairs clear 0.99
+
+
+def test_set_ops_except_nontrivial(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.relational import (
+        set_ops_except,
+    )
+
+    assert set_ops_except(spark, sf_dir).count() > 0

@@ -62,6 +62,27 @@ def test_als_cross_validation_shape(spark, sf_dir):
     assert all(v > 0 for v in by_fold.values())
 
 
+def test_als_quality_on_movielens_shaped_fixture(spark):
+    """BASELINE.md quality parity (reference doc/课程报告.md:907: RMSE 0.9246
+    on ml-100k): on a MovieLens-shaped seeded fixture with a recoverable
+    nonnegative low-rank structure (noise floor ≈0.58), reference-hyperparam
+    ALS must land inside the reference's quality band (≤0.93) — a broken
+    fit sits near the raw rating std (≈1.0) and fails."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.fixtures import (
+        movielens_shaped_ratings,
+    )
+
+    r = movielens_shaped_ratings(spark)
+    train, test = r.randomSplit([0.8, 0.2], seed=42)
+    model = fit_als(train)  # reference hyperparams: rank 10, iter 10, reg 0.1
+    rmse = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    ).evaluate(model.transform(test))
+    assert 0.4 < rmse <= 0.93, f"ALS quality off reference band: rmse={rmse}"
+
+
 def test_pipeline_classifier_eval(spark, sf_dir):
     from cqu_bigdata_recommender_system_for_movies_spark.ml.pipeline import (
         pipeline_classifier_eval,

@@ -1,0 +1,182 @@
+"""Streaming layer beyond the oracle checks: the integrated foreachBatch
+recommender (S6/ST6/M8) against an independent batch twin, the console sink
+(S5), the socket source (S4) against a loopback server, and watermark
+append semantics (ST4)."""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+    DIM,
+    EVENT_TYPES,
+    fold_events,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+    item_profiles,
+    run_console_sink,
+    socket_lines_stream,
+    streaming_recommend_emit,
+    streaming_watermarked_counts,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+EPS = 1e-8
+
+
+def _fold_sum(vals):
+    """Left-to-right fold, matching F.aggregate's evaluation order exactly."""
+    acc = 0.0
+    for v in vals:
+        acc += v
+    return acc
+
+
+def _cosine(a, b):
+    d = _fold_sum(x * y for x, y in zip(a, b))
+    na = _fold_sum(x * x for x in a) ** 0.5
+    nb = _fold_sum(x * x for x in b) ** 0.5
+    return d / (na * nb + EPS)
+
+
+def _expected_recs(events_pd, k=10):
+    """Batch twin of the foreachBatch loop: final interest per user (the
+    same rounded emission the stateful operator yields), item profiles
+    from props.k, cosine top-k with (score desc, item_ref asc) ties."""
+    profiles: dict[int, list[float]] = {}
+    ev = events_pd.copy()
+    ev["item_ref"] = ev["props"].map(
+        lambda s: json.loads(s).get("k") if s else None
+    )
+    typed = ev[ev["item_ref"].notna()]
+    for item, grp in typed.groupby("item_ref"):
+        n = len(grp)
+        profiles[int(item)] = [
+            (grp["event_type"] == t).sum() / n for t in EVENT_TYPES
+        ]
+
+    out = {}
+    for uid, grp in events_pd.groupby("user_id"):
+        interest = fold_events(np.zeros(DIM), grp)
+        interest = [round(float(x), 6) for x in interest]
+        scored = [
+            (round(_cosine(interest, prof), 6), item)
+            for item, prof in profiles.items()
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        out[uid] = [(item, rnk + 1, s) for rnk, (s, item) in enumerate(scored[:k])]
+    return out
+
+
+def test_streaming_recommend_emit_matches_batch_twin(spark, sf_dir):
+    got_rows = streaming_recommend_emit(spark, sf_dir).collect()
+    events_pd = load(spark, sf_dir, "events").toPandas()
+    expected = _expected_recs(events_pd)
+
+    got: dict[int, list] = {}
+    for r in got_rows:
+        got.setdefault(r.user_id, []).append((r.rnk, r.item_ref, r.score))
+    for uid in got:
+        got[uid].sort()
+
+    assert set(got) == set(expected)
+    for uid, exp in expected.items():
+        rows = got[uid]
+        assert len(rows) == len(exp)
+        for (rnk, item, score), (e_item, e_rnk, e_score) in zip(rows, exp):
+            assert rnk == e_rnk
+            assert item == e_item, f"user {uid} rank {rnk}: {item} != {e_item}"
+            assert score == pytest.approx(e_score, abs=2e-6)
+
+
+def test_console_sink_smoke(spark, sf_dir):
+    """S5 (reference test/streaming_test.py:62-66): console sink drives a
+    real streaming query to completion without error."""
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _events_stream,
+    )
+
+    stream = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    run_console_sink(stream, mode="append")
+
+
+def test_socket_source_roundtrip(spark):
+    """S4 (reference streaming_rec.py:173-188): real socket source against a
+    loopback server emitting reference-format lines."""
+    lines = [b"1 101 4.5 1700000000\n", b"2 102 3.0 1700000001\n", b"3 103 5.0 1700000002\n"]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            for ln in lines:
+                conn.sendall(ln)
+            time.sleep(5)  # keep the connection open while Spark reads
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    parsed = socket_lines_stream(spark, "127.0.0.1", port)
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("socket_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("socket_sink").count() >= 3:
+                break
+            time.sleep(0.3)
+        rows = {
+            (r.user_id, r.item_id, r.rating, r.timestamp)
+            for r in spark.table("socket_sink").collect()
+        }
+    finally:
+        q.stop()
+        server.close()
+    assert rows == {
+        (1, 101, 4.5, 1700000000),
+        (2, 102, 3.0, 1700000001),
+        (3, 103, 5.0, 1700000002),
+    }
+
+
+def test_watermarked_append_withholds_open_windows(spark, sf_dir):
+    """ST4: append mode emits exactly the windows finalized by the
+    watermark (end <= max(ts) - delay); the trailing day stays open."""
+    got = streaming_watermarked_counts(spark, sf_dir)
+    events = load(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts")).collect()[0][0]
+    allw = (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    finalized = allw.filter(
+        F.col("w.end") <= F.lit(mx) - F.expr("INTERVAL 1 DAY")
+    ).count()
+    n_all = allw.count()
+    n_got = got.count()
+    assert n_got == finalized
+    assert n_got < n_all  # the open trailing windows really are withheld
+
+
+def test_item_profiles_normalized(spark, sf_dir):
+    rows = item_profiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.profile) == DIM
+        assert sum(r.profile) == pytest.approx(1.0, abs=1e-9)
