@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: lock in the plan shapes that make these
+queries scale — filter/projection pushdown into the parquet scan, broadcast
+for dimension joins, TakeOrderedAndProject for global top-k, no forced
+broadcast of unbounded aggregates. A green result that executes with the
+wrong plan is a 100-TB incident waiting; these tests fail it early."""
+
+from __future__ import annotations
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filters(spark, sf_dir):
+    plan = _plan(all_queries()["filter_point_lookup"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(user_id" in plan  # predicate reached the parquet scan
+
+
+def test_point_lookup_prunes_columns(spark, sf_dir):
+    plan = _plan(all_queries()["filter_point_lookup"](spark, sf_dir))
+    scan = plan[plan.index("ReadSchema"):]
+    assert "props" not in scan  # untouched wide column not read
+
+
+def test_cold_start_plans_take_ordered(spark, sf_dir):
+    plan = _plan(all_queries()["cold_start_popular_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(all_queries()["join_star_2hop"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # dims broadcast, fact streams
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_window_single_shuffle(spark, sf_dir):
+    plan = _plan(all_queries()["topk_per_user_window"](spark, sf_dir))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    # one hash-partitioning exchange for the window; no extra sort+shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_propagation_does_not_force_broadcast_aggregates(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.operators import vectors
+
+    import inspect
+
+    src = inspect.getsource(vectors.graph_embedding_propagation)
+    assert "F.broadcast" not in src  # unbounded per-item agg: AQE decides
+
+
+def test_cosine_topk_broadcasts_query_side(spark, sf_dir):
+    plan = _plan(all_queries()["cosine_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wordcount_partial_aggregation(spark, sf_dir):
+    plan = _plan(all_queries()["wordcount_documents"](spark, sf_dir))
+    assert "partial_count" in plan  # map-side combine on the exploded tokens
