@@ -33,6 +33,13 @@ HEADLINE = [
     "embedding_centroid_by_label",
     "streaming_window_counts",
     "als_rmse",
+    # round-2 additions (r1 keys above unchanged for comparability)
+    "sessionize_events",
+    "asof_join_last_order",
+    "range_join_events_orders",
+    "simhash_fingerprint",
+    "ann_ivf_topk",
+    "streaming_recommend_emit",
 ]
 
 

@@ -71,3 +71,133 @@ def pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, subset=list(EVENT_TYPES))
     )
+
+
+@register(
+    "cube_lang_source",
+    oracle="""
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           COUNT(*) AS cnt,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+    doc="CUBE over document metadata: all four grouping sets "
+    "((lang,source),(lang),(source),()) in one pass — the corpus-composition "
+    "dashboard query for a training-data pipeline.",
+)
+def cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .cube("lang", "source")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "cnt",
+            "avg_chars",
+        )
+    )
+
+
+PCTS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "percentile_stats",
+    oracle=f"""
+    SELECT event_type,
+           {", ".join(f"ROUND(quantile_cont(value, {p}), 4) AS p{int(p * 100)}" for p in PCTS)}
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles (p50/p90/p99) per event type — "
+    "Spark `percentile` and DuckDB `quantile_cont` share the linear-"
+    "interpolation definition, so results match exactly. At 100 TB swap to "
+    "approx_percentile (t-digest) — same plan shape, bounded memory.",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pct_arr = F.percentile("value", F.array(*[F.lit(p) for p in PCTS]))
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(pct_arr.alias("pcts"))
+        .select(
+            "event_type",
+            *[
+                F.round(F.element_at("pcts", i + 1), 4).alias(f"p{int(p * 100)}")
+                for i, p in enumerate(PCTS)
+            ],
+        )
+    )
+
+
+@register(
+    "date_functions_suite",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mon,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS weekday_mon0,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+               AS days_since_y24,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end
+    FROM orders
+    """,
+    doc="Date/time function suite (beyond the reference, which kept raw "
+    "epoch ints): extract fields, day arithmetic, month boundaries — all "
+    "JVM column expressions, oracle-matched against DuckDB's calendar.",
+)
+def date_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekday("o_orderdate").cast("int").alias("weekday_mon0"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).cast("long")
+        .alias("days_since_y24"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "string_functions_suite",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_type, 1, 6) AS type_prefix,
+           replace(p_name, ' ', '_') AS name_snake,
+           strlen(p_name) AS name_len,
+           reverse(p_brand) AS brand_rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           levenshtein(p_brand, substr(p_type, 1, 10)) AS brand_type_dist
+    FROM part
+    """,
+    doc="String function suite: case, substring, replace, pad, reverse, "
+    "Levenshtein distance — whole-stage-codegen column expressions matched "
+    "against DuckDB.",
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.replace("p_name", F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.levenshtein(F.col("p_brand"), F.substring("p_type", 1, 10))
+        .cast("long")
+        .alias("brand_type_dist"),
+    )

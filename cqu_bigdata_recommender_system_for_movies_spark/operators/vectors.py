@@ -502,3 +502,101 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("vec_id", "neighbor_id", "cosine")
     )
+
+
+N_CB_USERS = 20  # bounded demo subset, like the reference's per-user loop
+CB_TOPK = 5
+
+
+@register(
+    "content_based_recommend",
+    oracle=f"""
+    WITH r AS (
+        SELECT DISTINCT user_id, item_id
+        FROM ({RATINGS_SQL}) WHERE user_id < {N_CB_USERS}
+    ),
+    e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    profile AS (
+        SELECT user_id, pos, AVG(v) AS pv
+        FROM r JOIN e ON item_id = vec_id GROUP BY 1, 2
+    ),
+    nu AS (SELECT user_id, sqrt(SUM(pv * pv)) AS nu FROM profile GROUP BY 1),
+    ni AS (SELECT vec_id, sqrt(SUM(v * v)) AS ni FROM e GROUP BY 1),
+    dots AS (
+        SELECT p.user_id, e.vec_id, SUM(p.pv * e.v) AS d
+        FROM profile p JOIN e ON p.pos = e.pos GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.user_id, d.vec_id AS item_id,
+               ROUND(d.d / (nu.nu * ni.ni + 1e-8), 6) AS score
+        FROM dots d
+        JOIN nu USING (user_id)
+        JOIN ni ON d.vec_id = ni.vec_id
+    ),
+    unseen AS (
+        SELECT s.* FROM scored s
+        ANTI JOIN r ON s.user_id = r.user_id AND s.item_id = r.item_id
+    ),
+    ranked AS (
+        SELECT user_id, item_id, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY score DESC, item_id
+               ) AS rnk
+        FROM unseen
+    )
+    SELECT user_id, item_id, rnk, score FROM ranked WHERE rnk <= {CB_TOPK}
+    """,
+    doc="Content-based recommendation — the offline twin of the reference's "
+    "item-CF loop (M8, streaming_rec.py:106-126): user profile = mean "
+    "embedding of rated items, cosine against every item embedding, "
+    "anti-join the already-rated (J3), top-5 per user. Computed entirely "
+    "in position-exploded space (profile/norm/dot are grouped sums), so "
+    "the 'matmul' is two shuffles and never materializes a dense matrix — "
+    "the shape that scales to all users at 100 TB.",
+)
+def content_based_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        ratings(spark, sf_dir)
+        .filter(F.col("user_id") < N_CB_USERS)
+        .select("user_id", "item_id")
+        .distinct()
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    profile = (
+        r.join(e, r.item_id == e.vec_id)
+        .groupBy("user_id", "pos")
+        .agg(F.avg("v").alias("pv"))
+    )
+    nu = profile.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("pv") * F.col("pv"))).alias("nu")
+    )
+    ni = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("ni"))
+    dots = (
+        profile.join(e, "pos")
+        .groupBy("user_id", "vec_id")
+        .agg(F.sum(F.col("pv") * F.col("v")).alias("d"))
+    )
+    scored = (
+        dots.join(nu, "user_id")
+        .join(ni, "vec_id")
+        .select(
+            "user_id",
+            F.col("vec_id").alias("item_id"),
+            F.round(F.col("d") / (F.col("nu") * F.col("ni") + F.lit(EPS)), 6).alias(
+                "score"
+            ),
+        )
+    )
+    unseen = scored.join(r, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
+    return (
+        unseen.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CB_TOPK)
+        .select("user_id", "item_id", "rnk", "score")
+    )

@@ -172,3 +172,63 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("last_o_date", "yyyy-MM-dd HH:mm:ss").alias("last_order_date"),
         F.col("last_o_price").alias("last_order_price"),
     )
+
+
+RANGE_DAYS = 3  # events within [o_orderdate, o_orderdate + 3 days)
+
+
+@register(
+    "range_join_events_orders",
+    oracle=f"""
+    SELECT o.o_orderkey, COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL {RANGE_DAYS} DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc="Range (band) join — an operator Spark lacks natively: events within "
+    "[order_date, order_date + 3 days) per order. A naive inequality join "
+    "is a per-user nested loop (quadratic on active users); here each event "
+    "keys on its UTC day bucket and each order explodes to its 4 candidate "
+    "day buckets, so the physical plan is an EQUI-join on (user, bucket) "
+    "followed by the exact range filter — shuffle-bounded, skew-safe, the "
+    "standard band-join decomposition. DuckDB oracle is the plain "
+    "inequality join.",
+)
+def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import load as _load
+
+    day_us = 86_400 * 1_000_000
+    events = _load(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("ts"),
+        "value",
+        (F.unix_micros("ts") / day_us).cast("long").alias("bucket"),
+    )
+    # o_orderdate is TIMESTAMP_NTZ in the parquet; pin it to the session's
+    # UTC timeline so the micros arithmetic matches events.ts (TIMESTAMP)
+    odate = F.col("o_orderdate").cast("timestamp")
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        odate.alias("o_ts"),
+        F.explode(
+            F.sequence(
+                (F.unix_micros(odate) / day_us).cast("long"),
+                (
+                    (F.unix_micros(odate) + (RANGE_DAYS * day_us)) / day_us
+                ).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    joined = orders.join(events, ["user_id", "bucket"]).filter(
+        (F.col("ts") >= F.col("o_ts"))
+        & (F.unix_micros("ts") < F.unix_micros("o_ts") + RANGE_DAYS * day_us)
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

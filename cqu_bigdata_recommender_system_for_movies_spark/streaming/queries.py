@@ -35,6 +35,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cqu_bigdata_recommender_system_for_movies_spark.operators.windows import (
+    SESSION_GAP_MIN,
+)
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
 from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
     interest_fold_stream,
@@ -351,6 +354,67 @@ def socket_lines_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
         F.element_at(p, 3).cast("double").alias("rating"),
         F.element_at(p, 4).cast("long").alias("timestamp"),
     )
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         <= {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="Native streaming session windows (the streaming twin of "
+    "sessionize_events): groupBy(user, session_window(ts, '30 min')) with "
+    "state-store session merging — Spark's own gap-based session operator. "
+    "The oracle is the batch lag+cumsum sessionization; the streaming "
+    "result must be identical session-for-session.",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming deduplication: dropDuplicates over the stream's key "
+    "columns — per-key state in the state store emits each (user, type) "
+    "exactly once across all micro-batches (the streaming counterpart of "
+    "the batch distinct / exact-dedup operators).",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(deduped, "append")
 
 
 @register(

@@ -62,3 +62,24 @@ def test_cosine_topk_broadcasts_query_side(spark, sf_dir):
 def test_wordcount_partial_aggregation(spark, sf_dir):
     plan = _plan(all_queries()["wordcount_documents"](spark, sf_dir))
     assert "partial_count" in plan  # map-side combine on the exploded tokens
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The band join must decompose to an equi-join on (user, day bucket) —
+    a nested-loop/cartesian range join dies at scale."""
+    plan = _plan(all_queries()["range_join_events_orders"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # an actual (hash/sort-merge) equi join
+
+
+def test_content_based_recommend_no_dense_matrix(spark, sf_dir):
+    """Profile x embedding scoring stays in exploded space: grouped sums,
+    no collect, no dense matrix materialization."""
+    import inspect
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators import vectors
+
+    src = inspect.getsource(vectors.content_based_recommend)
+    assert ".collect()" not in src
+    assert "toPandas" not in src
