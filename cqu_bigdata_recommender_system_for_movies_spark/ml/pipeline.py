@@ -47,3 +47,37 @@ def pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(train.count(), test.count(), round(acc, 4))],
         "n_train long, n_test long, accuracy double",
     )
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=None,  # iterative ML — rows-only; invariants asserted in tests
+    doc="Clustering capability (the learned coarse quantizer behind IVF "
+    "ANN, and the corpus-partitioning step of a dedup/curation pipeline): "
+    "seeded MLlib KMeans (k=8) over the embedding vectors; output is one "
+    "row per cluster with its size and the rounded norm of its center — "
+    "deterministic under the fixed seed.",
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=8, seed=SEED, maxIter=20).fit(emb)
+    assigned = model.transform(emb)
+    sizes = (
+        assigned.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    centers = spark.createDataFrame(
+        [
+            (i, round(float((c ** 2).sum() ** 0.5), 4))
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cluster int, center_norm double",
+    )
+    return sizes.join(centers, "cluster").select(
+        "cluster", "n_vectors", "center_norm"
+    )

@@ -80,3 +80,32 @@ def write_recommendations_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("recommendations")
     recs.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@register(
+    "partitioned_write_pruned_read",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="Hive-style partitioned write + partition-pruned read (the scale "
+    "path for selective scans): events written partitionBy(event_type), "
+    "then read back with an event_type predicate — the scan lists ONE "
+    "partition directory instead of filtering rows (asserted in the plan "
+    "tests). At 100 TB partition pruning is the difference between "
+    "touching 1/k of the data and all of it.",
+)
+def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("events_by_type")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )

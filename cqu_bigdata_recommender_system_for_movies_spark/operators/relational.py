@@ -370,3 +370,42 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("item_ref"),
     )
+
+
+N_SALT = 8
+
+
+@register(
+    "salted_join_segment_counts",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Skew-safe salted join (scale technique, same result as the plain "
+    "join the oracle runs): the probe side carries a deterministic salt "
+    "(event_id mod 8) and the build side is replicated once per salt "
+    "value, so a hot user key's rows spread across 8 reducer partitions "
+    "instead of stalling one. This is the manual form of what AQE skew-join "
+    "does adaptively; kept explicit so the engine exercises the pattern.",
+)
+def salted_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.pmod("event_id", F.lit(N_SALT)).cast("int").alias("salt"),
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
+    )
+    return (
+        events.join(customer, ["user_id", "salt"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

@@ -83,3 +83,54 @@ def test_content_based_recommend_no_dense_matrix(spark, sf_dir):
     src = inspect.getsource(vectors.content_based_recommend)
     assert ".collect()" not in src
     assert "toPandas" not in src
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """The event_type predicate must be satisfied by directory listing
+    (PartitionFilters), not by row filtering."""
+    plan = _plan(all_queries()["partitioned_write_pruned_read"](spark, sf_dir))
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "event_type" in seg[: seg.index("]")]
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """Bucketed+sorted tables on the join key co-locate: the join runs with
+    NO Exchange on either side — the bucketing story for 100-TB fact-fact
+    joins."""
+    import shutil
+
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+    for t in ("t_bucket_events", "t_bucket_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "user_id")
+    (
+        events.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("t_bucket_events")
+    )
+    (
+        customer.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("t_bucket_customer")
+    )
+    # force the sort-merge path: a broadcast join would trivially have no
+    # shuffle (and its BroadcastExchange would trip the assertion anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_bucket_events").join(
+            spark.table("t_bucket_customer"), "user_id"
+        )
+        plan = _plan(joined)
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: the result matches the plain (shuffled) join
+        expected = events.join(customer, "user_id").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

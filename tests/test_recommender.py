@@ -101,3 +101,16 @@ def test_multimodal_decode_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_kmeans_clusters_partition_corpus(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.pipeline import (
+        kmeans_embedding_clusters,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+    rows = kmeans_embedding_clusters(spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "embeddings").count()
+    assert 1 <= len(rows) <= 8
+    assert sum(r.n_vectors for r in rows) == n_total  # a true partition
+    assert all(r.center_norm > 0 for r in rows)

@@ -180,3 +180,45 @@ def test_item_profiles_normalized(spark, sf_dir):
     for r in rows:
         assert len(r.profile) == DIM
         assert sum(r.profile) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_checkpoint_resume_is_exactly_once(spark, sf_dir):
+    """Fault-tolerance semantics: a parquet-sink streaming query driven to
+    completion, then RESTARTED against the same checkpoint, must not
+    re-emit any rows — the source offsets are committed in the checkpoint
+    and replay is exactly-once."""
+    import shutil
+    import tempfile
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    def run_once():
+        q = (
+            _events_stream(spark, sf_dir)
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run_once()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    first = spark.read.parquet(out).count()
+    assert first == n_events
+
+    run_once()  # restart from the same checkpoint: no new data, no dupes
+    second = spark.read.parquet(out).count()
+    assert second == first
+    shutil.rmtree(base, ignore_errors=True)

@@ -50,3 +50,49 @@ def test_interest_fold_matches_pandas_reference(spark, sf_dir):
         assert counts[uid] == (events_pd.user_id == uid).sum()
         vec = np.array([got[uid][i] for i in range(DIM)])
         assert vec == pytest.approx(exp_vec, abs=1e-6)
+
+
+def test_fold_events_closed_form_equals_iterative():
+    """Property test: the vectorized suffix-product fold must equal the
+    naive per-event recurrence for arbitrary event frames."""
+    from hypothesis import given, settings, strategies as st
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+        fold_events,
+    )
+
+    types = list(EVENT_TYPES) + ["unknown_type"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 10**6),           # ts (as sortable int)
+                st.integers(0, 10**6),           # event_id
+                st.sampled_from(types),          # event_type
+                st.floats(0.0, 250.0, allow_nan=False),  # value
+            ),
+            max_size=40,
+        ),
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False), min_size=DIM, max_size=DIM
+        ),
+    )
+    def check(rows, init):
+        events = pd.DataFrame(
+            rows, columns=["ts", "event_id", "event_type", "value"]
+        )
+        interest0 = np.array(init)
+
+        expected = interest0.copy()
+        for _, row in events.sort_values(["ts", "event_id"]).iterrows():
+            r = float(row["value"]) / RATING_SCALE
+            t = np.zeros(DIM)
+            if row["event_type"] in EVENT_TYPES:
+                t[EVENT_TYPES.index(row["event_type"])] = 1.0
+            expected = expected * (1.0 - LAMBDA * r) + t * (LAMBDA * r)
+
+        got = fold_events(interest0.copy(), events)
+        np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-12)
+
+    check()
