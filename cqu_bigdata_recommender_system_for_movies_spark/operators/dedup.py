@@ -21,7 +21,7 @@ affine hashes ``(a*v + b) % P`` — exact in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
@@ -65,10 +65,16 @@ ROWS_PER_BAND = 4  # 4 bands × 4 hashes: at the 0.3 threshold the 2-hash
 
 _TOKS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
 
+# Shingle sets are represented by their portable 32-bit hashes (int64
+# column): the dedup joins/groupBys shuffle fixed 8-byte keys instead of
+# ~50-byte shingle strings — at 100 TB that is the dominant shuffle-volume
+# term. Hash collisions merge shingles identically in BOTH engines
+# (standard hashed-shingle MinHash practice), so oracle parity is exact.
 _SHINGLES_SQL = f"""
     t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     sh AS (
-        SELECT DISTINCT doc_id, s
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
         FROM t, unnest([
             array_to_string(toks[i:i+{SHINGLE_N - 1}], '_')
             for i in range(1, greatest(len(toks) - {SHINGLE_N - 1}, 0) + 1)
@@ -79,7 +85,7 @@ _SHINGLES_SQL = f"""
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct 5-token shingles per document, as column exprs."""
+    """(doc_id, hv): distinct hashed 5-token shingles per document."""
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     n_sh = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
@@ -91,6 +97,10 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array())
     return (
         docs.select("doc_id", F.explode(shingles).alias("s"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("hv"),
+        )
         .distinct()
     )
 
@@ -122,20 +132,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SHINGLES_SQL},
     rare AS (
-        SELECT sh.doc_id, sh.s
+        SELECT sh.doc_id, sh.hv
         FROM sh JOIN (
-            SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {SHINGLE_DF_CAP}
-        ) keep USING (s)
+            SELECT hv FROM sh GROUP BY hv HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+        ) keep USING (hv)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM rare a JOIN rare b ON a.hv = b.hv AND a.doc_id < b.doc_id
     ),
     verified AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS common
         FROM cand c
         JOIN sh s1 ON s1.doc_id = c.doc_a
-        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.s = s1.s
+        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.hv = s1.hv
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -154,22 +164,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    keep = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
+    keep = sh.groupBy("hv").agg(F.count("*").alias("df")).filter(
         F.col("df") <= SHINGLE_DF_CAP
-    ).select("s")
-    rare = sh.join(keep, "s")
-    a = rare.select(F.col("doc_id").alias("doc_a"), "s")
-    b = rare.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    ).select("hv")
+    rare = sh.join(keep, "hv")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "hv")
+    b = rare.select(F.col("doc_id").alias("doc_b"), F.col("hv").alias("hv_b"))
     cand = (
-        a.join(b, (a.s == b.s_b) & (a.doc_a < b.doc_b))
+        a.join(b, (a.hv == b.hv_b) & (a.doc_a < b.doc_b))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    s1 = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    s2 = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), "hv")
+    s2 = sh.select(F.col("doc_id").alias("doc_b2"), F.col("hv").alias("hv_b"))
     verified = (
         cand.join(s1, "doc_a")
-        .join(s2, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s_b")))
+        .join(s2, (F.col("doc_b") == F.col("doc_b2")) & (F.col("hv") == F.col("hv_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
@@ -182,14 +192,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
-
-
-# --- MinHash + LSH ---------------------------------------------------------
-
-
-def _shingle_val_col() -> Column:
-    """Portable 32-bit shingle hash: int(md5(s)[:8], 16)."""
-    return F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -254,11 +256,7 @@ def _minhash_sql() -> str:
         for bi in range(N_BANDS)
     )
     return f"""
-    v AS (
-        SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
-        FROM sh
-    ),
-    sig AS (SELECT doc_id, {mins} FROM v GROUP BY doc_id),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     bands AS ({bands}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -277,7 +275,7 @@ def _minhash_sql() -> str:
         SELECT c.doc_a, c.doc_b, COUNT(*) AS common
         FROM cand c
         JOIN sh s1 ON s1.doc_id = c.doc_a
-        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.s = s1.s
+        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.hv = s1.hv
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -299,8 +297,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could never be unpersisted here: the returned plan is lazy).
     sh = _shingles_df(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    v = sh.select("doc_id", _shingle_val_col().alias("hv"))
-    sig = v.groupBy("doc_id").agg(
+    sig = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
             for i, (a, b) in enumerate(MINHASH_AB)
@@ -327,11 +324,11 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    s1 = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    s2 = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), "hv")
+    s2 = sh.select(F.col("doc_id").alias("doc_b2"), F.col("hv").alias("hv_b"))
     verified = (
         cand.join(s1, "doc_a")
-        .join(s2, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s_b")))
+        .join(s2, (F.col("doc_b") == F.col("doc_b2")) & (F.col("hv") == F.col("hv_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )

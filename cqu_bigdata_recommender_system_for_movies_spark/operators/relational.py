@@ -409,3 +409,45 @@ def salted_join_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+@register(
+    "nested_struct_history",
+    oracle="""
+    SELECT user_id,
+           array_to_string(
+               (list(event_id || ':' || event_type ORDER BY ts, event_id))[1:3],
+               ',') AS first3
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Nested array<struct> handling (the type shape of ALS's "
+    "recommendations column, spark_als.py:127-130): per user, collect the "
+    "event history as an array of structs, array_sort by (ts, event_id), "
+    "slice the first 3 — then serialize for engine-portable hashing. "
+    "collect_list + array_sort is the distributed form of per-key ordered "
+    "history assembly (one shuffle, no window).",
+)
+def nested_struct_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hist = events.groupBy("user_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            1,
+            3,
+        ).alias("h")
+    )
+    return hist.select(
+        "user_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "h",
+                lambda s: F.concat_ws(
+                    ":", s.event_id.cast("string"), s.event_type
+                ),
+            ),
+        ).alias("first3"),
+    )

@@ -83,6 +83,7 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.operators.io_sinks  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.multimodal  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.sources.binary_files  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.sources.crawl_source  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.ml.pipeline  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.dedup  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.vectors  # noqa: F401

@@ -96,3 +96,23 @@ def test_fold_events_closed_form_equals_iterative():
         np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-12)
 
     check()
+
+
+def test_tws_fold_equals_group_state_fold(spark, sf_dir):
+    """The transformWithStateInPandas fold must emit exactly the same final
+    per-user state as the applyInPandasWithState twin. The TWS Python
+    runner needs protobuf (not shipped in this container) — skip there."""
+    pytest.importorskip("google.protobuf")
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        streaming_interest_tws,
+    )
+
+    legacy = {
+        (r.user_id, r.pos): (r.n_events, r.weight)
+        for r in streaming_interest_fold(spark, sf_dir).collect()
+    }
+    tws = {
+        (r.user_id, r.pos): (r.n_events, r.weight)
+        for r in streaming_interest_tws(spark, sf_dir).collect()
+    }
+    assert tws == legacy
