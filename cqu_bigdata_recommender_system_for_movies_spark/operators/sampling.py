@@ -71,3 +71,30 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("value", 0.5), 2).alias("approx_median_value"),
         F.count("*").alias("n"),
     )
+
+
+STRATA_FRACTIONS = {
+    "click": 0.5,
+    "view": 0.5,
+    "purchase": 1.0,
+    "signup": 1.0,
+    "error": 0.1,
+}
+
+
+@register(
+    "stratified_sample_counts",
+    oracle=None,  # engine RNG — invariants asserted in tests
+    doc="Stratified sampling (training-data rebalancing): sampleBy over "
+    "event_type with per-stratum fractions (keep all rare "
+    "purchase/signup, downsample clicks/views, near-drop errors) — the "
+    "standard class-rebalance step before model training, executed as a "
+    "per-row Bernoulli filter with NO shuffle. Returns per-stratum "
+    "population and sample counts.",
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    sample = events.sampleBy("event_type", STRATA_FRACTIONS, seed=SEED)
+    pop = events.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    got = sample.groupBy("event_type").agg(F.count("*").alias("n_sample"))
+    return pop.join(got, "event_type", "left").na.fill(0, ["n_sample"])

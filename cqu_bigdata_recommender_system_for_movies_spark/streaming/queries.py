@@ -56,7 +56,9 @@ def _as_stream_dir(file_path: str) -> str:
     d = os.path.join(tempfile.gettempdir(), "spark_graft_streams", digest)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(file_path))
-    if not os.path.exists(link):
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)  # stale symlink from a prior run whose target moved
+    if not os.path.lexists(link):
         os.symlink(file_path, link)
     return d
 

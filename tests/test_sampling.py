@@ -21,3 +21,26 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
     row = approx_aggregates(spark, sf_dir).collect()[0]
     assert abs(row.approx_users - row.exact_users) <= max(2, 0.05 * row.exact_users)
     assert row.approx_median_value > 0
+
+
+def test_stratified_sample_invariants(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.sampling import (
+        STRATA_FRACTIONS,
+        stratified_sample_counts,
+    )
+
+    rows = {r.event_type: (r.n_total, r.n_sample)
+            for r in stratified_sample_counts(spark, sf_dir).collect()}
+    assert set(rows) == set(STRATA_FRACTIONS)
+    for t, (total, sampled) in rows.items():
+        frac = STRATA_FRACTIONS[t]
+        assert 0 <= sampled <= total
+        if frac == 1.0:
+            assert sampled == total  # keep-all strata are exact
+        else:  # Bernoulli: within a loose binomial band
+            assert abs(sampled - frac * total) <= 4 * (total ** 0.5) + 1
+
+    # seeded determinism
+    again = {r.event_type: (r.n_total, r.n_sample)
+             for r in stratified_sample_counts(spark, sf_dir).collect()}
+    assert again == rows
