@@ -137,33 +137,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT hv FROM sh GROUP BY hv HAVING COUNT(*) <= {SHINGLE_DF_CAP}
         ) keep USING (hv)
     ),
+    arrs AS (SELECT doc_id, list(hv) AS hvs FROM sh GROUP BY doc_id),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM rare a JOIN rare b ON a.hv = b.hv AND a.doc_id < b.doc_id
-    ),
-    verified AS (
-        SELECT c.doc_a, c.doc_b, COUNT(*) AS common
-        FROM cand c
-        JOIN sh s1 ON s1.doc_id = c.doc_a
-        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.hv = s1.hv
-        GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
-    FROM verified
-    JOIN cnt ca ON doc_a = ca.doc_id
-    JOIN cnt cb ON doc_b = cb.doc_id
-    WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}
+           ROUND(len(list_intersect(aa.hvs, ab.hvs)) * 1.0 /
+                 (len(aa.hvs) + len(ab.hvs) - len(list_intersect(aa.hvs, ab.hvs))),
+                 6) AS jaccard
+    FROM cand
+    JOIN arrs aa ON doc_a = aa.doc_id
+    JOIN arrs ab ON doc_b = ab.doc_id
+    WHERE len(list_intersect(aa.hvs, ab.hvs)) * 1.0 /
+          (len(aa.hvs) + len(ab.hvs) - len(list_intersect(aa.hvs, ab.hvs)))
+          >= {JACCARD_THRESHOLD}
     """,
     doc="n-gram Jaccard near-dup pairs, scale-safe shape: candidate pairs "
     "from an inverted-index self-join on df-capped 5-token shingles "
     "(posting lists provably <= 50 docs, so the join is O(n·df) not "
-    "O(hot-shingle²)), then exact Jaccard verify over the FULL shingle "
-    "sets of candidates only.",
+    "O(hot-shingle²)), then exact Jaccard verify via array_intersect on "
+    "per-doc hash arrays — candidates join two compact array columns "
+    "instead of re-exploding posting lists (one wide shuffle fewer).",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    arrays = sh.groupBy("doc_id").agg(F.collect_set("hv").alias("hvs"))
     keep = sh.groupBy("hv").agg(F.count("*").alias("df")).filter(
         F.col("df") <= SHINGLE_DF_CAP
     ).select("hv")
@@ -175,20 +174,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    s1 = sh.select(F.col("doc_id").alias("doc_a"), "hv")
-    s2 = sh.select(F.col("doc_id").alias("doc_b2"), F.col("hv").alias("hv_b"))
-    verified = (
-        cand.join(s1, "doc_a")
-        .join(s2, (F.col("doc_b") == F.col("doc_b2")) & (F.col("hv") == F.col("hv_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    jac = F.col("common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("hvs").alias("hvs_a"))
+    ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("hvs").alias("hvs_b"))
+    common = F.size(F.array_intersect("hvs_a", "hvs_b"))
+    jac = common * 1.0 / (F.size("hvs_a") + F.size("hvs_b") - common)
     return (
-        verified.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -109,3 +109,53 @@ def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "value")
     )
+
+
+N_BUCKETS = 8
+
+
+@register(
+    "bucketed_join_agg",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Bucketed co-located join (the 100 TB repeated-join strategy): "
+    "orders and customer are written ONCE as bucketBy(8, custkey) + "
+    "sortBy tables, then joined bucket-to-bucket — the sort-merge join "
+    "reads matching buckets directly and the plan has NO shuffle on "
+    "either side (asserted in tests/test_plans.py). Amortizes the "
+    "shuffle across every downstream join on the same key, exactly how "
+    "a nightly 100 TB fact/dim refresh should be laid out.",
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    loc = _scratch("bucketed")
+    for name, df, key in (
+        ("orders_bucketed", orders.select("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey"),
+        ("customer_bucketed", customer.select("c_custkey", "c_mktsegment"), "c_custkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(loc, name))
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table("orders_bucketed")
+    # hint("merge"): force the sort-merge path so the join provably reads
+    # bucket-to-bucket (at sf0.01 the dim is broadcast-small, which would
+    # hide the bucketing; at 100 TB SMJ-over-buckets IS the plan).
+    c = spark.table("customer_bucketed").hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

@@ -243,3 +243,161 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp"),
     )
+
+
+# --- document chunking (LLM training-data staple) --------------------------
+
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   1, greatest(len(toks) - {CHUNK_OVERLAP}, 1), {CHUNK_STRIDE}
+               )) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           (start - 1) // {CHUNK_STRIDE} AS chunk_id,
+           array_to_string(toks[start:start + {CHUNK_SIZE - 1}], ' ') AS chunk_text,
+           len(toks[start:start + {CHUNK_SIZE - 1}]) AS n_chunk_tokens
+    FROM s
+"""
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=_CHUNK_ORACLE,
+    doc="Document chunking with overlap (north star): split each doc into "
+    f"{CHUNK_SIZE}-token windows with {CHUNK_OVERLAP}-token overlap — the "
+    "standard passage-splitting step before embedding/packing training "
+    "data. Pure column expressions: sequence() of chunk starts -> "
+    "posexplode -> slice; no shuffle at all (narrow transform of the "
+    "scan), so at 100 TB it runs at parquet read speed.",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - CHUNK_OVERLAP, F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_SIZE)
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_tokens"),
+        )
+    )
+
+
+@register(
+    "doc_chunk_udtf",
+    oracle=_CHUNK_ORACLE,
+    doc="Python UDTF surface (SURVEY §2.11): the same chunking semantics as "
+    "doc_chunk_overlap, expressed as a PySpark 4 user-defined TABLE "
+    "function applied via LATERAL join — one input row expands to N chunk "
+    "rows inside the UDTF. Registered to prove the UDTF execution path "
+    "end-to-end against the same DuckDB oracle; the column-expression twin "
+    "above is the preferred scale path (JVM-side, no Python workers).",
+)
+def doc_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    @udtf(returnType="chunk_id bigint, chunk_text string, n_chunk_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = [w for w in (text or "").split(" ") if w]
+            for ci, s in enumerate(
+                range(0, max(len(toks) - CHUNK_OVERLAP, 1), CHUNK_STRIDE)
+            ):
+                piece = toks[s : s + CHUNK_SIZE]
+                yield ci, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_chunk")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_chunk_tokens
+        FROM docs_for_chunk d, LATERAL chunk_doc(d.text) c
+        """
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (
+        SELECT term, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rk FROM scored
+    ) WHERE rk <= {TFIDF_TOP_K}
+    """,
+    doc="TF-IDF top terms per document (north star): term frequency x "
+    "inverse document frequency, top-3 terms per doc by window rank. "
+    "Two shuffles (tf groupBy, df groupBy) + a broadcast of the 1-row "
+    "corpus count; the df table joins on the term key only, so at 100 TB "
+    "the wide text never shuffles.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )

@@ -79,6 +79,7 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.operators.topk  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.windows  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.olap  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.features  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.sampling  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.io_sinks  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.multimodal  # noqa: F401

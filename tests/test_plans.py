@@ -134,3 +134,25 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_agg_registry_plan(spark, sf_dir):
+    """The registry's bucketed_join_agg: both scans bucketed, no Exchange
+    below the SortMergeJoin (the only exchange is the final group-agg)."""
+    plan = _plan(all_queries()["bucketed_join_agg"](spark, sf_dir))
+    assert plan.count("Bucketed: true") == 2
+    join_seg = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_seg, join_seg
+    assert plan.count("Exchange hashpartitioning") == 1  # group-agg only
+
+
+def test_chunking_is_narrow(spark, sf_dir):
+    """doc_chunk_overlap must not shuffle: explode+slice is a narrow map
+    of the scan, so it runs at parquet read speed at any scale."""
+    plan = _plan(all_queries()["doc_chunk_overlap"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_broadcasts_corpus_count(spark, sf_dir):
+    plan = _plan(all_queries()["tfidf_top_terms"](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
