@@ -16,6 +16,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -102,4 +103,97 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("last_event_id"),
             F.round("value", 4).alias("last_value"),
         )
+    )
+
+
+PACK_CAPACITY = 512  # tokens per training sequence (context window)
+
+
+@register(
+    "sequence_pack_assignments",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           cum_before // {PACK_CAPACITY} AS pack_id,
+           cum_before % {PACK_CAPACITY} AS pack_offset
+    FROM c
+    """,
+    doc="Sequence packing (north star): concat-and-chunk assignment of "
+    f"documents into {PACK_CAPACITY}-token training sequences — each doc "
+    "gets the pack id and offset where its tokens land when the corpus is "
+    "concatenated per language shard and cut at context-window boundaries "
+    "(exactly how LLM pretraining packs short docs). One running-sum "
+    "window PER SHARD (lang), never a global order — shards scale out; "
+    "a doc straddling a boundary continues into the next pack, matching "
+    "concat-then-split semantics.",
+)
+def sequence_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(F.col("cum_before") / PACK_CAPACITY).alias("pack_id"),
+            (F.col("cum_before") % PACK_CAPACITY).alias("pack_offset"),
+        )
+    )
+
+
+@register(
+    "udaf_weighted_mean",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value * (event_id % 7 + 1)) * 1.0 /
+                 SUM(event_id % 7 + 1), 4) AS wavg_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="UDAF surface (SURVEY §2.11): a user-defined aggregate as a "
+    "grouped-agg pandas UDF (Arrow-vectorized weighted mean) — partial "
+    "aggregation does NOT apply to pandas UDAFs, so this documents the "
+    "trade: use built-ins when expressible (the oracle shows this one "
+    "is), reach for the UDAF only for genuinely custom aggregates. "
+    "Weights are a deterministic event_id hash so the oracle reproduces.",
+)
+def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    @pandas_udf("double")
+    def wavg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    events = load(spark, sf_dir, "events")
+    weighted = events.select(
+        "event_type", "value", (F.col("event_id") % 7 + 1).alias("weight")
+    )
+    return weighted.groupBy("event_type").agg(
+        F.round(wavg("value", "weight"), 4).alias("wavg_value")
     )

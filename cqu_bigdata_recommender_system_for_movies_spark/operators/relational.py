@@ -451,3 +451,30 @@ def nested_struct_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("first3"),
     )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM events
+        WHERE user_id = c_custkey AND event_type = 'purchase'
+    )
+    """,
+    doc="Left-semi join (completes the join-type matrix with J3's anti): "
+    "customers with at least one purchase event — EXISTS as a semi join "
+    "keeps only the key column of the probe side in the shuffle and "
+    "short-circuits on first match (no row multiplication, unlike an "
+    "inner join + distinct).",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    purchasers = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+    )
+    return customer.join(
+        purchasers, customer.c_custkey == purchasers.user_id, "left_semi"
+    ).select("c_custkey", "c_mktsegment")

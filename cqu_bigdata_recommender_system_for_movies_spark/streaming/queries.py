@@ -480,3 +480,58 @@ def streaming_interest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id", "n_events", F.posexplode("interest").alias("pos", "weight")
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    doc="Stream-stream inner join (beyond the reference's stream-static "
+    "J1): purchases joined to the same user's clicks in the preceding "
+    "day — both sides watermarked (state for unmatched rows is "
+    "dropped once the other side's watermark passes the join window, so "
+    "state stays bounded at 100 TB/day ingest), with the time-range "
+    "predicate limiting the buffered range. The DuckDB oracle is the "
+    "batch join — micro-batch incrementalization must converge to it.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 days")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 days")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.round("p_value", 4).alias("purchase_value"),
+    )
+    return _run_to_memory(joined, "append")
