@@ -40,6 +40,11 @@ HEADLINE = [
     "simhash_fingerprint",
     "ann_ivf_topk",
     "streaming_recommend_emit",
+    "tfidf_top_terms",
+    "doc_chunk_overlap",
+    "cdc_latest_state",
+    "bucketed_join_agg",
+    "streaming_stream_stream_join",
 ]
 
 

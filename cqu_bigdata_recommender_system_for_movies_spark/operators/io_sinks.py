@@ -159,3 +159,53 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "json_source_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE user_id < 200
+    GROUP BY event_type
+    """,
+    doc="JSON-lines source (format breadth beyond S9's CSV): a slice of "
+    "events written as newline-delimited JSON, read back with an explicit "
+    "schema (never schema inference at scale — one pass, not two), then "
+    "aggregated. The oracle sees only the logical result; the round-trip "
+    "must be lossless including doubles.",
+)
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    path = _scratch("events_json")
+    events.select("event_id", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).json(path)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@register(
+    "orc_sink_roundtrip",
+    oracle="""
+    SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="ORC write/read (columnar-format breadth): documents metadata "
+    "written as ORC and re-read; like parquet, ORC scans support column "
+    "pruning and predicate pushdown, so the same scale properties hold.",
+)
+def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _scratch("documents_orc")
+    docs.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_chars"))
+    )

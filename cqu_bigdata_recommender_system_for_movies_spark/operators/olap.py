@@ -201,3 +201,75 @@ def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("brand_type_dist"),
     )
+
+
+@register(
+    "stats_agg_suite",
+    oracle="""
+    SELECT event_type,
+           ROUND(corr(value, event_id % 97), 4) AS corr_vid,
+           ROUND(covar_pop(value, event_id % 97), 4) AS covar_vid,
+           ROUND(regr_slope(value, event_id % 97), 4) AS slope,
+           ROUND(stddev_samp(value), 4) AS sd_value,
+           ROUND(var_samp(value), 4) AS var_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Statistical aggregate suite (beyond the reference): Pearson "
+    "correlation, population covariance, least-squares slope, stddev and "
+    "variance per group — all single-pass partial-aggregable moments "
+    "(one shuffle of 5 accumulator tuples per group, never a self-join). "
+    "The x variable is a deterministic event_id hash so both engines see "
+    "identical pairs.",
+)
+def stats_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    x = (F.col("event_id") % 97).cast("double")
+    return events.groupBy("event_type").agg(
+        F.round(F.corr(F.col("value"), x), 4).alias("corr_vid"),
+        F.round(F.covar_pop(F.col("value"), x), 4).alias("covar_vid"),
+        F.round(F.regr_slope(F.col("value"), x), 4).alias("slope"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+    )
+
+
+@register(
+    "full_outer_reconciliation",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(n_purchases, 0) AS n_purchases
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+    doc="Full outer join (completes the join-type matrix): reconcile "
+    "per-user click counts against purchase counts, keeping users present "
+    "on either side only — the standard metrics-reconciliation shape. "
+    "Both inputs pre-aggregate before the join, so the outer join shuffles "
+    "one row per user per side, not raw events.",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return c.join(p, c.user_id == p.p_user, "full_outer").select(
+        F.coalesce("user_id", "p_user").alias("user_id"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
