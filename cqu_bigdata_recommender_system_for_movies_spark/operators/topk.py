@@ -93,3 +93,31 @@ def topk_avg_rating_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_rating"), F.asc("item_id"))
         .limit(10)
     )
+
+
+@register(
+    "top1_per_user_maxby",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL})
+    SELECT user_id,
+           arg_max(item_id, rating * 1000000 + item_id) AS best_item,
+           MAX(rating) AS best_rating
+    FROM ratings
+    GROUP BY user_id
+    """,
+    doc="Per-group top-1 as an AGGREGATE (max_by), not a window: unlike "
+    "row_number() — which shuffles every row to its key's reducer before "
+    "discarding all but one — max_by partial-aggregates map-side, so the "
+    "shuffle carries ONE candidate row per (partition, user) instead of "
+    "the whole fact table. At 100 TB this is the difference between "
+    "shuffling the corpus and shuffling a user-count-sized set. Ties "
+    "broken deterministically via a composite (rating, item_id) ordinal, "
+    "reproduced exactly by the DuckDB arg_max oracle.",
+)
+def top1_per_user_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings(spark, sf_dir)
+    ordinal = F.col("rating") * 1000000 + F.col("item_id")
+    return r.groupBy("user_id").agg(
+        F.max_by("item_id", ordinal).alias("best_item"),
+        F.max("rating").alias("best_rating"),
+    )

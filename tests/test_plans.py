@@ -156,3 +156,22 @@ def test_chunking_is_narrow(spark, sf_dir):
 def test_tfidf_broadcasts_corpus_count(spark, sf_dir):
     plan = _plan(all_queries()["tfidf_top_terms"](spark, sf_dir))
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_maxby_top1_partial_aggregates(spark, sf_dir):
+    """top1_per_user_maxby must partial-aggregate map-side (the reason to
+    prefer it over a window for top-1): partial_max_by before the shuffle."""
+    plan = _plan(all_queries()["top1_per_user_maxby"](spark, sf_dir))
+    assert "partial_max_by" in plan or "partial_max" in plan
+    assert "Window" not in plan
+
+
+def test_cdc_latest_single_shuffle(spark, sf_dir):
+    plan = _plan(all_queries()["cdc_latest_state"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stats_suite_partial_aggregates(spark, sf_dir):
+    plan = _plan(all_queries()["stats_agg_suite"](spark, sf_dir))
+    assert "partial_corr" in plan or "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
