@@ -263,23 +263,22 @@ def _minhash_sql() -> str:
     oracle=f"""
     WITH {_SHINGLES_SQL},
     {_minhash_sql()},
-    verified AS (
-        SELECT c.doc_a, c.doc_b, COUNT(*) AS common
-        FROM cand c
-        JOIN sh s1 ON s1.doc_id = c.doc_a
-        JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.hv = s1.hv
-        GROUP BY 1, 2
-    )
+    arrs AS (SELECT doc_id, list(hv) AS hvs FROM sh GROUP BY doc_id)
     SELECT doc_a, doc_b,
-           ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
-    FROM verified
-    JOIN cnt ca ON doc_a = ca.doc_id
-    JOIN cnt cb ON doc_b = cb.doc_id
-    WHERE common * 1.0 / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}
+           ROUND(len(list_intersect(aa.hvs, ab.hvs)) * 1.0 /
+                 (len(aa.hvs) + len(ab.hvs) - len(list_intersect(aa.hvs, ab.hvs))),
+                 6) AS jaccard
+    FROM cand
+    JOIN arrs aa ON doc_a = aa.doc_id
+    JOIN arrs ab ON doc_b = ab.doc_id
+    WHERE len(list_intersect(aa.hvs, ab.hvs)) * 1.0 /
+          (len(aa.hvs) + len(ab.hvs) - len(list_intersect(aa.hvs, ab.hvs)))
+          >= {JACCARD_THRESHOLD}
     """,
     doc="MinHash+LSH near-dup detection — the 100 TB dedup path: 16-hash "
     "MinHash signature per doc, 4 bands of 4 -> candidate pairs from "
-    "band-key equi-joins only, exact-Jaccard verify on candidates. "
+    "band-key equi-joins only, exact-Jaccard verify on candidates via "
+    "array_intersect over per-doc hash arrays (no posting-list re-join). "
     "Candidate generation never compares all pairs.",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,24 +287,27 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the wrong trade — recompute beats a multi-PB cache (and a cache
     # could never be unpersisted here: the returned plan is lazy).
     sh = _shingles_df(spark, sf_dir)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    arrays = sh.groupBy("doc_id").agg(F.collect_set("hv").alias("hvs"))
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
             for i, (a, b) in enumerate(MINHASH_AB)
         ]
     )
-    band_rows = [
-        sig.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            F.concat_ws("_", *_band_key_parts(bi)).alias("key"),
-        )
-        for bi in range(N_BANDS)
-    ]
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.union(extra)
+    # one explode, NOT a 4-way union of sig projections: a union would
+    # re-run the 16-min signature aggregation once per band branch
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws("_", *_band_key_parts(bi)).alias("key"),
+            )
+            for bi in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b"))
     cand = (
@@ -316,20 +318,13 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    s1 = sh.select(F.col("doc_id").alias("doc_a"), "hv")
-    s2 = sh.select(F.col("doc_id").alias("doc_b2"), F.col("hv").alias("hv_b"))
-    verified = (
-        cand.join(s1, "doc_a")
-        .join(s2, (F.col("doc_b") == F.col("doc_b2")) & (F.col("hv") == F.col("hv_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    jac = F.col("common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("hvs").alias("hvs_a"))
+    ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("hvs").alias("hvs_b"))
+    common = F.size(F.array_intersect("hvs_a", "hvs_b"))
+    jac = common * 1.0 / (F.size("hvs_a") + F.size("hvs_b") - common)
     return (
-        verified.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -197,3 +197,45 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted.groupBy("event_type").agg(
         F.round(wavg("value", "weight"), 4).alias("wavg_value")
     )
+
+
+@register(
+    "grouped_map_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 4)
+               AS zscore
+    FROM (
+        SELECT event_id, user_id, value,
+               AVG(value) OVER (PARTITION BY user_id) AS mu,
+               stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+        FROM events
+    )
+    """,
+    doc="Grouped-map applyInPandas surface (SURVEY §2.11 — completes the "
+    "pandas-UDF genre matrix: scalar, grouped-agg, grouped-map, "
+    "map-batches, grouped-state): per-user z-score normalization where "
+    "each user's events arrive as one Arrow-backed pandas frame. The "
+    "oracle is the window-function twin — proving this one IS "
+    "SQL-expressible, which is exactly the point the docstring makes: "
+    "use applyInPandas only when the per-group computation is not "
+    "(model fits, solver steps); when it is, the window form keeps the "
+    "whole plan in codegen.",
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=0)
+        mu = pdf["value"].mean()
+        z = (pdf["value"] - mu) / sd if sd > 0 else 0.0
+        return pdf.assign(zscore=z.round(4) if sd > 0 else 0.0)[
+            ["event_id", "user_id", "zscore"]
+        ]
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return events.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, zscore double"
+    )

@@ -251,6 +251,18 @@ CHUNK_SIZE = 32  # tokens per chunk
 CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
 CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
 
+def chunk_tokens(toks: list[str]) -> list[tuple[int, list[str]]]:
+    """Reference chunking semantics shared by the UDTF and property tests:
+    CHUNK_SIZE-token windows every CHUNK_STRIDE tokens (so consecutive full
+    chunks share CHUNK_OVERLAP tokens); a non-empty doc yields >= 1 chunk."""
+    return [
+        (ci, toks[s : s + CHUNK_SIZE])
+        for ci, s in enumerate(
+            range(0, max(len(toks) - CHUNK_OVERLAP, 1), CHUNK_STRIDE)
+        )
+    ]
+
+
 _CHUNK_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
@@ -322,10 +334,7 @@ def doc_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     class ChunkDoc:
         def eval(self, text: str):
             toks = [w for w in (text or "").split(" ") if w]
-            for ci, s in enumerate(
-                range(0, max(len(toks) - CHUNK_OVERLAP, 1), CHUNK_STRIDE)
-            ):
-                piece = toks[s : s + CHUNK_SIZE]
+            for ci, piece in chunk_tokens(toks):
                 yield ci, " ".join(piece), len(piece)
 
     spark.udtf.register("chunk_doc", ChunkDoc)
