@@ -273,3 +273,66 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
         F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
     )
+
+
+@register(
+    "grouping_sets_suite",
+    oracle="""
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           GROUPING(lang) * 2 + GROUPING(source) AS gid,
+           COUNT(*) AS cnt,
+           SUM(n_chars) AS sum_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+    doc="Explicit GROUPING SETS (completes the OLAP trio with rollup/cube): "
+    "per-lang totals, per-source totals, and the grand total in ONE scan — "
+    "the expansion happens after partial aggregation, so the shuffle "
+    "carries one partial row per (set, group), not three scans. "
+    "grouping_id disambiguates NULL-as-ALL from real NULLs.",
+)
+def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets([["lang"], ["source"], []], "lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "gid",
+            "cnt",
+            "sum_chars",
+        )
+    )
+
+
+@register(
+    "unpivot_doc_metrics",
+    oracle="""
+    SELECT doc_id, metric, val
+    FROM (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) AS chars,
+               CAST(length(string_split(text, ' ')) AS DOUBLE) AS words
+        FROM documents
+    )
+    UNPIVOT (val FOR metric IN (chars, words))
+    """,
+    doc="UNPIVOT / melt (wide -> long reshaping, the inverse of pivot): "
+    "per-doc metric columns melted to (doc_id, metric, val) rows — a "
+    "narrow per-row expansion (no shuffle), the standard shape for "
+    "feeding generic metric pipelines.",
+)
+def unpivot_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("chars"),
+        F.size(F.split("text", " ")).cast("double").alias("words"),
+    )
+    return wide.unpivot("doc_id", ["chars", "words"], "metric", "val")

@@ -478,3 +478,21 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(
         purchasers, customer.c_custkey == purchasers.user_id, "left_semi"
     ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "set_ops_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="INTERSECT (completes the set-op family with union/except): users "
+    "who both clicked and purchased — plans as a left-semi join on the "
+    "deduplicated sides, one shuffle each.",
+)
+def set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)

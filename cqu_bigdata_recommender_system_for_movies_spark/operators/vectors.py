@@ -600,3 +600,45 @@ def content_based_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= CB_TOPK)
         .select("user_id", "item_id", "rnk", "score")
     )
+
+
+@register(
+    "array_functions_suite",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(list_sum(v), 4) AS vec_sum,
+           ROUND(list_max(v), 4) AS vec_max,
+           ROUND(list_dot_product(v, list_reverse(v)), 4) AS dot_reversed,
+           len(list_filter(v, x -> x > 0.9)) AS n_gt_09,
+           CAST(len(list_filter(v, x -> x < 0)) = 0 AS BOOLEAN) AS all_nonneg
+    FROM e
+    """,
+    doc="Higher-order array-function suite (§2.8 completeness): aggregate "
+    "(fold to sum), array_max, zip_with (element-wise product against the "
+    "reversed vector, folded to a dot product), exists-style counting and "
+    "forall — all JVM-side lambda expressions inside whole-stage codegen, "
+    "zero shuffles; the per-element work never leaves the scan stage.",
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    dot = F.aggregate(
+        F.zip_with("v", F.reverse("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x), 4).alias(
+            "vec_sum"
+        ),
+        F.round(F.array_max("v"), 4).alias("vec_max"),
+        F.round(dot, 4).alias("dot_reversed"),
+        F.size(F.filter("v", lambda x: x > 0.9)).alias("n_gt_09"),
+        F.forall("v", lambda x: x >= 0).alias("all_nonneg"),
+    )

@@ -232,3 +232,75 @@ def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+GAP_FILL_MIN_VALUE = 100.0
+
+
+@register(
+    "gap_fill_forward",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               -- MAX, not AVG: no accumulation or division, so the double is
+               -- bit-identical across engines and needs no rounding at all
+               MAX(value) AS day_max
+        FROM events WHERE value > {GAP_FILL_MIN_VALUE}
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ) d
+    )
+    SELECT s.event_type, s.day,
+           last_value(daily.day_max IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           CAST(daily.day_max IS NULL AS BOOLEAN) AS was_gap
+    FROM spine s
+    LEFT JOIN daily ON s.event_type = daily.event_type AND s.day = daily.day
+    """,
+    doc="Time-series gap fill with forward fill (beyond the reference): "
+    "daily max of high-value events per type, joined to a complete "
+    "(type x day) date spine, missing days carried forward via "
+    "last_value-ignore-nulls — the standard resample-and-ffill. The spine "
+    "is generated from a broadcast 1-row bounds aggregate (never a "
+    "driver-side date loop); the fill is one window per type partition.",
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("value") > GAP_FILL_MIN_VALUE)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.max("value").alias("day_max"))
+    )
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(days))
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.last("day_max", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_max").isNull().alias("was_gap"),
+    )
