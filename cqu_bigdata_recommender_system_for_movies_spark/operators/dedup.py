@@ -163,15 +163,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir)
     arrays = sh.groupBy("doc_id").agg(F.collect_set("hv").alias("hvs"))
-    keep = sh.groupBy("hv").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= SHINGLE_DF_CAP
-    ).select("hv")
-    rare = sh.join(keep, "hv")
-    a = rare.select(F.col("doc_id").alias("doc_a"), "hv")
-    b = rare.select(F.col("doc_id").alias("doc_b"), F.col("hv").alias("hv_b"))
+    # Posting-list pair generation instead of an inverted-index SELF-JOIN:
+    # one groupBy(hv) builds the (df-capped) posting list, and the pairs are
+    # generated map-side inside the array — the self-join formulation would
+    # evaluate the whole shingle subtree twice more and shuffle each posting
+    # twice. df <= cap bounds per-shingle pair fan-out at df*(df-1)/2.
     cand = (
-        a.join(b, (a.hv == b.hv_b) & (a.doc_a < b.doc_b))
-        .select("doc_a", "doc_b")
+        sh.groupBy("hv")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= SHINGLE_DF_CAP))
+        .select(F.explode(_pairs_in_array("ds")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("hvs").alias("hvs_a"))
@@ -234,6 +236,16 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _band_key_parts(bi: int) -> list[str]:
     return [f"h{ROWS_PER_BAND * bi + j}" for j in range(ROWS_PER_BAND)]
+
+
+def _pairs_in_array(col: str):
+    """All unordered (doc_a < doc_b) pairs within an array column — generated
+    map-side by nested ``transform``s, no self-join."""
+    return F.expr(
+        f"flatten(transform({col}, (x, i) -> "
+        f"transform(slice({col}, i + 2, size({col})), "
+        "y -> struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+    )
 
 
 def _minhash_sql() -> str:
@@ -308,14 +320,15 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b"))
+    # bucket pair generation, not a band self-join: one groupBy per (band,
+    # key) bucket, pairs produced map-side inside the bucket array — the
+    # self-join would re-run the 16-min signature aggregation for each side
     cand = (
-        a.join(
-            b,
-            (a.band == b.band_b) & (a.key == b.key_b) & (a.doc_a < b.doc_b),
-        )
-        .select("doc_a", "doc_b")
+        bands.groupBy("band", "key")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(_pairs_in_array("ds")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("hvs").alias("hvs_a"))
