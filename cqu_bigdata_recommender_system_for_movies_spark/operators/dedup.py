@@ -127,10 +127,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_pairs",
-    oracle=f"""
-    WITH {_SHINGLES_SQL},
+# pairs CTE shared by the ngram query and the connected-components oracle:
+# df-capped inverted-index candidates + exact-Jaccard verify
+_NGRAM_PAIRS_SQL = f"""
     rare AS (
         SELECT sh.doc_id, sh.hv
         FROM sh JOIN (
@@ -141,17 +140,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM rare a JOIN rare b ON a.hv = b.hv AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               ROUND(len(list_intersect(aa.hvs, ab.hvs)) * 1.0 /
+                     (len(aa.hvs) + len(ab.hvs)
+                      - len(list_intersect(aa.hvs, ab.hvs))),
+                     6) AS jaccard
+        FROM cand
+        JOIN arrs aa ON doc_a = aa.doc_id
+        JOIN arrs ab ON doc_b = ab.doc_id
+        WHERE len(list_intersect(aa.hvs, ab.hvs)) * 1.0 /
+              (len(aa.hvs) + len(ab.hvs) - len(list_intersect(aa.hvs, ab.hvs)))
+              >= {JACCARD_THRESHOLD}
     )
-    SELECT doc_a, doc_b,
-           ROUND(len(list_intersect(aa.hvs, ab.hvs)) * 1.0 /
-                 (len(aa.hvs) + len(ab.hvs) - len(list_intersect(aa.hvs, ab.hvs))),
-                 6) AS jaccard
-    FROM cand
-    JOIN arrs aa ON doc_a = aa.doc_id
-    JOIN arrs ab ON doc_b = ab.doc_id
-    WHERE len(list_intersect(aa.hvs, ab.hvs)) * 1.0 /
-          (len(aa.hvs) + len(ab.hvs) - len(list_intersect(aa.hvs, ab.hvs)))
-          >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    {_NGRAM_PAIRS_SQL}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     doc="n-gram Jaccard near-dup pairs, scale-safe shape: candidate pairs "
     "from an inverted-index self-join on df-capped 5-token shingles "
@@ -340,4 +351,76 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ab, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+MAX_CC_ITERATIONS = 25  # safety bound; min-label propagation needs only
+# O(component diameter) rounds and near-dup clusters are shallow
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_NGRAM_PAIRS_SQL},
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM und
+        UNION
+        SELECT u.src, r.lbl FROM und u JOIN reach r ON u.dst = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS component_size
+    FROM comp
+    """,
+    doc="Near-dup CLUSTERS, not just pairs — the last stage of a real dedup "
+    "pipeline (pick one survivor per duplicate group): connected components "
+    "over the ngram-Jaccard pair graph via iterative min-label propagation "
+    "on DataFrames. Each round is one join + one groupBy(min) over the "
+    "(tiny relative to the corpus) edge set, which is materialized once via "
+    "localCheckpoint so the shingle pipeline never re-runs per round; "
+    "rounds needed = component diameter (near-dup clusters are shallow). "
+    "The oracle computes the same components with a recursive CTE. "
+    "component = min doc_id in the group (the canonical survivor).",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the edge set ONCE — every propagation round reuses it, and
+    # lineage truncation keeps round N's plan from embedding rounds 1..N-1
+    edges = pairs.localCheckpoint(eager=True)
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        und.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        nbr = und.join(labels, und.doc_b == labels.node).select(
+            und.doc_a.alias("node"), "lbl"
+        )
+        new = (
+            labels.union(nbr).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("component_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("component"),
+        "component_size",
     )
