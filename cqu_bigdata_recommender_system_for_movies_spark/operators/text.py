@@ -410,3 +410,163 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+# --- LLM-corpus hygiene operators ------------------------------------------
+
+CONTAM_BENCHMARK_MOD = 100  # docs with doc_id % 100 == 0 play the held-out
+# benchmark corpus; in production this side is the actual eval set
+CONTAM_MIN_SHARED = 1
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, s
+        FROM t, unnest([
+            array_to_string(toks[i:i+2], '_')
+            for i in range(1, greatest(len(toks) - 2, 0) + 1)
+        ]) u(s)
+    ),
+    bench AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_BENCHMARK_MOD} = 0
+    )
+    SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_shared_shingles
+    FROM sh JOIN bench USING (s)
+    WHERE sh.doc_id % {CONTAM_BENCHMARK_MOD} <> 0
+    GROUP BY sh.doc_id
+    HAVING COUNT(DISTINCT sh.s) >= {CONTAM_MIN_SHARED}
+    """,
+    doc="Benchmark-contamination check (LLM-corpus hygiene): training docs "
+    "sharing any 3-gram with the held-out benchmark corpus (stand-in: "
+    "doc_id % 100 == 0). The benchmark shingle set is small by definition, "
+    "so it BROADCASTS to every executor and the check is a map-side "
+    "broadcast join over the training shingles — no shuffle of the corpus "
+    "at 100 TB; only the per-doc overlap count aggregates.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
+    shingles = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws("_", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array())
+    sh = docs.select("doc_id", F.explode(shingles).alias("s")).distinct()
+    is_bench = F.col("doc_id") % CONTAM_BENCHMARK_MOD == 0
+    bench = sh.filter(is_bench).select("s").distinct()
+    return (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= CONTAM_MIN_SHARED)
+    )
+
+
+PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH contact AS (
+        SELECT doc_id,
+               concat(string_split(text, ' ')[1], '@example.com call ',
+                      CAST(doc_id % 1000 AS VARCHAR), '-',
+                      CAST(1000 + doc_id % 9000 AS VARCHAR), ' ', text) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS n_phones,
+           regexp_replace(
+               regexp_replace(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM contact
+    """,
+    doc="PII redaction (LLM-corpus hygiene): email/phone patterns counted "
+    "(regexp_extract_all) and scrubbed (regexp_replace) in one projection — "
+    "narrow, JVM-side, zero-shuffle; the whole pass stays inside the scan "
+    "stage at 100 TB. The contact line is derived deterministically from "
+    "the synthetic corpus so the patterns actually fire (the word-soup "
+    "fixture contains no natural PII); regexes are RE2-safe so Spark and "
+    "DuckDB agree.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.element_at(F.split("text", " "), 1),
+        F.lit("@example.com call "),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.lit("-"),
+        (F.col("doc_id") % 9000 + 1000).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    contact = docs.select("doc_id", raw.alias("raw"))
+    return contact.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(PII_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("raw", F.lit(PII_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("raw", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "repetition_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           COUNT(*) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_word_count,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 4) AS repetition_ratio,
+           ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_word_frac
+    FROM wc
+    GROUP BY doc_id
+    """,
+    doc="Repetition quality signal (LLM-corpus hygiene): per-doc duplicate-"
+    "word mass and mode-word fraction — the cheap detector for degenerate/"
+    "looping text a quality filter drops before training. Explode -> "
+    "two-level aggregation with map-side partials; per-doc output is "
+    "constant-size.",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    wc = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_word_count"),
+        F.round(1.0 - F.count("*") * 1.0 / F.sum("c"), 4).alias(
+            "repetition_ratio"
+        ),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 4).alias("top_word_frac"),
+    )
