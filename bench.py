@@ -45,6 +45,10 @@ HEADLINE = [
     "cdc_latest_state",
     "bucketed_join_agg",
     "streaming_stream_stream_join",
+    "dedup_components",
+    "cohort_retention",
+    "contamination_check",
+    "repetition_stats",
 ]
 
 

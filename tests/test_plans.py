@@ -175,3 +175,42 @@ def test_stats_suite_partial_aggregates(spark, sf_dir):
     plan = _plan(all_queries()["stats_agg_suite"](spark, sf_dir))
     assert "partial_corr" in plan or "partial_" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_redaction_zero_shuffle(spark, sf_dir):
+    """Regex count+scrub is a pure projection: no Exchange anywhere, so the
+    pass runs at parquet scan speed at 100 TB."""
+    plan = _plan(all_queries()["pii_redaction"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast — shuffling the training
+    corpus's shingles against a tiny benchmark side is the wrong plan."""
+    plan = _plan(all_queries()["contamination_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # per-doc overlap combines map-side
+
+
+def test_cohort_prunes_and_partial_aggregates(spark, sf_dir):
+    plan = _plan(all_queries()["cohort_retention"](spark, sf_dir))
+    scan = plan[plan.index("ReadSchema"):]
+    assert "props" not in scan and "value" not in scan  # only user_id/ts read
+    assert "partial_" in plan
+
+
+def test_gap_fill_broadcasts_spine(spark, sf_dir):
+    """The (type x day) spine comes from a 1-row bounds aggregate — it must
+    broadcast into the left join, never shuffle the daily aggregate."""
+    plan = _plan(all_queries()["gap_fill_forward"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ngram_pairs_no_self_join_of_shingles(spark, sf_dir):
+    """Candidate pairs are generated inside the posting-list array (one
+    groupBy on hv), not via an inverted-index self-join: the shingle scan
+    subtree must appear at most 3x (cand + verify sides), and there is no
+    cartesian anywhere."""
+    plan = _plan(all_queries()["ngram_jaccard_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 3
