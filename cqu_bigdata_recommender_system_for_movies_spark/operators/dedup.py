@@ -402,6 +402,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(MAX_CC_ITERATIONS):
         nbr = und.join(labels, und.doc_b == labels.node).select(
             und.doc_a.alias("node"), "lbl"
@@ -418,6 +419,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # the oracle's recursive CTE always runs to fixpoint — an unconverged
+        # result would silently diverge from it, so fail loudly instead
+        raise RuntimeError(
+            f"dedup_components: min-label propagation did not converge in "
+            f"{MAX_CC_ITERATIONS} rounds (component diameter too large); "
+            "raise MAX_CC_ITERATIONS or switch to large-star/small-star"
+        )
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("component_size"))
     return labels.join(sizes, "lbl").select(
         F.col("node").alias("doc_id"),

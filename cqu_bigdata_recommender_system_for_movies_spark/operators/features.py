@@ -127,8 +127,8 @@ PACK_CAPACITY = 512  # tokens per training sequence (context window)
         FROM t
     )
     SELECT doc_id, lang, n_tokens,
-           cum_before // {PACK_CAPACITY} AS pack_id,
-           cum_before % {PACK_CAPACITY} AS pack_offset
+           CAST(cum_before // {PACK_CAPACITY} AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_CAPACITY} AS BIGINT) AS pack_offset
     FROM c
     """,
     doc="Sequence packing (north star): concat-and-chunk assignment of "

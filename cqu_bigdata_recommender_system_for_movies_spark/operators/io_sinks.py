@@ -192,7 +192,7 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orc_sink_roundtrip",
     oracle="""
-    SELECT lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars
+    SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY lang
     """,

@@ -282,7 +282,7 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(source, 'ALL') AS source,
            GROUPING(lang) * 2 + GROUPING(source) AS gid,
            COUNT(*) AS cnt,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY GROUPING SETS ((lang), (source), ())
     """,

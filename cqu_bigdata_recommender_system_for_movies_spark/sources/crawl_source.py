@@ -19,6 +19,8 @@ oracle-checked, not just the transforms on top of it.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -31,7 +33,7 @@ from pyspark.sql.datasource import (
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
 
 N_ROWS = 5000
-_SINK_IDS = __import__('itertools').count()
+_SINK_IDS = itertools.count()
 N_PARTS = 8
 N_PEOPLE = 97
 N_MOVIES = 203

@@ -399,9 +399,9 @@ def streaming_interest_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_window",
     oracle=f"""
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
-                         <= {SESSION_GAP_MIN} * 60 * 1000000
+                         < {SESSION_GAP_MIN} * 60 * 1000000
                     THEN 0 ELSE 1 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -409,7 +409,7 @@ def streaming_interest_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
         SELECT user_id, ts,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM gaps
     )

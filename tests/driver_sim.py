@@ -50,10 +50,17 @@ for name in queries:  # registration order — same as the driver's check order
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
         if name in oracles:
+            import pyarrow as pa
+            arrow_schema = con.execute(
+                f"SELECT * FROM ({oracles[name]}) q LIMIT 0"
+            ).fetch_arrow_table().schema
+            decimal_cols = [
+                f.name for f in arrow_schema if pa.types.is_decimal(f.type)
+            ]
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
-            ok_schema = sorted(scols) == sorted(dcols)
+            ok_schema = sorted(scols) == sorted(dcols) and not decimal_cols
             ok_count = len(srows) == len(drows)
             o = sorted(range(len(scols)), key=lambda i: scols[i])
             od = sorted(range(len(dcols)), key=lambda i: dcols[i])
@@ -66,6 +73,8 @@ for name in queries:  # registration order — same as the driver's check order
             else:
                 failures.append(name)
                 status = f"MISMATCH schema={ok_schema} count={ok_count}({len(srows)}/{len(drows)}) vals={ok_vals}"
+                if decimal_cols:
+                    status += f" decimal_cols={decimal_cols}"
         else:
             n_rowsonly += 1
             status = f"rows-only ({len(srows)} rows)"

@@ -69,3 +69,23 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 
 def test_all_oracle_keys_have_queries():
     assert set(_ORACLES) <= set(_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_output_types_driver_safe(name, duck):
+    """The driver hashes arrow values: a DuckDB HUGEINT (SUM over BIGINT)
+    arrives as decimal128 and hash-mismatches Spark's int64 even when the
+    values are equal — the exact round-1 failure mode. Python-level
+    comparison masks it (int == int), so assert on the arrow schema: every
+    oracle column must resolve to a non-decimal type (CAST ... AS BIGINT
+    at the source)."""
+    import pyarrow as pa
+
+    schema = duck.execute(
+        f"SELECT * FROM ({_ORACLES[name]}) q LIMIT 0"
+    ).fetch_arrow_table().schema
+    for field in schema:
+        assert not pa.types.is_decimal(field.type), (
+            f"{name}.{field.name} is {field.type}: wrap in CAST(... AS "
+            "BIGINT) in the oracle SQL or it will hash-fail on the driver"
+        )
