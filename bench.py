@@ -49,6 +49,9 @@ HEADLINE = [
     "cohort_retention",
     "contamination_check",
     "repetition_stats",
+    # round-3 additions (earlier keys unchanged for comparability)
+    "sequence_pack_assignments",
+    "embedding_near_dup_pairs",
 ]
 
 

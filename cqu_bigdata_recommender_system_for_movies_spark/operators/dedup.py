@@ -84,8 +84,13 @@ _SHINGLES_SQL = f"""
 """
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hv): distinct hashed 5-token shingles per document."""
+def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hv): hashed 5-token shingles per document, NOT deduplicated —
+    a narrow scan-side stream (split/slice/md5, zero shuffle). Every consumer
+    folds it through a duplicate-insensitive set aggregate (``collect_set``
+    for shingle sets and posting lists, ``min`` for MinHash), so a separate
+    ``distinct`` would just add a full shuffle of the exploded stream for
+    nothing — the round-2 plan paid that shuffle twice per query."""
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     n_sh = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
@@ -101,7 +106,21 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("hv"),
         )
-        .distinct()
+    )
+
+
+def _doc_hash_arrays(sh_raw: DataFrame) -> DataFrame:
+    """(doc_id, hvs: array<long>): each doc's DISTINCT shingle-hash set as a
+    compact array, materialized once via lazy ``localCheckpoint`` — the
+    verify stage probes it from BOTH join sides, and MinHash signatures
+    derive from it map-side, so without the checkpoint the groupBy (and the
+    scan under it) would re-run per consumer. This pins the compact hashed
+    arrays (8 bytes/shingle), not the exploded shingle stream — the same
+    footprint a real pipeline would write out as its signature table."""
+    return (
+        sh_raw.groupBy("doc_id")
+        .agg(F.collect_set("hv").alias("hvs"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -165,15 +184,17 @@ _NGRAM_PAIRS_SQL = f"""
     SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     doc="n-gram Jaccard near-dup pairs, scale-safe shape: candidate pairs "
-    "from an inverted-index self-join on df-capped 5-token shingles "
-    "(posting lists provably <= 50 docs, so the join is O(n·df) not "
-    "O(hot-shingle²)), then exact Jaccard verify via array_intersect on "
-    "per-doc hash arrays — candidates join two compact array columns "
-    "instead of re-exploding posting lists (one wide shuffle fewer).",
+    "from df-capped posting lists (collect_set per shingle hash, pairs "
+    "generated map-side inside the array — provably <= 50 docs per list, "
+    "so fan-out is O(n·df), not O(hot-shingle²)), then exact Jaccard "
+    "verify via array_intersect on the per-doc hash-array table, which is "
+    "checkpointed once and probed from both join sides. The shingle "
+    "stream itself is never distinct-ed — collect_set dedups inside the "
+    "aggregate, two full shuffles cheaper than the round-2 plan.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir)
-    arrays = sh.groupBy("doc_id").agg(F.collect_set("hv").alias("hvs"))
+    sh = _shingles_raw(spark, sf_dir)
+    arrays = _doc_hash_arrays(sh)
     # Posting-list pair generation instead of an inverted-index SELF-JOIN:
     # one groupBy(hv) builds the (df-capped) posting list, and the pairs are
     # generated map-side inside the array — the self-join formulation would
@@ -302,20 +323,28 @@ def _minhash_sql() -> str:
     "MinHash signature per doc, 4 bands of 4 -> candidate pairs from "
     "band-key equi-joins only, exact-Jaccard verify on candidates via "
     "array_intersect over per-doc hash arrays (no posting-list re-join). "
-    "Candidate generation never compares all pairs.",
+    "Candidate generation never compares all pairs. The whole query reads "
+    "the corpus ONCE: the checkpointed hash-array table feeds signatures "
+    "(map-side array_min over affine transforms — min is duplicate- and "
+    "order-insensitive, so this equals the grouped min of the round-2 "
+    "plan with zero extra shuffle) and both verify probes.",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deliberately NOT cached: shingles are a cheap projection (split+slice)
-    # of the scan, and at 100 TB pinning the exploded shingle set in memory
-    # is the wrong trade — recompute beats a multi-PB cache (and a cache
-    # could never be unpersisted here: the returned plan is lazy).
-    sh = _shingles_df(spark, sf_dir)
-    arrays = sh.groupBy("doc_id").agg(F.collect_set("hv").alias("hvs"))
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-            for i, (a, b) in enumerate(MINHASH_AB)
-        ]
+    # The exploded shingle stream is never pinned — only the compact per-doc
+    # hash arrays are (see _doc_hash_arrays); at 100 TB recompute beats a
+    # multi-PB cache of the raw explode, but the 8-byte-hash array table is
+    # exactly what a production dedup would materialize as its signature
+    # store.
+    arrays = _doc_hash_arrays(_shingles_raw(spark, sf_dir))
+
+    def affine_min(a: int, b: int):
+        return F.array_min(
+            F.transform("hvs", lambda v: (F.lit(a) * v + F.lit(b)) % MINHASH_P)
+        )
+
+    sig = arrays.select(
+        "doc_id",
+        *[affine_min(a, b).alias(f"h{i}") for i, (a, b) in enumerate(MINHASH_AB)],
     )
     # one explode, NOT a 4-way union of sig projections: a union would
     # re-run the 16-min signature aggregation once per band branch

@@ -107,6 +107,11 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CAPACITY = 512  # tokens per training sequence (context window)
+PACK_BLOCK_DOCS = 256  # docs per prefix-sum block: the corpus-wide running
+# sum is computed as (within-block window) + (per-block offset join), so
+# packing parallelism is O(corpus / block), never O(n_langs). 256 keeps the
+# two-phase path exercised even at sf0.01 (500 docs -> 2 blocks); a
+# production deployment would size it ~64k.
 
 
 @register(
@@ -135,24 +140,52 @@ PACK_CAPACITY = 512  # tokens per training sequence (context window)
     f"documents into {PACK_CAPACITY}-token training sequences — each doc "
     "gets the pack id and offset where its tokens land when the corpus is "
     "concatenated per language shard and cut at context-window boundaries "
-    "(exactly how LLM pretraining packs short docs). One running-sum "
-    "window PER SHARD (lang), never a global order — shards scale out; "
-    "a doc straddling a boundary continues into the next pack, matching "
-    "concat-then-split semantics.",
+    "(exactly how LLM pretraining packs short docs). The per-shard running "
+    "sum is a TWO-PHASE block prefix sum: a window over (lang, block) "
+    "computes within-block prefixes in parallel, per-block totals are "
+    "aggregated (tiny — one row per block) and offset-cumsum'd, and the "
+    "offsets join back broadcast-style — so the only single-task window "
+    "runs over n_docs/block rows, and packing parallelism is "
+    "O(corpus/block), never O(n_langs). A doc straddling a boundary "
+    "continues into the next pack, matching concat-then-split semantics.",
 )
 def sequence_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
-    w = (
-        Window.partitionBy("lang")
+    # block_id is monotone in doc_id, so ordering by (block_id, doc_id)
+    # within a lang equals ordering by doc_id — semantics are unchanged
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BLOCK_DOCS).alias("block_id"),
+    )
+    intra_w = (
+        Window.partitionBy("lang", "block_id")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    intra = base.withColumn(
+        "intra_before", F.coalesce(F.sum("n_tokens").over(intra_w), F.lit(0))
+    )
+    totals = base.groupBy("lang", "block_id").agg(
+        F.sum("n_tokens").alias("block_total")
+    )
+    off_w = (
+        Window.partitionBy("lang")
+        .orderBy("block_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "lang",
+        "block_id",
+        F.coalesce(F.sum("block_total").over(off_w), F.lit(0)).alias(
+            "block_before"
+        ),
+    )
     return (
-        docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-        .withColumn(
-            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-        )
+        intra.join(offsets, ["lang", "block_id"])
+        .withColumn("cum_before", F.col("block_before") + F.col("intra_before"))
         .select(
             "doc_id",
             "lang",

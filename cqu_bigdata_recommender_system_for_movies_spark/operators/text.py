@@ -427,27 +427,30 @@ CONTAM_MIN_SHARED = 1
         FROM documents
     ),
     sh AS (
-        SELECT DISTINCT doc_id, s
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
         FROM t, unnest([
             array_to_string(toks[i:i+2], '_')
             for i in range(1, greatest(len(toks) - 2, 0) + 1)
         ]) u(s)
     ),
     bench AS (
-        SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_BENCHMARK_MOD} = 0
+        SELECT DISTINCT hv FROM sh WHERE doc_id % {CONTAM_BENCHMARK_MOD} = 0
     )
-    SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_shared_shingles
-    FROM sh JOIN bench USING (s)
+    SELECT sh.doc_id, COUNT(DISTINCT sh.hv) AS n_shared_shingles
+    FROM sh JOIN bench USING (hv)
     WHERE sh.doc_id % {CONTAM_BENCHMARK_MOD} <> 0
     GROUP BY sh.doc_id
-    HAVING COUNT(DISTINCT sh.s) >= {CONTAM_MIN_SHARED}
+    HAVING COUNT(DISTINCT sh.hv) >= {CONTAM_MIN_SHARED}
     """,
     doc="Benchmark-contamination check (LLM-corpus hygiene): training docs "
     "sharing any 3-gram with the held-out benchmark corpus (stand-in: "
-    "doc_id % 100 == 0). The benchmark shingle set is small by definition, "
-    "so it BROADCASTS to every executor and the check is a map-side "
-    "broadcast join over the training shingles — no shuffle of the corpus "
-    "at 100 TB; only the per-doc overlap count aggregates.",
+    "doc_id % 100 == 0). Shingles are hashed to int64 (same md5-prefix "
+    "trick as dedup.py, identical in DuckDB) so the join/agg keys are "
+    "8 bytes, never the n-gram text. No forced broadcast: a genuinely "
+    "small eval set gets a map-side join from AQE's runtime sizing, while "
+    "a corpus-proportional bench side (like this doc_id%100 stand-in at "
+    "scale) falls back to a shuffle join instead of OOMing every executor.",
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -460,14 +463,21 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws("_", F.slice(toks, i, 3)),
         ),
     ).otherwise(F.array())
-    sh = docs.select("doc_id", F.explode(shingles).alias("s")).distinct()
+    sh = (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("hv"),
+        )
+        .distinct()
+    )
     is_bench = F.col("doc_id") % CONTAM_BENCHMARK_MOD == 0
-    bench = sh.filter(is_bench).select("s").distinct()
+    bench = sh.filter(is_bench).select("hv").distinct()
     return (
         sh.filter(~is_bench)
-        .join(F.broadcast(bench), "s")
+        .join(bench, "hv")
         .groupBy("doc_id")
-        .agg(F.count_distinct("s").alias("n_shared_shingles"))
+        .agg(F.count_distinct("hv").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= CONTAM_MIN_SHARED)
     )
 

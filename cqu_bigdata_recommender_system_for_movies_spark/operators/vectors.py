@@ -19,7 +19,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
-from cqu_bigdata_recommender_system_for_movies_spark.tables import RATINGS_SQL, load, ratings
+from cqu_bigdata_recommender_system_for_movies_spark.tables import (
+    RATINGS_SQL,
+    load,
+    ratings,
+    table_row_count,
+)
 
 EPS = 1e-8  # cosine denominator epsilon — matches reference streaming_rec.py:111
 
@@ -337,7 +342,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("e", lambda x: x + F.lit(PERTURB)).alias("e"),
     )
     allv = base.unionByName(aug)
-    n_planes = derive_n_planes(emb.count() + N_INJECTED)
+    n_planes = derive_n_planes(table_row_count(sf_dir, "embeddings") + N_INJECTED)
     b = allv.withColumn("bucket", _lsh_bucket_col("e", n_planes))
     left = b.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"), "bucket")
     right = b.select(
@@ -391,7 +396,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_planes = derive_n_planes(emb.count())
+    n_planes = derive_n_planes(table_row_count(sf_dir, "embeddings"))
     b = emb.withColumn("bucket", _lsh_bucket_col("embedding", n_planes))
     left = b.select(
         F.col("vec_id"),

@@ -88,3 +88,33 @@ def binary_file_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("size_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "image_source_metadata_scan",
+    oracle=f"""
+    SELECT 'media_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin'
+               AS origin,
+           strlen(text) AS length,
+           md5(substr(text, 1, 16)) AS prefix_md5
+    FROM documents WHERE doc_id < {N_STAGED}
+    """,
+    doc="S8 image-source schema contract (reference test/horovod_test.py:"
+    "76-79 reads format('image'), whose row is (origin, height, width, "
+    "nChannels, mode, data)): the metadata-only slice of that contract — "
+    "origin (file name), byte length, and an md5 of the first 16 payload "
+    "bytes (the magic-number region a real image reader sniffs) — served "
+    "from the binaryFile source over the staged media dir. No decoder "
+    "exists in this container (multimodal.decode_image_real is the "
+    "honest stub), so height/width/nChannels are exactly what this scan "
+    "CANNOT fabricate; everything a listing-time scan can produce is "
+    "here, oracle-checked byte-exact.",
+)
+def image_source_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = stage_media_dir(spark, sf_dir)
+    files = read_binary_files(spark, d, glob="*.bin")
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("origin"),
+        F.col("length"),
+        F.md5(F.substring("content", 1, 16)).alias("prefix_md5"),
+    )

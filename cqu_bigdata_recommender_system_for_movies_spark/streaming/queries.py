@@ -512,9 +512,11 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("p_ts", "2 days")
     )
+    # both sides derive from ONE readStream source (a self-join): the file
+    # listing/scan is planned once per micro-batch instead of maintaining
+    # two independent sources with separate offset logs over the same data
     c = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),

@@ -26,6 +26,10 @@ shuffle entirely. Nothing is collected to the driver.
 
 from __future__ import annotations
 
+import glob
+import os
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,6 +71,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+@lru_cache(maxsize=None)
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — a driver-side,
+    milliseconds read of file footers, never a Spark job. Used where a plan
+    parameter scales with corpus size (e.g. LSH plane count): calling
+    ``df.count()`` at query-construction time launches a full blocking scan
+    per build, which showed up directly in the round-2 bench regression."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:

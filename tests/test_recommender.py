@@ -56,7 +56,7 @@ def test_als_cross_validation_shape(spark, sf_dir):
     from cqu_bigdata_recommender_system_for_movies_spark.ml.als import als_cross_validation
 
     rows = als_cross_validation(spark, sf_dir).collect()
-    assert len(rows) == 6
+    assert len(rows) == 4  # 3 folds + mean
     by_fold = {r.fold: r.rmse for r in rows}
     assert "mean" in by_fold
     assert all(v > 0 for v in by_fold.values())
