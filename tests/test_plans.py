@@ -214,12 +214,12 @@ def test_gap_fill_broadcasts_spine(spark, sf_dir):
 
 def test_ngram_pairs_no_self_join_of_shingles(spark, sf_dir):
     """Candidate pairs are generated inside the posting-list array (one
-    groupBy on hv), not via an inverted-index self-join, and the per-doc
-    hash-array table is checkpointed so the verify probes don't re-scan:
-    at most 2 file scans in the plan, no cartesian anywhere."""
+    groupBy on hv over a re-explode of the checkpointed hash-array table),
+    not via an inverted-index self-join — the corpus parquet is scanned
+    exactly once, no cartesian anywhere."""
     plan = _plan(all_queries()["ngram_jaccard_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert plan.count("Location: InMemoryFileIndex") <= 2
+    assert plan.count("Location: InMemoryFileIndex") <= 1
 
 
 def test_minhash_reads_corpus_once(spark, sf_dir):
