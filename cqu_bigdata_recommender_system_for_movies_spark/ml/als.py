@@ -169,6 +169,71 @@ def als_fixture_rmse_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SWEEP_RANKS = (4, 10)
+SWEEP_REGS = (0.05, 0.1)
+
+
+@register(
+    "als_hyperparam_search",
+    oracle=None,  # iterative ML — rows-only; best-config selection is the op
+    doc="M7/M11 completion — the fit/transform/TUNE triangle (reference "
+    "doc/课程报告.md:890-892 hand-tuned rank/regParam across runs): MLlib "
+    "CrossValidator over a rank x regParam grid on the seeded MovieLens-"
+    "shaped fixture, 2 folds, parallelism 4 (grid cells train "
+    "concurrently — on a cluster each fit is itself distributed, so the "
+    "sweep scales in both directions). One row per grid cell: (rank, "
+    "reg_param, avg_rmse, is_best); is_best marks CrossValidator's "
+    "selected model. Seeded end-to-end, so the winner is stable across "
+    "rounds.",
+)
+def als_hyperparam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.fixtures import (
+        movielens_shaped_ratings,
+    )
+
+    als = ALS(
+        maxIter=5,
+        nonnegative=True,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        seed=SEED,
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(als.rank, list(SWEEP_RANKS))
+        .addGrid(als.regParam, list(SWEEP_REGS))
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=als,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(
+            metricName="rmse", labelCol="rating", predictionCol="prediction"
+        ),
+        numFolds=2,
+        parallelism=4,
+        seed=SEED,
+    )
+    model = cv.fit(movielens_shaped_ratings(spark))
+    best = min(range(len(grid)), key=lambda i: model.avgMetrics[i])
+    rows = [
+        (
+            pm[als.rank],
+            pm[als.regParam],
+            round(float(model.avgMetrics[i]), 4),
+            i == best,
+        )
+        for i, pm in enumerate(grid)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, reg_param double, avg_rmse double, is_best boolean"
+    )
+
+
 @register(
     "als_precision_recall_at_k",
     oracle=None,  # iterative ML — rows-only check

@@ -268,6 +268,116 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("doc_id").agg(F.concat(*bit_cols).alias("simhash"))
 
 
+HAMMING_MAX = 3  # near-dup iff fingerprints differ in <= 3 of 32 bits
+SIMHASH_BANDS = 4  # 4 bands of 8 bits: any pair within HAMMING_MAX shares
+# at least one untouched band (pigeonhole: 3 flipped bits hit <= 3 of the 4
+# bands), so band-bucket candidate generation is LOSSLESS for the <= 3
+# threshold — the LSH result equals the all-pairs result by construction.
+
+
+def _simhash_value_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sim): the 32-bit SimHash fingerprint as a BIGINT — same
+    bit-majority construction as ``simhash_fingerprint`` (which renders the
+    bits as a string for display), packed ``sum(bit_b << b)`` for bitwise
+    banding and xor/popcount verification."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("w")).distinct()
+    v = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv")
+    )
+    terms = [
+        F.when(
+            F.sum(F.when(F.expr(f"(hv >> {b}) & 1") == 1, 1).otherwise(-1)) >= 0,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return v.groupBy("doc_id").agg(total.cast("long").alias("sim"))
+
+
+def _simhash_value_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT DISTINCT doc_id, w FROM t, unnest(toks) u(w)),
+    v AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv
+        FROM tok
+    ),
+    sim AS (SELECT doc_id, CAST({terms} AS BIGINT) AS sim FROM v GROUP BY doc_id)
+    """
+
+
+@register(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_simhash_value_sql()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_MAX}
+    """,
+    doc="SimHash near-dup PAIRS (Manku et al., WWW'07 — the web-crawl "
+    "near-dup detector): all document pairs whose 32-bit SimHash "
+    "fingerprints are within hamming distance 3. The oracle IS the "
+    "specification (brute-force all-pairs popcount); the Spark plan is the "
+    "scalable banded-LSH equivalent — 4 bands of 8 bits, candidates only "
+    "from same-(band,byte) buckets with map-side pair generation, then "
+    "xor/popcount verify on the candidate set. Lossless by pigeonhole: "
+    "<= 3 flipped bits leave >= 1 of 4 bands intact, so every qualifying "
+    "pair lands in some bucket and the two results are identical. At "
+    "production scale the same shape widens to a 64-bit fingerprint with "
+    "4 blocks of 16 (Manku's sizing): buckets stay near-uniform because "
+    "block values are hash-distributed, and candidate volume is "
+    "sum-of-bucket-squares, not corpus-squared.",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one fingerprint row per doc, checkpointed: banding and both verify
+    # probes read it, and the token-hash aggregation must not re-run per probe
+    sim = _simhash_value_df(spark, sf_dir).localCheckpoint(eager=False)
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.expr(f"(sim >> {band_bits * k}) & {(1 << band_bits) - 1}").alias(
+                    "key"
+                ),
+            )
+            for k in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sim.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(_pairs_in_array("ds")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    hamming = F.expr("bit_count(sim_a ^ sim_b)").cast("int")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def _band_key_parts(bi: int) -> list[str]:
     return [f"h{ROWS_PER_BAND * bi + j}" for j in range(ROWS_PER_BAND)]
 

@@ -272,3 +272,74 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(
         zscore, "event_id long, user_id long, zscore double"
     )
+
+
+@register(
+    "cogroup_user_order_stats",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    o AS (
+        SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+               MIN(o_orderdate) AS first_od
+        FROM orders GROUP BY o_custkey
+    ),
+    eb AS (
+        SELECT ev.user_id, COUNT(*) AS n_before
+        FROM events ev JOIN o ON ev.user_id = o.user_id
+                      AND ev.ts < o.first_od
+        GROUP BY ev.user_id
+    )
+    SELECT user_id,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(eb.n_before, 0) AS BIGINT)
+               AS n_events_before_first_order
+    FROM e FULL OUTER JOIN o USING (user_id)
+    LEFT JOIN eb USING (user_id)
+    """,
+    doc="Cogrouped-map surface (completes SURVEY §2.11's pandas-UDF genre "
+    "matrix — scalar, grouped-agg, grouped-map, map-batches, grouped-state, "
+    "and now COGROUPED-map): events cogrouped with orders per user, both "
+    "sides of each key arriving as Arrow-backed pandas frames in one "
+    "callback — the API for per-key logic that genuinely needs BOTH "
+    "relations at once (asof merges, per-user reconciliation). Emits "
+    "(n_events, n_orders, events-before-first-order) per user; keys "
+    "present on either side appear (the empty side arrives as an empty "
+    "frame). The oracle is the aggregate/full-outer-join twin, proving "
+    "this instance IS SQL-expressible — the docstring trade again: "
+    "cogroup shuffles both fact tables on the key and drops out of "
+    "codegen, so reach for it only when pandas semantics are the point.",
+)
+def cogroup_user_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def merge(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        n_before = 0
+        if len(od) and len(ev):
+            n_before = int((ev["ts"] < od["o_orderdate"].min()).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(ev)],
+                "n_orders": [len(od)],
+                "n_events_before_first_order": [n_before],
+            }
+        )
+
+    events = load(spark, sf_dir, "events").select("user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    return (
+        events.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_events long, n_orders long, "
+            "n_events_before_first_order long",
+        )
+    )

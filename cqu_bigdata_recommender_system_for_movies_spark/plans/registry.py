@@ -101,6 +101,8 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     # -- new this round ----------------------------------------------------
     "image_source_metadata_scan",
     "als_fixture_rmse_band",
+    "simhash_near_dup_pairs",
+    "cogroup_user_order_stats",
     # -- r1-green but rewritten-module neighbors: re-confirm cheaply -------
     "dedup_exact",
     "simhash_fingerprint",
@@ -120,6 +122,7 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
 # registration order (each is rows-only or twice-green; re-checking them
 # would burn the driver window on ALS fits and streaming state loops).
 DRIVER_CHECK_LAST: tuple[str, ...] = (
+    "als_hyperparam_search",
     "als_rmse",
     "als_recommend_topk",
     "als_precision_recall_at_k",

@@ -275,3 +275,12 @@ def test_lsh_plane_count_pinned_at_oracle_sfs(sf_dir):
         n = table_row_count(sf, "embeddings")
         assert derive_n_planes(n) == N_PLANES_MIN
         assert derive_n_planes(n + N_INJECTED) == N_PLANES_MIN
+
+
+def test_simhash_pairs_single_scan_no_cartesian(spark, sf_dir):
+    """Banded-LSH candidates + popcount verify all derive from the one
+    checkpointed fingerprint table: corpus scanned at most once, and the
+    all-pairs comparison lives only in the DuckDB oracle, never the plan."""
+    plan = _plan(all_queries()["simhash_near_dup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 1

@@ -114,3 +114,18 @@ def test_kmeans_clusters_partition_corpus(spark, sf_dir):
     assert 1 <= len(rows) <= 8
     assert sum(r.n_vectors for r in rows) == n_total  # a true partition
     assert all(r.center_norm > 0 for r in rows)
+
+
+def test_als_hyperparam_search_selects_best(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import (
+        SWEEP_RANKS,
+        SWEEP_REGS,
+        als_hyperparam_search,
+    )
+
+    rows = als_hyperparam_search(spark, sf_dir).collect()
+    assert len(rows) == len(SWEEP_RANKS) * len(SWEEP_REGS)
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    assert best[0].avg_rmse == min(r.avg_rmse for r in rows)
+    assert all(r.avg_rmse > 0 for r in rows)
