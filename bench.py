@@ -84,9 +84,45 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": _regressions(timings),
             }
         )
     )
+
+
+REGRESSION_RATIO = 1.25
+
+
+def _regressions(timings: dict[str, float]) -> dict[str, dict[str, float]]:
+    """Per-query slowdowns vs the latest prior-round BENCH_r{N}.json —
+    surfaced in the output so a >1.25x regression (like round 3's
+    contamination_check) is visible without manually diffing rounds."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return {}
+    try:
+        with open(max(rounds)[1]) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return {}
+    out = {}
+    for name, now in timings.items():
+        before = prev.get(name)
+        if before and before > 0 and now / before > REGRESSION_RATIO:
+            out[name] = {
+                "prev": before,
+                "now": now,
+                "ratio": round(now / before, 3),
+            }
+    return out
 
 
 if __name__ == "__main__":

@@ -110,7 +110,10 @@ def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "held out once, RMSE per fold + mean. k=3 here — the harness (split/"
     "hold-out/evaluate loop) is the operator under test, and 3 independent "
     "seeded fits bound this entry's share of the driver's per-round "
-    "budget; the reference's k=5 is one constant away.",
+    "budget; the reference's k=5 is one constant away. fold_1 is ALSO run "
+    "at the reference's full maxIter=10 (row `fold_1_full`) so at least "
+    "one CV number is directly comparable to BASELINE.md's RMSE — the "
+    "max_iter column records each row's fidelity.",
 )
 def als_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ratings(spark, sf_dir).select("user_id", "item_id", "rating").cache()
@@ -124,14 +127,23 @@ def als_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, f in enumerate(folds):
             if j != i:
                 train = f if train is None else train.union(f)
-        # max_iter=3 keeps the 5-fold harness honest (5 independent seeded
+        # max_iter=3 keeps the k-fold harness honest (k independent seeded
         # fits) while bounding its share of the driver's per-round budget
         model = fit_als(train, max_iter=3)
         rmse = evaluator.evaluate(model.transform(held_out))
-        rows.append((f"fold_{i + 1}", round(rmse, 4)))
+        rows.append((f"fold_{i + 1}", round(rmse, 4), 3))
+        if i == 0:
+            # one full-fidelity fold: the reference's maxIter=10, so this
+            # row's RMSE is comparable to BASELINE.md:11 (the maxIter=3
+            # rows are harness checks, not quality claims)
+            full = fit_als(train, max_iter=10)
+            rows.append(
+                ("fold_1_full", round(evaluator.evaluate(full.transform(held_out)), 4), 10)
+            )
     r.unpersist()
-    rows.append(("mean", round(sum(v for _, v in rows) / len(rows), 4)))
-    return spark.createDataFrame(rows, "fold string, rmse double")
+    short = [v for name, v, it in rows if it == 3]
+    rows.append(("mean", round(sum(short) / len(short), 4), 3))
+    return spark.createDataFrame(rows, "fold string, rmse double, max_iter int")
 
 
 FIXTURE_BAND = (0.4, 0.93)  # BASELINE.md:11 — reference RMSE 0.9246 on

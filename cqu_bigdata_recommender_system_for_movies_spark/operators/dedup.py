@@ -224,41 +224,71 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # Manku et al., WWW'07 §3 — the production fingerprint
+# width for multi-billion-page corpora. The 64 bit sources are two
+# independent 32-bit md5 prefixes per token (hv1 = hex chars 1-8,
+# hv2 = chars 9-16), identical in Spark and DuckDB; the packed fingerprint
+# is the signed two's-complement BIGINT (bit 63 carries weight -2^63) so
+# xor/bit_count work unchanged on both engines.
+
+
+def _bit_source(b: int) -> str:
+    """SQL fragment extracting fingerprint bit ``b`` from the token-hash
+    halves: bits 0-31 from hv1, 32-63 from hv2."""
+    return f"(hv{1 if b < 32 else 2} >> {b % 32}) & 1"
+
+
+def _bit_weight(b: int) -> int:
+    """Signed two's-complement weight of bit ``b`` in a 64-bit BIGINT."""
+    return (1 << b) if b < SIMHASH_BITS - 1 else -(1 << (SIMHASH_BITS - 1))
+
+
+def _token_hashes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hv1, hv2): two independent 32-bit md5-prefix hashes per
+    DISTINCT token — the bit sources for the 64-bit SimHash."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("w")).distinct()
+    return tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv1"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("hv2"),
+    )
+
+
+_TOKEN_HASHES_SQL = f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT DISTINCT doc_id, w FROM t, unnest(toks) u(w)),
+    v AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv1,
+               CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS hv2
+        FROM tok
+    )
+"""
 
 
 @register(
     "simhash_fingerprint",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    tok AS (
-        SELECT DISTINCT doc_id, w FROM t, unnest(toks) u(w)
-    ),
-    v AS (
-        SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv
-        FROM tok
-    )
+    WITH {_TOKEN_HASHES_SQL}
     SELECT doc_id,
-           concat({", ".join(f"CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS))}) AS simhash
+           concat({", ".join(f"CASE WHEN SUM(CASE WHEN {_bit_source(b)} = 1 THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_BITS))}) AS simhash
     FROM v
     GROUP BY doc_id
     """,
-    doc="SimHash fingerprint (north star): 32-bit signature from the "
-    "bit-majority of portable token hashes (distinct tokens, unweighted). "
-    "Near-dup docs differ in few bits; one groupBy with 32 conditional "
-    "sums — no per-row Python, constant output size per doc.",
+    doc="SimHash fingerprint (north star): 64-bit signature from the "
+    "bit-majority of portable token hashes (distinct tokens, unweighted; "
+    "Manku et al. WWW'07 production width). Near-dup docs differ in few "
+    "bits; one groupBy with 64 conditional sums — no per-row Python, "
+    "constant output size per doc.",
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda w: w != "")
-    tok = docs.select("doc_id", F.explode(toks).alias("w")).distinct()
-    v = tok.select(
-        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv")
-    )
+    v = _token_hashes_df(spark, sf_dir)
     bit_cols = [
         F.when(
             F.sum(
-                F.when(F.expr(f"(hv >> {b}) & 1") == 1, 1).otherwise(-1)
+                F.when(F.expr(_bit_source(b)) == 1, 1).otherwise(-1)
             )
             >= 0,
             "1",
@@ -268,28 +298,46 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("doc_id").agg(F.concat(*bit_cols).alias("simhash"))
 
 
-HAMMING_MAX = 3  # near-dup iff fingerprints differ in <= 3 of 32 bits
-SIMHASH_BANDS = 4  # 4 bands of 8 bits: any pair within HAMMING_MAX shares
-# at least one untouched band (pigeonhole: 3 flipped bits hit <= 3 of the 4
-# bands), so band-bucket candidate generation is LOSSLESS for the <= 3
-# threshold — the LSH result equals the all-pairs result by construction.
+HAMMING_MAX = 3  # near-dup iff fingerprints differ in <= 3 of 64 bits
+# (Manku's k=3 on 64-bit fingerprints)
+SIMHASH_BANDS = 4  # pigeonhole: 3 flipped bits touch <= 3 of any 4 disjoint
+# bit blocks, so a pair within HAMMING_MAX agrees exactly on >= 1 block and
+# block-bucket candidate generation is LOSSLESS for the <= 3 threshold —
+# for ANY block width (verify filters the extra candidates), which is what
+# lets the width scale with the corpus without touching the result.
+SIMHASH_BLOCK_BITS_MAX = SIMHASH_BITS // SIMHASH_BANDS  # 16 — Manku's 4x16
+SIMHASH_BLOCK_BITS_MIN = 4
+SIMHASH_TARGET_BUCKET_DOCS = 8
+
+
+def derive_simhash_block_bits(n_docs: int) -> int:
+    """Band-key width in bits, grown with the corpus (same role as
+    ``derive_n_planes``, vectors.py): 2^w buckets per band sized
+    ~SIMHASH_TARGET_BUCKET_DOCS, so map-side pair generation inside a
+    bucket stays O(bucket²) with a bounded bucket as data grows — at 1e9+
+    docs this resolves to Manku's production 4x16-bit blocks, and the
+    candidate set shrinks toward the true near-dup pairs. Any width yields
+    the SAME final result (banding is lossless for hamming <= 3 and the
+    xor/popcount verify drops false candidates), so the data-dependent
+    width never diverges from the width-independent all-pairs oracle."""
+    import math
+
+    raw = math.ceil(math.log2(max(1, n_docs) / SIMHASH_TARGET_BUCKET_DOCS + 1))
+    return min(SIMHASH_BLOCK_BITS_MAX, max(SIMHASH_BLOCK_BITS_MIN, raw))
 
 
 def _simhash_value_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sim): the 32-bit SimHash fingerprint as a BIGINT — same
-    bit-majority construction as ``simhash_fingerprint`` (which renders the
-    bits as a string for display), packed ``sum(bit_b << b)`` for bitwise
-    banding and xor/popcount verification."""
-    docs = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda w: w != "")
-    tok = docs.select("doc_id", F.explode(toks).alias("w")).distinct()
-    v = tok.select(
-        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv")
-    )
+    """(doc_id, sim): the 64-bit SimHash fingerprint as a signed BIGINT —
+    same bit-majority construction as ``simhash_fingerprint`` (which
+    renders the bits as a string for display), packed with two's-complement
+    bit weights for bitwise banding and xor/popcount verification."""
+    v = _token_hashes_df(spark, sf_dir)
+    # bit 63's weight is -2^63: summed LAST so every partial sum stays
+    # inside signed-64 range (ANSI mode would reject an overflow)
     terms = [
         F.when(
-            F.sum(F.when(F.expr(f"(hv >> {b}) & 1") == 1, 1).otherwise(-1)) >= 0,
-            F.lit(1 << b),
+            F.sum(F.when(F.expr(_bit_source(b)) == 1, 1).otherwise(-1)) >= 0,
+            F.lit(_bit_weight(b)),
         ).otherwise(F.lit(0))
         for b in range(SIMHASH_BITS)
     ]
@@ -301,17 +349,12 @@ def _simhash_value_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_value_sql() -> str:
     terms = " + ".join(
-        f"(CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
-        f" THEN {1 << b} ELSE 0 END)"
+        f"(CASE WHEN SUM(CASE WHEN {_bit_source(b)} = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN ({_bit_weight(b)}) ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
     return f"""
-    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    tok AS (SELECT DISTINCT doc_id, w FROM t, unnest(toks) u(w)),
-    v AS (
-        SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv
-        FROM tok
-    ),
+    {_TOKEN_HASHES_SQL},
     sim AS (SELECT doc_id, CAST({terms} AS BIGINT) AS sim FROM v GROUP BY doc_id)
     """
 
@@ -326,29 +369,32 @@ def _simhash_value_sql() -> str:
     WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_MAX}
     """,
     doc="SimHash near-dup PAIRS (Manku et al., WWW'07 — the web-crawl "
-    "near-dup detector): all document pairs whose 32-bit SimHash "
+    "near-dup detector): all document pairs whose 64-bit SimHash "
     "fingerprints are within hamming distance 3. The oracle IS the "
     "specification (brute-force all-pairs popcount); the Spark plan is the "
-    "scalable banded-LSH equivalent — 4 bands of 8 bits, candidates only "
-    "from same-(band,byte) buckets with map-side pair generation, then "
+    "scalable banded-LSH equivalent — 4 disjoint bit blocks whose width "
+    "derive_simhash_block_bits grows with the corpus (16 bits = Manku's "
+    "4x16 sizing at production counts), candidates only from same-"
+    "(block, value) buckets with map-side pair generation, then "
     "xor/popcount verify on the candidate set. Lossless by pigeonhole: "
-    "<= 3 flipped bits leave >= 1 of 4 bands intact, so every qualifying "
-    "pair lands in some bucket and the two results are identical. At "
-    "production scale the same shape widens to a 64-bit fingerprint with "
-    "4 blocks of 16 (Manku's sizing): buckets stay near-uniform because "
-    "block values are hash-distributed, and candidate volume is "
-    "sum-of-bucket-squares, not corpus-squared.",
+    "<= 3 flipped bits leave >= 1 of the 4 blocks intact, so every "
+    "qualifying pair lands in some bucket and the banded result equals "
+    "the all-pairs result for ANY block width — bucket occupancy "
+    "(~n/2^w) is a pure performance knob, which is why sizing it from "
+    "the corpus count cannot diverge from the pinned oracle.",
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import table_row_count
+
     # one fingerprint row per doc, checkpointed: banding and both verify
     # probes read it, and the token-hash aggregation must not re-run per probe
     sim = _simhash_value_df(spark, sf_dir).localCheckpoint(eager=False)
-    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    block_bits = derive_simhash_block_bits(table_row_count(sf_dir, "documents"))
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(k).alias("band"),
-                F.expr(f"(sim >> {band_bits * k}) & {(1 << band_bits) - 1}").alias(
+                F.expr(f"(sim >> {block_bits * k}) & {(1 << block_bits) - 1}").alias(
                     "key"
                 ),
             )
@@ -522,9 +568,12 @@ MAX_CC_ITERATIONS = 25  # safety bound; min-label propagation needs only
     doc="Near-dup CLUSTERS, not just pairs — the last stage of a real dedup "
     "pipeline (pick one survivor per duplicate group): connected components "
     "over the ngram-Jaccard pair graph via iterative min-label propagation "
-    "on DataFrames. Each round is one join + one groupBy(min) over the "
-    "(tiny relative to the corpus) edge set, which is materialized once via "
-    "localCheckpoint so the shingle pipeline never re-runs per round; "
+    "on DataFrames. Each round is ONE driver action: the neighbor-min "
+    "propagation carries a `changed` flag computed in the same pass, the "
+    "round's labels land in a lazy localCheckpoint, and a full aggregate "
+    "over it both materializes the checkpoint and returns the changed "
+    "count — no separate convergence-probe job (the round-3 shape paid "
+    "2 driver-synchronized jobs per round). Edge set materialized once; "
     "rounds needed = component diameter (near-dup clusters are shallow). "
     "The oracle computes the same components with a recursive CTE. "
     "component = min doc_id in the group (the canonical survivor).",
@@ -545,19 +594,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changed = 1
     for _ in range(MAX_CC_ITERATIONS):
-        nbr = und.join(labels, und.doc_b == labels.node).select(
-            und.doc_a.alias("node"), "lbl"
+        nbr_min = (
+            und.join(labels, und.doc_b == labels.node)
+            .groupBy(und.doc_a.alias("node"))
+            .agg(F.min("lbl").alias("nmin"))
         )
+        # new label + changed flag in one pass over (labels ⟕ neighbor-min);
+        # the lazy checkpoint materializes on the aggregate below, so the
+        # iteration costs exactly one job and later rounds read cached rows
         new = (
-            labels.union(nbr).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"),
+                (F.coalesce("nmin", "lbl") < F.col("lbl")).alias("changed"),
+            )
+            .localCheckpoint(eager=False)
         )
-        labels = new
+        changed = new.agg(F.sum(F.col("changed").cast("int"))).collect()[0][0] or 0
+        labels = new.select("node", "lbl")
         if changed == 0:
             break
     if changed != 0:

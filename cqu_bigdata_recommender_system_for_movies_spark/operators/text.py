@@ -419,9 +419,7 @@ CONTAM_BENCHMARK_MOD = 100  # docs with doc_id % 100 == 0 play the held-out
 CONTAM_MIN_SHARED = 1
 
 
-@register(
-    "contamination_check",
-    oracle=f"""
+CONTAM_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
         FROM documents
@@ -442,17 +440,13 @@ CONTAM_MIN_SHARED = 1
     WHERE sh.doc_id % {CONTAM_BENCHMARK_MOD} <> 0
     GROUP BY sh.doc_id
     HAVING COUNT(DISTINCT sh.hv) >= {CONTAM_MIN_SHARED}
-    """,
-    doc="Benchmark-contamination check (LLM-corpus hygiene): training docs "
-    "sharing any 3-gram with the held-out benchmark corpus (stand-in: "
-    "doc_id % 100 == 0). Shingles are hashed to int64 (same md5-prefix "
-    "trick as dedup.py, identical in DuckDB) so the join/agg keys are "
-    "8 bytes, never the n-gram text. No forced broadcast: a genuinely "
-    "small eval set gets a map-side join from AQE's runtime sizing, while "
-    "a corpus-proportional bench side (like this doc_id%100 stand-in at "
-    "scale) falls back to a shuffle join instead of OOMing every executor.",
-)
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _contam_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single tokenize+shingle+hash scan: DISTINCT (doc_id, hv) where
+    hv is the portable 8-byte hash of each 3-gram (never the n-gram text —
+    the join/agg keys downstream shuffle 8 bytes)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
@@ -463,7 +457,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws("_", F.slice(toks, i, 3)),
         ),
     ).otherwise(F.array())
-    sh = (
+    return (
         docs.select("doc_id", F.explode(shingles).alias("s"))
         .select(
             "doc_id",
@@ -471,13 +465,36 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "contamination_check",
+    oracle=CONTAM_ORACLE,
+    doc="Benchmark-contamination check (LLM-corpus hygiene): training docs "
+    "sharing any 3-gram with the held-out benchmark corpus (stand-in: "
+    "doc_id % 100 == 0). Shingles are hashed to int64 (same md5-prefix "
+    "trick as dedup.py, identical in DuckDB) so the join/agg keys are "
+    "8 bytes, never the n-gram text. No forced broadcast: a genuinely "
+    "small eval set gets a map-side join from AQE's runtime sizing, while "
+    "a corpus-proportional bench side (like this doc_id%100 stand-in at "
+    "scale) falls back to a shuffle join instead of OOMing every executor.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the one scan, materialized: the bench side and the training side are
+    # both filters over this compact (doc_id, hv) table — without the
+    # checkpoint each side re-ran the split/md5 pipeline from the parquet
+    # scan (the round-3 bench regression, +19%)
+    sh = _contam_shingles(spark, sf_dir).localCheckpoint(eager=False)
     is_bench = F.col("doc_id") % CONTAM_BENCHMARK_MOD == 0
+    # pre-aggregate the bench side to distinct hv before the join, so the
+    # probe matches at most one row per (doc_id, hv) and the per-doc agg
+    # can be a plain count (the input is already distinct on that pair)
     bench = sh.filter(is_bench).select("hv").distinct()
     return (
         sh.filter(~is_bench)
         .join(bench, "hv")
         .groupBy("doc_id")
-        .agg(F.count_distinct("hv").alias("n_shared_shingles"))
+        .agg(F.count("*").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= CONTAM_MIN_SHARED)
     )
 

@@ -647,3 +647,64 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("v", lambda x: x > 0.9)).alias("n_gt_09"),
         F.forall("v", lambda x: x >= 0).alias("all_nonneg"),
     )
+
+
+SERDE_EXACT_TOL = 1e-4  # float->string->double roundtrip error is bounded
+# by half a float ULP (~6e-8 at |x|<1); anything above this tolerance means
+# the serde pair lost real information, not just float formatting
+
+
+@register(
+    "vector_serde_roundtrip",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               array_to_string(embedding, ',') AS ser
+        FROM embeddings
+    ),
+    p AS (
+        SELECT vec_id, emb,
+               list_transform(string_split(ser, ','), x -> CAST(x AS DOUBLE)) AS parsed
+        FROM s
+    ),
+    e AS (
+        SELECT vec_id, len(parsed) AS dim,
+               list_max([abs(parsed[i] - emb[i])
+                         for i in range(1, len(parsed) + 1)]) AS err
+        FROM p
+    )
+    SELECT vec_id, dim,
+           ROUND(err, 6) AS max_abs_err,
+           err < {SERDE_EXACT_TOL} AS roundtrip_exact
+    FROM e
+    """,
+    doc="F8 vector serialize/parse as a driver-visible roundtrip (reference "
+    "stored vectors as comma-joined strings in graph properties and "
+    "re-parsed them per row — train_topn.py:161, streaming_rec.py:74,97): "
+    "serialize_vector (concat_ws over casts) then parse_vector (split + "
+    "element cast) must reproduce the embedding within float-ULP error. "
+    "The check compares each engine's parse against its OWN serialization, "
+    "so the rounded error is formatting-independent while still failing on "
+    "any lossy serde. Pure column expressions, zero shuffle — the whole "
+    "roundtrip stays inside the scan stage at 100 TB.",
+)
+def vector_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.functions.vector_ops import (
+        parse_vector,
+        serialize_vector,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        serialize_vector("embedding").alias("ser"),
+    )
+    parsed = emb.withColumn("parsed", parse_vector("ser"))
+    err = F.array_max(F.zip_with("parsed", "emb", lambda a, b: F.abs(a - b)))
+    return parsed.select(
+        "vec_id",
+        F.size("parsed").alias("dim"),
+        F.round(err, 6).alias("max_abs_err"),
+        (err < SERDE_EXACT_TOL).alias("roundtrip_exact"),
+    )

@@ -52,81 +52,83 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 # The driver verifies a fixed window of 50 queries per round, in the order
-# queries() yields them (both completed rounds truncated at exactly 50).
-# This list pins the front of that window: every query that has never
-# received a driver CORRECTNESS row (30 as of round 2), the queries whose
-# implementation or oracle changed this round and need re-verification, and
-# the new entries — then cheap long-green queries fill the remaining slots,
-# and the expensive many-times-verified ML/streaming tail goes last so the
-# window is never spent re-running 10-second fits.
+# queries() yields them (every completed round truncated at exactly 50).
+# This list pins that window for round 4 — exactly DRIVER_WINDOW names
+# (r3's list had 52 for 50 slots and silently dropped the last two, so
+# _driver_order now asserts the invariants): the one never-checked entry
+# (als_hyperparam_search), everything whose implementation or oracle
+# changed this round, the new entries, the eleven queries whose latest
+# green row is still round 1, then the stalest (round-2) greens — once-
+# green before twice-green — to keep cumulative freshness rotating.
+# Expensive ALS entries sit at the tail of the 50 so a fit failure can't
+# starve the cheap checks; the remaining r2-stale entries (11 twice-green
+# + the 4 parked in DRIVER_CHECK_LAST) are next round's fill.
+DRIVER_WINDOW = 50
+
 DRIVER_CHECK_FIRST: tuple[str, ...] = (
-    # -- never driver-checked (round-2 VERDICT top ask), cheapest first ----
-    "dedup_components",
-    "ann_ivf_topk",
-    "content_based_recommend",
-    "array_functions_suite",
-    "regex_token_count",
-    "doc_chunk_overlap",
-    "doc_chunk_udtf",
-    "tfidf_top_terms",
-    "contamination_check",
-    "pii_redaction",
-    "repetition_stats",
-    "full_outer_reconciliation",
-    "grouping_sets_suite",
-    "unpivot_doc_metrics",
-    "cohort_retention",
-    "funnel_conversion",
-    "feature_engineering_suite",
-    "cdc_latest_state",
-    "sequence_pack_assignments",
-    "udaf_weighted_mean",
-    "grouped_map_zscore",
-    "stratified_sample_counts",
-    "partitioned_write_pruned_read",
-    "bucketed_join_agg",
-    "json_source_roundtrip",
-    "orc_sink_roundtrip",
-    "binary_file_source_scan",
-    "python_datasource_scan",
-    "python_datasource_stream",
-    "kmeans_embedding_clusters",
-    # -- changed this round / fix never driver-confirmed ------------------
-    "multimodal_decode_features",  # r1 hash-fail fix, never re-verified
-    "ngram_jaccard_pairs",  # rewritten (single-scan posting lists)
-    "minhash_lsh_dedup",  # rewritten (map-side signatures)
-    "embedding_near_dup_pairs",  # footer-based plane count
-    "ann_lsh_topk",  # footer-based plane count
-    "streaming_session_window",  # oracle gap-boundary fix
+    # -- changed this round: must re-verify --------------------------------
+    "simhash_fingerprint",  # 64-bit Manku fingerprint (was 32)
+    "simhash_near_dup_pairs",  # 64-bit + corpus-derived block width
+    "contamination_check",  # shared single shingled scan (r3 perf regression)
+    "dedup_components",  # one-job-per-iteration convergence fold
     # -- new this round ----------------------------------------------------
-    "image_source_metadata_scan",
-    "als_fixture_rmse_band",
-    "simhash_near_dup_pairs",
-    "cogroup_user_order_stats",
-    # -- r1-green but rewritten-module neighbors: re-confirm cheaply -------
-    "dedup_exact",
-    "simhash_fingerprint",
-    "wordcount_documents",
-    "token_stats",
-    "text_quality_score",
-    "lang_id_heuristic",
-    "lang_distribution",
-    "doc_fingerprint",
-    "cosine_topk",
-    "dot_product_topk",
+    "vector_serde_roundtrip",  # F8 serialize/parse driver row
+    "streaming_console_emit",  # S5 console sink driver row
+    # -- last green in round 1 (VERDICT r3 "What's missing" #2) ------------
     "multimodal_frame_sample",
     "graph_embedding_propagation",
+    "random_split_counts",
+    "shuffle_tokens_multiset",
+    "approx_aggregates",
+    "parquet_sink_roundtrip",
+    "write_recommendations_table",
+    "pipeline_classifier_eval",
+    "embedding_centroid_by_label",
+    "vector_argmax",
+    "multi_hot_encode",
+    # -- last green in round 2, single green row ---------------------------
+    "cube_lang_source",
+    "date_functions_suite",
+    "gap_fill_forward",
+    "nested_struct_history",
+    "percentile_stats",
+    "range_join_events_orders",
+    "salted_join_segment_counts",
+    "semi_join_active_customers",
+    "set_ops_intersect",
+    "stats_agg_suite",
+    "string_functions_suite",
+    "top1_per_user_maxby",
+    "streaming_parse_records",
+    "streaming_wordcount",
+    "streaming_window_counts",
+    "streaming_static_join",
+    "streaming_watermarked_counts",
+    "streaming_dedup_events",
+    # -- last green in round 2, twice green (cheap re-confirms) ------------
+    "cold_start_popular_items",
+    "global_stats",
+    "join_star_2hop",
+    "project_cast_rename",
+    "filter_point_lookup",
+    "filter_notnull_range",
+    "distinct_user_event_pairs",
+    "anti_join_unseen_items",
+    "json_extract_props",
+    "orderby_limit_topk",
+    "topk_per_user_window",
+    # -- expensive ALS tail of the window (shared _MODEL_CACHE fits) -------
+    "als_rmse",
+    "als_precision_recall_at_k",
+    "als_cross_validation",  # changed: full-fidelity fold_1 row added
+    "als_hyperparam_search",  # the ONE never-driver-checked entry (r3 #1)
 )
 
 # Expensive, many-times-verified entries parked at the very end of the
 # registration order (each is rows-only or twice-green; re-checking them
 # would burn the driver window on ALS fits and streaming state loops).
 DRIVER_CHECK_LAST: tuple[str, ...] = (
-    "als_hyperparam_search",
-    "als_rmse",
     "als_recommend_topk",
-    "als_precision_recall_at_k",
-    "als_cross_validation",
     "streaming_recommend_emit",
     "streaming_interest_fold",
     "streaming_stream_stream_join",
@@ -134,6 +136,14 @@ DRIVER_CHECK_LAST: tuple[str, ...] = (
 
 
 def _driver_order(names) -> list[str]:
+    listed = DRIVER_CHECK_FIRST + DRIVER_CHECK_LAST
+    assert len(DRIVER_CHECK_FIRST) <= DRIVER_WINDOW, (
+        f"DRIVER_CHECK_FIRST has {len(DRIVER_CHECK_FIRST)} names for a "
+        f"{DRIVER_WINDOW}-slot window; the overflow would silently never run"
+    )
+    assert len(set(listed)) == len(listed), "duplicate name in driver lists"
+    unknown = [n for n in listed if n not in names]
+    assert not unknown, f"driver lists name unregistered queries: {unknown}"
     first = [n for n in DRIVER_CHECK_FIRST if n in names]
     last = [n for n in DRIVER_CHECK_LAST if n in names]
     middle = [n for n in names if n not in set(first) | set(last)]

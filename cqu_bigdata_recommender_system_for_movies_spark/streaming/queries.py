@@ -322,9 +322,11 @@ def streaming_recommend_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_console_sink(stream_df: DataFrame, mode: str = "append") -> None:
+def run_console_sink(stream_df: DataFrame, mode: str = "append") -> int:
     """S5 console sink (reference test/streaming_test.py:62-66): drive the
-    streaming query to completion printing each micro-batch to stdout."""
+    streaming query to completion printing each micro-batch to stdout.
+    Returns the total input-row count summed over the query's progress
+    events, so callers can assert the sink consumed the whole source."""
     q = (
         stream_df.writeStream.format("console")
         .option("numRows", 5)
@@ -335,8 +337,30 @@ def run_console_sink(stream_df: DataFrame, mode: str = "append") -> None:
     )
     try:
         q.awaitTermination()
+        return int(sum(p["numInputRows"] for p in q.recentProgress))
     finally:
         q.stop()
+
+
+@register(
+    "streaming_console_emit",
+    oracle="SELECT CAST(COUNT(*) AS BIGINT) AS rows_emitted FROM events",
+    doc="S5 console sink as a driver-visible row (reference "
+    "test/streaming_test.py:62-66 printed each micro-batch): the events "
+    "stream runs to completion against a REAL console sink (availableNow, "
+    "append mode), and the row count the sink consumed — summed from the "
+    "query's progress metrics — must equal the batch COUNT(*) of the "
+    "source table, i.e. the sink dropped nothing. Round 3 left S5 as "
+    "pytest-only; this closes the last source/sink cell with no driver "
+    "evidence (the socket twin stays pytest-only: a live loopback server "
+    "under the driver harness would be flaky by design).",
+)
+def streaming_console_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    total = run_console_sink(stream, mode="append")
+    return spark.createDataFrame([(total,)], "rows_emitted long")
 
 
 def socket_lines_stream(spark: SparkSession, host: str, port: int) -> DataFrame:

@@ -195,7 +195,16 @@ def test_contamination_no_forced_broadcast(spark, sf_dir):
     assert "broadcast" not in analyzed.lower()
     plan = _plan(df)
     assert "partial_count" in plan  # per-doc overlap combines map-side
-    assert "conv(substring(md5" in analyzed  # hashed join key, not text
+    # the shared scan is checkpointed, so the md5-hashing lives in the
+    # pre-checkpoint stage; the final plan must join on the 8-byte hv
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.text import (
+        _contam_shingles,
+    )
+
+    scan = _contam_shingles(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    assert "conv(substring(md5" in scan  # hashed join key, not text
+    assert "hv#" in analyzed and "LogicalRDD" in analyzed  # probes the
+    # one materialized (doc_id, hv) table from both sides
 
 
 def test_cohort_prunes_and_partial_aggregates(spark, sf_dir):
@@ -247,8 +256,13 @@ def test_sequence_pack_window_is_block_partitioned(spark, sf_dir):
 def test_ann_construction_runs_no_job(spark, sf_dir, monkeypatch):
     """The LSH plane count comes from parquet footer metadata — building the
     query must not fire a Spark action (the round-2 plan ran a full count()
-    scan per build, a separate blocking job visible in the bench)."""
-    from pyspark.sql import DataFrame
+    scan per build, a separate blocking job visible in the bench).
+
+    NOTE: the patch must hit ``pyspark.sql.classic.dataframe.DataFrame`` —
+    Spark 4's concrete class overrides count/collect, so patching the
+    ``pyspark.sql.DataFrame`` parent intercepts nothing (this test was
+    vacuously green until round 4)."""
+    from pyspark.sql.classic.dataframe import DataFrame
 
     def boom(self, *a, **k):
         raise AssertionError("eager action during query construction")
@@ -284,3 +298,84 @@ def test_simhash_pairs_single_scan_no_cartesian(spark, sf_dir):
     plan = _plan(all_queries()["simhash_near_dup_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Location: InMemoryFileIndex") <= 1
+
+
+def test_simhash_manku_sizing_and_losslessness_preconditions():
+    """VERDICT r3 #2: the 32-bit/8-bit-band parameterization capped every
+    band at 256 buckets forever — quadratic bucket fan-out at scale. The
+    fingerprint is now Manku's 64-bit and the block width is derived from
+    the corpus (resolving to the production 4x16 at 1e9+ docs). This test
+    is red on the old constants by construction, and pins the pigeonhole
+    preconditions that make ANY derived width lossless for hamming <= 3."""
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        SIMHASH_BLOCK_BITS_MAX,
+        SIMHASH_BLOCK_BITS_MIN,
+        derive_simhash_block_bits,
+    )
+
+    assert SIMHASH_BITS == 64, "Manku production fingerprint width"
+    assert SIMHASH_BLOCK_BITS_MAX == 16, "Manku 4x16 block sizing"
+    # losslessness: <= HAMMING_MAX flipped bits must leave >= 1 of the
+    # SIMHASH_BANDS disjoint blocks intact, and blocks must be disjoint
+    assert SIMHASH_BANDS > HAMMING_MAX
+    assert SIMHASH_BANDS * SIMHASH_BLOCK_BITS_MAX <= SIMHASH_BITS
+    # derived width grows monotonically with the corpus and hits the
+    # production sizing at web scale; floor keeps tiny corpora bucketed
+    assert derive_simhash_block_bits(1) == SIMHASH_BLOCK_BITS_MIN
+    assert derive_simhash_block_bits(10**9) == SIMHASH_BLOCK_BITS_MAX
+    widths = [derive_simhash_block_bits(n) for n in (10, 10**3, 10**6, 10**9)]
+    assert widths == sorted(widths)
+    # expected bucket occupancy n / 2^w stays bounded once off the floor
+    for n in (10**4, 10**6, 10**9):
+        w = derive_simhash_block_bits(n)
+        if w < SIMHASH_BLOCK_BITS_MAX:
+            assert n / 2**w <= 16
+
+
+def test_dedup_components_one_action_per_iteration(spark, sf_dir, monkeypatch):
+    """VERDICT r3 #5: convergence detection used to be a separate
+    join+limit+count job after each round's checkpoint (2 driver-
+    synchronized jobs per iteration). The changed flag is now computed in
+    the propagation pass itself and read back by the SAME aggregate that
+    materializes the round's lazy checkpoint — so the loop issues exactly
+    one driver action per iteration and no DataFrame.count at all."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.dedup import (
+        MAX_CC_ITERATIONS,
+    )
+
+    calls = {"collect": 0}
+    real_collect = DataFrame.collect
+
+    def counting_collect(self, *a, **k):
+        calls["collect"] += 1
+        return real_collect(self, *a, **k)
+
+    def no_count(self, *a, **k):
+        raise AssertionError("DataFrame.count during dedup_components")
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    df = all_queries()["dedup_components"](spark, sf_dir)
+    assert 1 <= calls["collect"] <= MAX_CC_ITERATIONS
+    monkeypatch.undo()
+    assert df.count() > 0
+
+
+def test_driver_window_is_fully_pinned():
+    """ADVICE r3: the driver checks exactly the first DRIVER_WINDOW names
+    of queries(); the pin list must fill the window exactly (no silent
+    overflow like r3's 52-for-50, no unpinned stragglers) and every listed
+    name must exist — _driver_order asserts the rest."""
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        DRIVER_WINDOW,
+    )
+
+    names = list(all_queries())
+    assert len(DRIVER_CHECK_FIRST) == DRIVER_WINDOW
+    assert names[:DRIVER_WINDOW] == list(DRIVER_CHECK_FIRST)

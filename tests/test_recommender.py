@@ -56,10 +56,26 @@ def test_als_cross_validation_shape(spark, sf_dir):
     from cqu_bigdata_recommender_system_for_movies_spark.ml.als import als_cross_validation
 
     rows = als_cross_validation(spark, sf_dir).collect()
-    assert len(rows) == 4  # 3 folds + mean
+    assert len(rows) == 5  # 3 folds + full-fidelity fold_1 + mean
     by_fold = {r.fold: r.rmse for r in rows}
     assert "mean" in by_fold
+    assert "fold_1_full" in by_fold  # reference-fidelity maxIter=10 row
     assert all(v > 0 for v in by_fold.values())
+    iters = {r.fold: r.max_iter for r in rows}
+    assert iters["fold_1_full"] == 10 and iters["fold_1"] == 3
+
+
+def test_als_fixture_rmse_band_gates(spark, sf_dir):
+    """ADVICE r3: the in_band flag must actually gate — a quality
+    regression outside the reference band has to fail SOMEWHERE, and the
+    driver row is rows-only, so this assert is the gate."""
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import als_fixture_rmse_band
+
+    row = als_fixture_rmse_band(spark, sf_dir).collect()[0]
+    assert row.in_band, (
+        f"fixture RMSE {row.rmse} outside reference band "
+        f"({row.band_lo}, {row.band_hi}]"
+    )
 
 
 def test_als_quality_on_movielens_shaped_fixture(spark):

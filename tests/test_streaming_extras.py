@@ -104,7 +104,10 @@ def test_console_sink_smoke(spark, sf_dir):
     )
 
     stream = _events_stream(spark, sf_dir).select("event_id", "user_id", "value")
-    run_console_sink(stream, mode="append")
+    n = run_console_sink(stream, mode="append")
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import table_row_count
+
+    assert n == table_row_count(sf_dir, "events")
 
 
 def test_socket_source_roundtrip(spark):
