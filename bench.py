@@ -52,6 +52,12 @@ HEADLINE = [
     # round-3 additions (earlier keys unchanged for comparability)
     "sequence_pack_assignments",
     "embedding_near_dup_pairs",
+    # round-4 additions
+    "dedup_components_lss",
+    "duplicate_passage_detection",
+    "unigram_logprob_score",
+    "zorder_layout_stats",
+    "simhash_near_dup_pairs",
 ]
 
 

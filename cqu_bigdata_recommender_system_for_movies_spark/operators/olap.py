@@ -442,3 +442,117 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_purchase_after_click") * 1.0 / F.col("n_view"), 6),
         )
     )
+
+
+# --- Z-order (Morton curve) layout -----------------------------------------
+
+ZORDER_BITS = 16  # bits per dimension interleaved into a 32-bit z-value
+ZORDER_BUCKET_SHIFT = 24  # file bucket = z >> 24 -> 256 curve-contiguous
+# buckets at this sizing (one per target file/row-group)
+
+
+def _zvalue_expr(u: str, d: str, shiftleft, shiftright) -> str:
+    """Bit-interleave SQL for z = morton(u, d), built from engine-specific
+    shift formatters so the identical bit math renders for Spark
+    (shiftleft/shiftright functions) and DuckDB (<< / >> operators)."""
+    terms = []
+    for b in range(ZORDER_BITS):
+        terms.append(shiftleft(f"({shiftright(u, b)} & 1)", 2 * b))
+        terms.append(shiftleft(f"({shiftright(d, b)} & 1)", 2 * b + 1))
+    return " + ".join(terms)
+
+
+def _spark_shiftleft(x: str, n: int) -> str:
+    return f"shiftleft({x}, {n})" if n else f"{x}"
+
+
+def _spark_shiftright(x: str, n: int) -> str:
+    return f"shiftright({x}, {n})" if n else f"{x}"
+
+
+def _duck_shiftleft(x: str, n: int) -> str:
+    return f"({x} << {n})" if n else f"{x}"
+
+
+def _duck_shiftright(x: str, n: int) -> str:
+    return f"({x} >> {n})" if n else f"{x}"
+
+
+_ZMAX = (1 << ZORDER_BITS) - 1
+
+
+@register(
+    "zorder_layout_stats",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id AS u,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(u) AS minu, MAX(u) AS maxu, MIN(d) AS mind, MAX(d) AS maxd
+        FROM e
+    ),
+    n AS (
+        SELECT ((u - minu) * {_ZMAX}) // greatest(maxu - minu, 1) AS su,
+               ((d - mind) * {_ZMAX}) // greatest(maxd - mind, 1) AS sd
+        FROM e CROSS JOIN bounds
+    ),
+    z AS (
+        SELECT su, sd,
+               ({_zvalue_expr("su", "sd", _duck_shiftleft, _duck_shiftright)}) AS zval
+        FROM n
+    )
+    SELECT CAST(zval >> {ZORDER_BUCKET_SHIFT} AS BIGINT) AS bucket,
+           COUNT(*) AS n_events,
+           MIN(su) AS min_user, MAX(su) AS max_user,
+           MIN(sd) AS min_day, MAX(sd) AS max_day
+    FROM z
+    GROUP BY bucket
+    """,
+    doc="Z-ORDER (Morton-curve) layout for multi-dimensional data skipping "
+    "— the Delta/Iceberg OPTIMIZE ZORDER primitive: normalize each "
+    "dimension (user_id, event day) to the 16-bit range from its global "
+    "min/max (the same range-bounds pass OPTIMIZE ZORDER runs, broadcast "
+    "as a 1-row scalar), interleave the bits into one sort key so a "
+    "range of the curve is simultaneously tight in BOTH dimensions, then "
+    "report per-bucket min/max of each dimension — exactly the footer "
+    "stats a reader's predicate pushdown would prune on; narrow min/max "
+    "spans per bucket = files skippable for either a user_id or a time "
+    "predicate, which neither single-column sort gives. The z-value is "
+    "pure bit math (shiftleft/and/add) computed map-side; the layout "
+    "step at 100 TB is repartitionByRange(zval) + sortWithinPartitions "
+    "before the write (same plan partitioned_write_pruned_read drives), "
+    "and this query is its stats audit. One narrow pass, one broadcast "
+    "1-row bounds agg, one aggregate on the bucket key.",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+    )
+    bounds = ev.agg(
+        F.min("u").alias("minu"),
+        F.max("u").alias("maxu"),
+        F.min("d").alias("mind"),
+        F.max("d").alias("maxd"),
+    )
+    n = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"((u - minu) * {_ZMAX}) div greatest(maxu - minu, 1)").alias("su"),
+        F.expr(f"((d - mind) * {_ZMAX}) div greatest(maxd - mind, 1)").alias("sd"),
+    )
+    z = n.withColumn(
+        "zval", F.expr(_zvalue_expr("su", "sd", _spark_shiftleft, _spark_shiftright))
+    )
+    return (
+        z.groupBy(
+            F.shiftright("zval", ZORDER_BUCKET_SHIFT).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("su").alias("min_user"),
+            F.max("su").alias("max_user"),
+            F.min("sd").alias("min_day"),
+            F.max("sd").alias("max_day"),
+        )
+    )

@@ -597,3 +597,210 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("c") * 1.0 / F.sum("c"), 4).alias("top_word_frac"),
     )
+
+
+# --- Duplicate-passage detection -------------------------------------------
+
+
+@register(
+    "duplicate_passage_detection",
+    oracle=f"""
+    WITH c AS ({_CHUNK_ORACLE})
+    SELECT md5(chunk_text) AS passage_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM c
+    WHERE n_chunk_tokens = {CHUNK_SIZE}
+    GROUP BY md5(chunk_text)
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="Exact duplicate-PASSAGE detection — the substring-granularity "
+    "complement to whole-doc dedup (boilerplate headers, license blocks, "
+    "and templated paragraphs recur across otherwise-distinct documents): "
+    f"every full {CHUNK_SIZE}-token chunk (same chunking as "
+    "doc_chunk_overlap) is hashed map-side, and hashes occurring in >= 2 "
+    "distinct docs are surfaced with occurrence counts and the canonical "
+    "first doc. The only shuffle key is the 16-byte md5 — chunk text "
+    "never leaves the scan stage, so at 100 TB this costs one narrow "
+    "pass plus a hash-keyed aggregate (partial map-side combine cuts the "
+    "unique-hash tail before the exchange).",
+)
+def duplicate_passage_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = doc_chunk_overlap(spark, sf_dir)
+    return (
+        chunks.filter(F.col("n_chunk_tokens") == CHUNK_SIZE)
+        .select("doc_id", F.md5("chunk_text").alias("passage_hash"))
+        .groupBy("passage_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# --- Quality-filter funnel -------------------------------------------------
+
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 90
+FUNNEL_MAX_MEAN_TOKEN_LEN = 5.8
+FUNNEL_MIN_UNIQUE_RATIO = 0.4
+FUNNEL_MAX_TOP_TOKEN_FRAC = 0.10
+
+
+def _funnel_conds_sql() -> list[tuple[str, str]]:
+    """(rule_name, SQL predicate) per funnel stage — DuckDB list lambdas
+    mirroring the Spark column expressions 1:1."""
+    return [
+        ("min_tokens", f"n_tokens >= {FUNNEL_MIN_TOKENS}"),
+        ("max_tokens", f"n_tokens <= {FUNNEL_MAX_TOKENS}"),
+        ("mean_token_len", f"mean_len <= {FUNNEL_MAX_MEAN_TOKEN_LEN}"),
+        ("unique_ratio", f"uniq_ratio >= {FUNNEL_MIN_UNIQUE_RATIO}"),
+        ("top_token_frac", f"top_frac <= {FUNNEL_MAX_TOP_TOKEN_FRAC}"),
+    ]
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_sum(list_transform(toks, w -> length(w))) * 1.0
+                   / greatest(len(toks), 1) AS mean_len,
+               len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS uniq_ratio,
+               list_max(list_transform(list_distinct(toks),
+                   w -> len(list_filter(toks, x -> x = w)))) * 1.0
+                   / greatest(len(toks), 1) AS top_frac
+        FROM t
+    )
+    SELECT stage, rule, CAST(n_surviving AS BIGINT) AS n_surviving FROM (
+        SELECT 0 AS stage, 'all' AS rule, COUNT(*) AS n_surviving FROM m
+        {"".join(
+            f'''UNION ALL SELECT {i + 1}, '{name}',
+                SUM(CASE WHEN {" AND ".join(p for _, p in _funnel_conds_sql()[: i + 1])}
+                    THEN 1 ELSE 0 END) FROM m '''
+            for i, (name, _) in enumerate(_funnel_conds_sql())
+        )}
+    )
+    """,
+    doc="Gopher-style quality-filter FUNNEL (Rae et al. 2021 §A1.1 applied "
+    "the same rule-chain shape): per-doc cheap quality signals (token "
+    "count bounds, mean token length, unique-token ratio, top-token "
+    "repetition fraction) computed in ONE narrow pass as higher-order "
+    "array expressions, then the cumulative survivor count after each "
+    "rule in a single global aggregate — the per-stage attrition report "
+    "every corpus pipeline publishes before committing a filter config. "
+    "One scan, one exchange of 6 partial sums; no per-rule re-scan.",
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n = F.size("toks")
+    denom = F.greatest(n, F.lit(1))
+    mean_len = (
+        F.aggregate("toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        * 1.0
+        / denom
+    )
+    uniq_ratio = F.size(F.array_distinct("toks")) * 1.0 / denom
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda w: F.size(F.filter("toks", lambda x: x == w)),
+            )
+        )
+        * 1.0
+        / denom
+    )
+    m = docs.select(toks.alias("toks")).select(
+        n.alias("n_tokens"),
+        mean_len.alias("mean_len"),
+        uniq_ratio.alias("uniq_ratio"),
+        top_frac.alias("top_frac"),
+    )
+    conds = {
+        "min_tokens": F.col("n_tokens") >= FUNNEL_MIN_TOKENS,
+        "max_tokens": F.col("n_tokens") <= FUNNEL_MAX_TOKENS,
+        "mean_token_len": F.col("mean_len") <= FUNNEL_MAX_MEAN_TOKEN_LEN,
+        "unique_ratio": F.col("uniq_ratio") >= FUNNEL_MIN_UNIQUE_RATIO,
+        "top_token_frac": F.col("top_frac") <= FUNNEL_MAX_TOP_TOKEN_FRAC,
+    }
+    aggs = [F.count("*").alias("s0")]
+    acc = F.lit(True)
+    for i, c in enumerate(conds.values()):
+        acc = acc & c
+        aggs.append(F.sum(acc.cast("long")).alias(f"s{i + 1}"))
+    wide = m.agg(*aggs)
+    stages = F.array(
+        F.struct(F.lit(0).alias("stage"), F.lit("all").alias("rule"), F.col("s0").alias("n_surviving")),
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(name).alias("rule"),
+                F.col(f"s{i + 1}").alias("n_surviving"),
+            )
+            for i, name in enumerate(conds)
+        ],
+    )
+    return wide.select(F.explode(stages).alias("r")).select(
+        F.col("r.stage").cast("int").alias("stage"),
+        "r.rule",
+        "r.n_surviving",
+    )
+
+
+# --- Unigram language-model scoring ----------------------------------------
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM cnt)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(cnt.c * 1.0 / tot.n)), 4) AS mean_logprob
+    FROM tok JOIN cnt USING (w) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+    doc="Unigram LM scoring — the cheapest perplexity-style quality signal "
+    "(CCNet/Wenzek et al. 2020 rank corpora by LM score; the unigram "
+    "variant needs no trained model): corpus unigram distribution from "
+    "one token aggregate, then each doc's mean log-probability via a join "
+    "on the token key. Scale shape: the join shuffles (doc_id, word) "
+    "tokens against a word-keyed count table — the count table is tiny "
+    "relative to the corpus (vocab-sized) so AQE broadcasts it, and the "
+    "global total rides along as a broadcast scalar; document text never "
+    "shuffles. Low mean_logprob = rare-token-heavy docs (gibberish or "
+    "boilerplate IDs) — the standard cut-line for corpus filtering.",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") * 1.0 / F.col("n"))), 4).alias(
+                "mean_logprob"
+            ),
+        )
+    )

@@ -74,6 +74,12 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     # -- new this round ----------------------------------------------------
     "vector_serde_roundtrip",  # F8 serialize/parse driver row
     "streaming_console_emit",  # S5 console sink driver row
+    "dedup_components_lss",  # large-star/small-star CC (O(log n) rounds)
+    "minhash_jaccard_estimate",  # sketch-accuracy audit on LSH candidates
+    "duplicate_passage_detection",  # chunk-hash substring dedup
+    "quality_filter_funnel",  # Gopher-style rule-chain attrition report
+    "unigram_logprob_score",  # unigram-LM quality signal
+    "zorder_layout_stats",  # Morton-curve layout / data-skipping audit
     # -- last green in round 1 (VERDICT r3 "What's missing" #2) ------------
     "multimodal_frame_sample",
     "graph_embedding_propagation",
@@ -105,13 +111,8 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     "streaming_static_join",
     "streaming_watermarked_counts",
     "streaming_dedup_events",
-    # -- last green in round 2, twice green (cheap re-confirms) ------------
-    "cold_start_popular_items",
-    "global_stats",
-    "join_star_2hop",
-    "project_cast_rename",
-    "filter_point_lookup",
-    "filter_notnull_range",
+    # -- last green in round 2, twice green (cheap re-confirms; six slots
+    # -- ceded to the new entries above — those six stay r2-green) ---------
     "distinct_user_event_pairs",
     "anti_join_unseen_items",
     "json_extract_props",

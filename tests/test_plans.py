@@ -379,3 +379,106 @@ def test_driver_window_is_fully_pinned():
     names = list(all_queries())
     assert len(DRIVER_CHECK_FIRST) == DRIVER_WINDOW
     assert names[:DRIVER_WINDOW] == list(DRIVER_CHECK_FIRST)
+
+
+def test_lss_components_matches_propagation(spark, sf_dir):
+    """Two independent CC implementations (min-label propagation and
+    large-star/small-star) over the same edge set must produce the
+    identical clustering — each is the other's cross-check beyond the
+    shared DuckDB oracle."""
+    a = all_queries()["dedup_components"](spark, sf_dir)
+    b = all_queries()["dedup_components_lss"](spark, sf_dir)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_lss_no_neighborhood_arrays(spark, sf_dir):
+    """The star rewrites must be join-based: collecting a node's
+    neighborhood into an array is the known skew failure at 100 TB (a
+    celebrity node's array lands in one task)."""
+    import inspect
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators import dedup
+
+    src = inspect.getsource(dedup.dedup_components_lss)
+    body = src[src.index("def dedup_components_lss") :]  # skip @register doc
+    assert "collect_list" not in body and "collect_set" not in body
+
+
+def test_lss_one_action_per_round(spark, sf_dir, monkeypatch):
+    """Each large+small star round costs exactly ONE driver action: the
+    signature aggregate that also materializes the round's checkpoint."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.dedup import (
+        MAX_LSS_ROUNDS,
+    )
+
+    calls = {"collect": 0}
+    real_collect = DataFrame.collect
+
+    def counting_collect(self, *a, **k):
+        calls["collect"] += 1
+        return real_collect(self, *a, **k)
+
+    def no_count(self, *a, **k):
+        raise AssertionError("DataFrame.count during dedup_components_lss")
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    df = all_queries()["dedup_components_lss"](spark, sf_dir)
+    # initial signature + one per round
+    assert 2 <= calls["collect"] <= MAX_LSS_ROUNDS + 1
+    monkeypatch.undo()
+    assert df.count() > 0
+
+
+def test_passage_dedup_shuffles_hash_not_text(spark, sf_dir):
+    """The only exchange key is the 16-byte md5 — chunk text must never
+    be a shuffle column (at 100 TB the passage text is the corpus)."""
+    plan = _plan(all_queries()["duplicate_passage_detection"](spark, sf_dir))
+    assert "partial_count" in plan  # map-side combine before the exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "chunk_text" not in line
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_quality_funnel_single_scan(spark, sf_dir):
+    """All five rules + the total must come from ONE scan and one global
+    aggregate — no per-rule re-scan of the corpus."""
+    plan = _plan(all_queries()["quality_filter_funnel"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The vocab-sized count table and the 1-row total must broadcast —
+    document tokens are the corpus-proportional side and must stream."""
+    plan = _plan(all_queries()["unigram_logprob_score"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+
+
+def test_minhash_estimate_no_all_pairs(spark, sf_dir):
+    """Candidates come from band buckets only — no cartesian/self-join of
+    the signature table."""
+    plan = _plan(all_queries()["minhash_jaccard_estimate"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_buckets_are_tight_in_both_dims(spark, sf_dir):
+    """The point of Z-order: each curve bucket's min/max span must be
+    narrow in BOTH dimensions (vs a single-column sort, where the
+    secondary dimension's span per file is the full range). Bound the
+    mean normalized span of each dimension at <= 1/8 of the range."""
+    rows = all_queries()["zorder_layout_stats"](spark, sf_dir).collect()
+    full = float((1 << 16) - 1)
+    for lo, hi in (("min_user", "max_user"), ("min_day", "max_day")):
+        spans = [(r[hi] - r[lo]) / full for r in rows]
+        assert sum(spans) / len(spans) <= 0.125, f"{lo} span too wide"
+
+
+def test_zorder_is_single_aggregate(spark, sf_dir):
+    plan = _plan(all_queries()["zorder_layout_stats"](spark, sf_dir))
+    # bounds agg broadcast + bucket agg; the events scan feeds both
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan or "partial_min" in plan
