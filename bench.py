@@ -116,8 +116,10 @@ def _regressions(timings: dict[str, float]) -> dict[str, dict[str, float]]:
         return {}
     try:
         with open(max(rounds)[1]) as f:
-            prev = json.load(f).get("queries", {})
-    except (OSError, json.JSONDecodeError):
+            doc = json.load(f)
+        # the driver wraps bench stdout under "parsed"; accept both layouts
+        prev = doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
+    except (OSError, json.JSONDecodeError, AttributeError):
         return {}
     out = {}
     for name, now in timings.items():

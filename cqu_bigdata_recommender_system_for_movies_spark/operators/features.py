@@ -343,3 +343,141 @@ def cogroup_user_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events_before_first_order long",
         )
     )
+
+
+# --- Rolling time-window features ------------------------------------------
+
+ROLLING_DAYS = 30  # trailing window width (days, inclusive of current day)
+
+
+@register(
+    "rolling_time_window_features",
+    oracle=f"""
+    WITH ratings AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id,
+               l_quantity AS rating, o_orderdate AS ts
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    d AS (
+        SELECT user_id, item_id, rating,
+               date_diff('day', DATE '1970-01-01', ts) AS day
+        FROM ratings
+    )
+    SELECT user_id, item_id, day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last30,
+           ROUND(SUM(rating) OVER w, 4) AS sum_last30,
+           ROUND(AVG(rating) OVER w, 4) AS avg_last30
+    FROM d
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY day
+        RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc=f"Leakage-safe rolling features — the standard trailing-window "
+    f"aggregate of feature-engineering pipelines: per user, each "
+    f"interaction's count/sum/mean of ratings over the trailing "
+    f"{ROLLING_DAYS} days, as a RANGE frame over the event-day number "
+    "(time-valued, so gaps count — a ROWS frame would silently widen "
+    "with sparse activity). One hash-partition exchange on user_id + "
+    "an in-partition sort; the frame is computed in a single pass with "
+    "a sliding aggregate, never a per-row self-join (the O(n·w) "
+    "anti-pattern). Duplicate (user, day) rows are frame PEERS in both "
+    "engines, so the semantics and the hash agree exactly.",
+)
+def rolling_time_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import ratings
+
+    r = ratings(spark, sf_dir).select(
+        "user_id",
+        "item_id",
+        "rating",
+        F.datediff("ts", F.lit("1970-01-01")).cast("long").alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    return r.select(
+        "user_id",
+        "item_id",
+        "day",
+        F.count("*").over(w).alias("n_last30"),
+        F.round(F.sum("rating").over(w), 4).alias("sum_last30"),
+        F.round(F.avg("rating").over(w), 4).alias("avg_last30"),
+    )
+
+
+# --- BPR-style deterministic negative sampling -----------------------------
+
+NEG_SAMPLES_PER_POS = 4  # K candidate negatives drawn per positive pair
+
+
+@register(
+    "bpr_negative_sampling",
+    oracle=f"""
+    WITH ratings AS (
+        SELECT o_custkey AS user_id, l_partkey AS item_id,
+               l_quantity AS rating, o_orderdate AS ts
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    pos AS (SELECT DISTINCT user_id, item_id FROM ratings),
+    n_items AS (SELECT COUNT(*) AS n FROM part),
+    cand AS (
+        SELECT p.user_id, p.item_id AS pos_item, k.k,
+               CAST(('0x' || substr(md5(p.user_id || '_' || p.item_id || '_' || k.k), 1, 8))
+                    AS BIGINT) % n.n AS neg_item
+        FROM pos p
+        CROSS JOIN (SELECT unnest(range(1, {NEG_SAMPLES_PER_POS} + 1)) AS k) k
+        CROSS JOIN n_items n
+    )
+    SELECT c.user_id, c.pos_item, c.k, c.neg_item
+    FROM cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos p2
+        WHERE p2.user_id = c.user_id AND p2.item_id = c.neg_item
+    )
+    """,
+    doc="Uniform negative sampling for BPR-style training (the reference "
+    "trains LightGCN with BPR loss + uniform negative sampling, "
+    "train_topn.py:78-109 — this is its set-oriented, resumable twin): "
+    f"for every observed (user, item) positive, {NEG_SAMPLES_PER_POS} "
+    "candidate negatives drawn by a DETERMINISTIC portable hash "
+    "(md5-prefix of user_item_k, mod catalog size) so the sample is "
+    "reproducible across engines, retries, and restarts — a property "
+    "rand() sampling cannot give a 100 TB pipeline. Accidental "
+    "positives are rejected with a left-anti join on the user's true "
+    "positive set (rejection sampling, exactly as the reference loops). "
+    "Shuffle cost: one distinct on (user, item) + one anti-join keyed "
+    "on (user, neg_item); the 1-row catalog count broadcasts.",
+)
+def bpr_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import ratings
+
+    pos = ratings(spark, sf_dir).select("user_id", "item_id").distinct()
+    n_items = load(spark, sf_dir, "part").agg(F.count("*").alias("n"))
+    ks = F.explode(F.sequence(F.lit(1), F.lit(NEG_SAMPLES_PER_POS))).alias("k")
+    cand = (
+        pos.select("user_id", F.col("item_id").alias("pos_item"), ks)
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            "pos_item",
+            "k",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("_", "user_id", "pos_item", "k")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("neg_item"),
+        )
+    )
+    return cand.join(
+        pos.select("user_id", F.col("item_id").alias("neg_item")),
+        ["user_id", "neg_item"],
+        "left_anti",
+    ).select("user_id", "pos_item", "k", "neg_item")

@@ -121,3 +121,92 @@ def top1_per_user_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("item_id", ordinal).alias("best_item"),
         F.max("rating").alias("best_rating"),
     )
+
+
+# --- NDCG@k ranking evaluation ---------------------------------------------
+
+NDCG_K = 10
+NDCG_REL_THRESHOLD = 40.0  # rating >= threshold counts as relevant
+
+
+@register(
+    "ndcg_at_k_popularity",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL}),
+    pop AS (
+        SELECT item_id,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item_id) AS pos
+        FROM ratings GROUP BY item_id
+        QUALIFY pos <= {NDCG_K}
+    ),
+    rel AS (
+        SELECT DISTINCT user_id, item_id FROM ratings
+        WHERE rating >= {NDCG_REL_THRESHOLD}
+    ),
+    nrel AS (SELECT user_id, COUNT(*) AS n_relevant FROM rel GROUP BY user_id),
+    dcg AS (
+        SELECT rel.user_id, SUM(1.0 / log2(pop.pos + 1)) AS dcg
+        FROM rel JOIN pop USING (item_id)
+        GROUP BY rel.user_id
+    )
+    SELECT nrel.user_id,
+           CAST(nrel.n_relevant AS BIGINT) AS n_relevant,
+           ROUND(COALESCE(dcg.dcg, 0) /
+                 list_sum([1.0 / log2(j + 1)
+                           for j in range(1, least(nrel.n_relevant, {NDCG_K}) + 1)]),
+                 4) AS ndcg_at_k
+    FROM nrel LEFT JOIN dcg ON nrel.user_id = dcg.user_id
+    """,
+    doc="NDCG@k for the popularity recommender (M6's P@k/R@k completed "
+    "with the position-discounted metric every ranking eval reports): "
+    f"the global top-{NDCG_K} popular items (count desc, id tie-break) "
+    "are the one-ranking-for-all-users recommendation (M9's cold-start "
+    "strategy); per user, DCG sums 1/log2(pos+1) over relevant hits "
+    f"(rating >= {NDCG_REL_THRESHOLD}) and IDCG is the ideal prefix sum "
+    "truncated at min(|relevant|, k) — computed as a per-row constant-"
+    "size array fold, no join against a rank spine. Scale shape: the "
+    f"popularity ranking is a {NDCG_K}-row broadcast; everything else "
+    "is one distinct + two user-keyed aggregates. No per-user model "
+    "state — this evaluates ANY global ranking at 100 TB in two "
+    "shuffles.",
+)
+def ndcg_at_k_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    r = ratings(spark, sf_dir)
+    pop = (
+        r.groupBy("item_id")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("item_id"))
+            ),
+        )
+        .filter(F.col("pos") <= NDCG_K)
+        .select("item_id", "pos")
+    )
+    rel = (
+        r.filter(F.col("rating") >= NDCG_REL_THRESHOLD)
+        .select("user_id", "item_id")
+        .distinct()
+    )
+    nrel = rel.groupBy("user_id").agg(F.count("*").alias("n_relevant"))
+    dcg = (
+        rel.join(F.broadcast(pop), "item_id")
+        .groupBy("user_id")
+        .agg(F.sum(1.0 / F.log2(F.col("pos") + 1)).alias("dcg"))
+    )
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(NDCG_K))),
+        F.lit(0.0),
+        lambda acc, j: acc + 1.0 / F.log2(j + 1),
+    )
+    return (
+        nrel.join(dcg, "user_id", "left")
+        .select(
+            "user_id",
+            "n_relevant",
+            F.round(F.coalesce("dcg", F.lit(0.0)) / ideal, 4).alias("ndcg_at_k"),
+        )
+    )

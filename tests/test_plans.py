@@ -482,3 +482,37 @@ def test_zorder_is_single_aggregate(spark, sf_dir):
     # bounds agg broadcast + bucket agg; the events scan feeds both
     assert "BroadcastExchange" in plan
     assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_rolling_window_no_self_join(spark, sf_dir):
+    """The trailing window must be a single windowed aggregate over one
+    user-keyed exchange — not the O(n·w) per-row self-join."""
+    plan = _plan(all_queries()["rolling_time_window_features"](spark, sf_dir))
+    assert "Window" in plan
+    # the ratings fact join (lineitem x orders) is the only join allowed
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_negative_sampling_deterministic(spark, sf_dir):
+    """Two runs must produce identical samples — the whole point of the
+    hash-based draw (rand() would differ per retry/restart)."""
+    a = sorted(map(tuple, all_queries()["bpr_negative_sampling"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, all_queries()["bpr_negative_sampling"](spark, sf_dir).collect()))
+    assert a == b
+    # rejection actually fires: no sampled negative is a true positive
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import ratings
+
+    pos = {
+        (r.user_id, r.item_id)
+        for r in ratings(spark, sf_dir).select("user_id", "item_id").distinct().collect()
+    }
+    assert all((u, neg) not in pos for u, _p, _k, neg in a)
+
+
+def test_ndcg_bounds_and_broadcast(spark, sf_dir):
+    """NDCG in [0, 1]; the k-row popularity ranking must broadcast."""
+    df = all_queries()["ndcg_at_k_popularity"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    rows = df.collect()
+    assert rows and all(0.0 <= r.ndcg_at_k <= 1.0 for r in rows)
