@@ -58,6 +58,11 @@ HEADLINE = [
     "unigram_logprob_score",
     "zorder_layout_stats",
     "simhash_near_dup_pairs",
+    "item_cooccurrence_topk",
+    "text_normalize",
+    "hash_split_assign",
+    "skew_key_diagnostics",
+    "dedup_canonical_docs",
 ]
 
 
@@ -73,6 +78,8 @@ def main() -> None:
     warm = queries["global_stats"](spark, sf_dir)
     warm.write.format("noop").mode("overwrite").save()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -80,6 +87,12 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        # drop py4j refs to the query's DataFrames so ContextCleaner can
+        # evict its localCheckpoint blocks before the next query runs —
+        # otherwise checkpoint-heavy queries (dedup family) leave the block
+        # manager full and later queries pay the GC pressure
+        del df
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,7 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "regressions": _regressions(timings),
+                "regressions": _regressions(timings, sf),
             }
         )
     )
@@ -99,10 +112,12 @@ def main() -> None:
 REGRESSION_RATIO = 1.25
 
 
-def _regressions(timings: dict[str, float]) -> dict[str, dict[str, float]]:
+def _regressions(timings: dict[str, float], sf: float) -> dict[str, dict[str, float]]:
     """Per-query slowdowns vs the latest prior-round BENCH_r{N}.json —
     surfaced in the output so a >1.25x regression (like round 3's
-    contamination_check) is visible without manually diffing rounds."""
+    contamination_check) is visible without manually diffing rounds.
+    Only compares runs at the SAME scale factor: a local sf0.01 smoke vs
+    the driver's sf0.1 record is apples-to-oranges."""
     import glob
     import re
 
@@ -118,8 +133,12 @@ def _regressions(timings: dict[str, float]) -> dict[str, dict[str, float]]:
         with open(max(rounds)[1]) as f:
             doc = json.load(f)
         # the driver wraps bench stdout under "parsed"; accept both layouts
-        prev = doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
+        inner = doc if "queries" in doc else (doc.get("parsed") or {})
+        prev = inner.get("queries") or {}
+        prev_sf = inner.get("sf")
     except (OSError, json.JSONDecodeError, AttributeError):
+        return {}
+    if prev_sf is not None and sf > 0 and abs(prev_sf - sf) > 1e-9:
         return {}
     out = {}
     for name, now in timings.items():

@@ -256,6 +256,24 @@ def _token_hashes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_popcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n, p0..p63): token count and per-bit popcounts — the shared
+    aggregate both SimHash surfaces project from. 64 plain
+    SUM((hv >> k) & 1) aggregates instead of 64 CASE-over-comparison sums:
+    the bit-majority test (2*p_b >= n ⇔ the old sum(±1) >= 0) moves to a
+    separate post-aggregation projection, which keeps each generated
+    function small — the CASE formulation's single giant aggregate cost
+    ~6 s of janino compile per cold session, independent of data size."""
+    v = _token_hashes_df(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for b in range(SIMHASH_BITS):
+        src = F.col("hv1") if b < 32 else F.col("hv2")
+        aggs.append(
+            F.sum(F.shiftright(src, b % 32).bitwiseAND(F.lit(1))).alias(f"p{b}")
+        )
+    return v.groupBy("doc_id").agg(*aggs)
+
+
 _TOKEN_HASHES_SQL = f"""
     t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     tok AS (SELECT DISTINCT doc_id, w FROM t, unnest(toks) u(w)),
@@ -284,18 +302,12 @@ _TOKEN_HASHES_SQL = f"""
     "constant output size per doc.",
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _token_hashes_df(spark, sf_dir)
+    base = _simhash_popcounts(spark, sf_dir)
     bit_cols = [
-        F.when(
-            F.sum(
-                F.when(F.expr(_bit_source(b)) == 1, 1).otherwise(-1)
-            )
-            >= 0,
-            "1",
-        ).otherwise("0")
+        F.when(F.col(f"p{b}") * 2 >= F.col("n"), "1").otherwise("0")
         for b in range(SIMHASH_BITS)
     ]
-    return v.groupBy("doc_id").agg(F.concat(*bit_cols).alias("simhash"))
+    return base.select("doc_id", F.concat(*bit_cols).alias("simhash"))
 
 
 HAMMING_MAX = 3  # near-dup iff fingerprints differ in <= 3 of 64 bits
@@ -331,20 +343,19 @@ def _simhash_value_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bit-majority construction as ``simhash_fingerprint`` (which
     renders the bits as a string for display), packed with two's-complement
     bit weights for bitwise banding and xor/popcount verification."""
-    v = _token_hashes_df(spark, sf_dir)
+    base = _simhash_popcounts(spark, sf_dir)
     # bit 63's weight is -2^63: summed LAST so every partial sum stays
     # inside signed-64 range (ANSI mode would reject an overflow)
     terms = [
         F.when(
-            F.sum(F.when(F.expr(_bit_source(b)) == 1, 1).otherwise(-1)) >= 0,
-            F.lit(_bit_weight(b)),
+            F.col(f"p{b}") * 2 >= F.col("n"), F.lit(_bit_weight(b))
         ).otherwise(F.lit(0))
         for b in range(SIMHASH_BITS)
     ]
     total = terms[0]
     for t in terms[1:]:
         total = total + t
-    return v.groupBy("doc_id").agg(total.cast("long").alias("sim"))
+    return base.select("doc_id", total.cast("long").alias("sim"))
 
 
 def _simhash_value_sql() -> str:
@@ -832,4 +843,63 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_match / F.lit(float(len(MINHASH_AB))), 6).alias("est_jaccard"),
             F.round(exact, 6).alias("exact_jaccard"),
         )
+    )
+
+
+# --- Canonical survivor selection ------------------------------------------
+
+_CANONICAL_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_NGRAM_PAIRS_SQL},
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM und
+        UNION
+        SELECT u.src, r.lbl FROM und u JOIN reach r ON u.dst = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT component,
+           doc_id AS survivor_doc_id,
+           n_chars AS survivor_n_chars,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_docs
+    FROM comp JOIN documents USING (doc_id)
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY component ORDER BY n_chars DESC, doc_id) = 1
+"""
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=_CANONICAL_ORACLE,
+    doc="Survivor selection — the step AFTER clustering that actually "
+    "dedups the corpus: per duplicate component keep the longest document "
+    "(ties to the smallest id), the usual keep-the-most-complete-copy "
+    "policy. Composes dedup_components with one component-partitioned "
+    "window over a component-sized table; the corpus-wide text never "
+    "shuffles, only (doc_id, component, n_chars).",
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    comp = dedup_components(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        comp.join(docs, "doc_id")
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars").alias("survivor_n_chars"),
+            F.col("component_size").cast("long").alias("n_docs"),
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.desc("n_chars"), F.col("doc_id")
+                )
+            ).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
     )

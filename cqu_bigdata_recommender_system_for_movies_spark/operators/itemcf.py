@@ -1,0 +1,144 @@
+"""Item-item collaborative filtering from co-occurrence — the offline twin
+of the reference's real-time item-CF recommender (streaming_rec.py computes
+item-item similarity against the user's interest vector online; classic
+item-CF precomputes an item-item similarity matrix from co-interaction
+counts, e.g. Sarwar et al., WWW'01).
+
+Shape for 100 TB: co-occurrence pairs are generated per basket (order), so
+the fan-out per input row is bounded by basket size (TPC-H baskets hold
+≤ 7 items) — a posting-list pair generation exactly like the dedup family,
+never an unbounded self-join on user. The pair aggregation shuffles on the
+16-byte (item_a, item_b) key; the frequency join is item-dim-sized and AQE
+broadcasts it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+MIN_SUPPORT = 2  # a single co-occurrence is noise at every scale
+TOP_PAIRS = 200
+
+
+@register(
+    "item_cooccurrence_topk",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    freq AS (SELECT pk, COUNT(*) AS n FROM basket GROUP BY pk),
+    co AS (
+        SELECT a.pk AS item_a, b.pk AS item_b, COUNT(*) AS n_ab
+        FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING COUNT(*) >= {MIN_SUPPORT}
+    )
+    SELECT item_a, item_b, n_ab,
+           ROUND(n_ab / sqrt(fa.n * fb.n), 6) AS cosine
+    FROM co
+    JOIN freq fa ON fa.pk = item_a
+    JOIN freq fb ON fb.pk = item_b
+    ORDER BY cosine DESC, item_a, item_b
+    LIMIT {TOP_PAIRS}
+    """,
+    doc="Item-item CF similarity matrix head: co-occurrence counts within "
+    "order baskets, cosine-normalized by item frequency, min-support "
+    "pruned, top pairs. Offline twin of the reference's item-CF scorer "
+    "(streaming_rec.py:96-134). Pair generation is basket-local (bounded "
+    "fan-out); only the compact (item_a, item_b, count) stream shuffles.",
+)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = basket.groupBy("pk").agg(F.count("*").alias("n"))
+    a, b = basket.alias("a"), basket.alias("b")
+    co = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("item_a"), F.col("b.pk").alias("item_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("pk").alias("item_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("pk").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(fa, "item_a")
+        .join(fb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), "item_a", "item_b")
+        .limit(TOP_PAIRS)
+    )
+
+
+# Jaccard variant: similarity that discounts popular items harder —
+# |A∩B| / (|A| + |B| - |A∩B|). Same co-occurrence base; registered
+# separately so both normalizations are driver-checked.
+@register(
+    "item_cooccurrence_jaccard",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    freq AS (SELECT pk, COUNT(*) AS n FROM basket GROUP BY pk),
+    co AS (
+        SELECT a.pk AS item_a, b.pk AS item_b, COUNT(*) AS n_ab
+        FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING COUNT(*) >= {MIN_SUPPORT}
+    )
+    SELECT item_a, item_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) / (fa.n + fb.n - n_ab), 6) AS jaccard
+    FROM co
+    JOIN freq fa ON fa.pk = item_a
+    JOIN freq fb ON fb.pk = item_b
+    ORDER BY jaccard DESC, item_a, item_b
+    LIMIT {TOP_PAIRS}
+    """,
+    doc="Item-item Jaccard similarity over the same basket co-occurrence "
+    "base — the set-overlap normalization (popular items discounted "
+    "harder than cosine). Shares the co-occurrence plan shape with "
+    "item_cooccurrence_topk.",
+)
+def item_cooccurrence_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    freq = basket.groupBy("pk").agg(F.count("*").alias("n"))
+    a, b = basket.alias("a"), basket.alias("b")
+    co = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("item_a"), F.col("b.pk").alias("item_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("pk").alias("item_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("pk").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(fa, "item_a")
+        .join(fb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_ab")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "item_a", "item_b")
+        .limit(TOP_PAIRS)
+    )

@@ -556,3 +556,81 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sd").alias("max_day"),
         )
     )
+
+
+# --- Skew / layout diagnostics ---------------------------------------------
+
+HEAVY_HITTER_TOPK = 20
+
+
+@register(
+    "skew_key_diagnostics",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(n_events) AS total FROM per_key)
+    SELECT user_id, n_events,
+           ROUND(n_events / total, 6) AS share
+    FROM per_key CROSS JOIN tot
+    ORDER BY n_events DESC, user_id
+    LIMIT {HEAVY_HITTER_TOPK}
+    """,
+    doc="Heavy-hitter report over the stream's partition key — the "
+    "diagnostic you run BEFORE picking a shuffle strategy at 100 TB "
+    "(a key with share >> 1/n_partitions is the salting/AQE-skew-join "
+    "trigger). Two-stage aggregate: per-key counts partial-aggregate "
+    "map-side, the total joins back as a broadcast scalar.",
+)
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    tot = per_key.agg(F.sum("n_events").alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(HEAVY_HITTER_TOPK)
+    )
+
+
+@register(
+    "key_distribution_histogram",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT CAST(FLOOR(LOG2(n_events)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_keys,
+           MIN(n_events) AS min_events,
+           MAX(n_events) AS max_events
+    FROM per_key GROUP BY 1
+    """,
+    doc="Log2 histogram of per-key cardinalities — the compact skew "
+    "profile (counts-of-counts) that stays ~60 rows no matter the corpus "
+    "size: two cheap aggregations, the second over an already-tiny "
+    "key-count table.",
+)
+def key_distribution_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        per_key.groupBy(
+            F.floor(F.log2("n_events")).cast("long").alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("n_events").alias("min_events"),
+            F.max("n_events").alias("max_events"),
+        )
+    )

@@ -73,6 +73,139 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Deterministic (hash-based) sampling twins ------------------------------
+# The RNG operators above can only be rows-only checked; production data
+# pipelines prefer content-hash assignment anyway (stable under reruns,
+# backfills, and repartitioning — the split a doc lands in is a pure
+# function of its key, not of scan order). These register with full
+# value-hash oracles. Portable hash: Spark conv(substring(md5,1,8),16,10)
+# == DuckDB ('0x' || substr(md5,1,8))::BIGINT (same pattern as dedup.py).
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 80  # md5-bucket < 80        -> train  (80%)
+SPLIT_VAL_LT = 90  # 80 <= bucket < 90      -> val    (10%), else test
+
+
+def _md5_bucket_spark(col):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % SPLIT_BUCKETS
+    )
+
+
+def _md5_bucket_sql(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT) "
+        f"% {SPLIT_BUCKETS}"
+    )
+
+
+@register(
+    "hash_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_md5_bucket_sql("doc_id")} < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN {_md5_bucket_sql("doc_id")} < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test assignment by key hash — the "
+    "reproducible twin of P8 randomSplit (spark_als.py:151). At 100 TB "
+    "this is a narrow projection with zero shuffle and zero state: the "
+    "split is a pure function of doc_id, so backfills and incremental "
+    "runs land every row in the same split forever.",
+)
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    b = _md5_bucket_spark(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.when(b < SPLIT_TRAIN_LT, "train")
+        .when(b < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# Target mixture for training-data assembly: keep every document from the
+# curated low-volume sources, downsample the dominant English web crawl
+# hard, keep non-English at a higher rate to protect multilingual coverage.
+MIXTURE_KEEP_ALL_SOURCES = ("src0", "src1", "src2", "src3")
+MIXTURE_EN_KEEP_PCT = 40
+MIXTURE_OTHER_KEEP_PCT = 70
+
+
+@register(
+    "mixture_sample_by_source",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT source,
+               CASE WHEN source IN {MIXTURE_KEEP_ALL_SOURCES} THEN 100
+                    WHEN lang = 'en' THEN {MIXTURE_EN_KEEP_PCT}
+                    ELSE {MIXTURE_OTHER_KEEP_PCT} END AS keep_pct,
+               {_md5_bucket_sql("doc_id")} AS bucket
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < keep_pct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM assigned GROUP BY source
+    """,
+    doc="Deterministic mixture construction: per-source keep rates applied "
+    "as a hash-threshold Bernoulli filter (curated sources kept whole, "
+    "English web downsampled, other languages protected) — how a training "
+    "corpus hits a target domain/language mixture. Pure map-side filter "
+    "then a partial-aggregated count: one narrow shuffle of 20 groups "
+    "regardless of corpus size.",
+)
+def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    keep_pct = (
+        F.when(F.col("source").isin(*MIXTURE_KEEP_ALL_SOURCES), 100)
+        .when(F.col("lang") == "en", MIXTURE_EN_KEEP_PCT)
+        .otherwise(MIXTURE_OTHER_KEEP_PCT)
+    )
+    kept = (_md5_bucket_spark(F.col("doc_id")) < keep_pct).cast("long")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(kept).alias("n_kept"),
+    )
+
+
+RESERVOIR_PER_KEY = 5
+
+
+@register(
+    "reservoir_sample_per_key",
+    oracle=f"""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= {RESERVOIR_PER_KEY}
+    """,
+    doc="Deterministic n-per-key sample: rank each group by the md5 of the "
+    "key (a uniform-given-hash order) and keep the first n — the "
+    "reproducible equivalent of per-key reservoir sampling for eval-set "
+    "carving. One hash-partitioned window; no global sort. At 100 TB the "
+    "rank-then-filter shape lets AQE drop 1-(n/group) of every partition "
+    "before anything else runs.",
+)
+def reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= RESERVOIR_PER_KEY)
+        .drop("rk")
+    )
+
+
 STRATA_FRACTIONS = {
     "click": 0.5,
     "view": 0.5,

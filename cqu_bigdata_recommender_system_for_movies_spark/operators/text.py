@@ -804,3 +804,49 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Normalization ----------------------------------------------------------
+
+# Portable normalization chain (identical regex semantics in Spark and
+# DuckDB): lowercase -> non-alphanumerics to spaces -> collapse runs ->
+# trim. Spark's regexp_replace is global by default; DuckDB needs 'g'.
+_NORM_PUNCT_RE = "[^a-z0-9 ]"
+_NORM_WS_RE = "[ ]+"
+
+
+@register(
+    "text_normalize",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '{_NORM_PUNCT_RE}', ' ', 'g'),
+                   '{_NORM_WS_RE}', ' ', 'g')) AS normalized
+        FROM documents
+    )
+    SELECT doc_id, normalized,
+           length(text) AS n_chars_raw,
+           length(normalized) AS n_chars_norm
+    FROM norm
+    """,
+    doc="Text normalization — the first stage of every training-data "
+    "pipeline (casefold, strip punctuation, collapse whitespace) as pure "
+    "column expressions: a narrow map with zero shuffle at any scale. "
+    "Emits before/after lengths so the attrition is auditable.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), _NORM_PUNCT_RE, " "),
+            _NORM_WS_RE,
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        normalized.alias("normalized"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(normalized).alias("n_chars_norm"),
+    )

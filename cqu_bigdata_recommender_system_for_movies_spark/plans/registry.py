@@ -83,6 +83,15 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     "rolling_time_window_features",  # trailing RANGE-frame features
     "bpr_negative_sampling",  # deterministic uniform negatives (train_topn BPR)
     "ndcg_at_k_popularity",  # position-discounted ranking eval
+    "hash_split_assign",  # deterministic md5 train/val/test split
+    "mixture_sample_by_source",  # hash-threshold mixture construction
+    "reservoir_sample_per_key",  # deterministic n-per-key sample
+    "item_cooccurrence_topk",  # item-item CF cosine (basket co-occurrence)
+    "item_cooccurrence_jaccard",  # item-item CF jaccard variant
+    "text_normalize",  # casefold/punct-strip/ws-collapse stage
+    "skew_key_diagnostics",  # heavy-hitter share report
+    "key_distribution_histogram",  # log2 counts-of-counts skew profile
+    "dedup_canonical_docs",  # survivor selection over CC clusters
     # -- last green in round 1 (VERDICT r3 "What's missing" #2) ------------
     "multimodal_frame_sample",
     "graph_embedding_propagation",
@@ -95,18 +104,14 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     "embedding_centroid_by_label",
     "vector_argmax",
     "multi_hot_encode",
-    # -- last green in round 2, single green row ---------------------------
-    "cube_lang_source",
-    "date_functions_suite",
-    "gap_fill_forward",
-    "nested_struct_history",
-    "percentile_stats",
+    # -- last green in round 2, single green row (nine r2-green slots —
+    # -- seven singles + both twice-greens — ceded to the nine new entries
+    # -- above; the events-loading path stays covered via range_join +
+    # -- the streaming file-source entries) --------------------------------
     "range_join_events_orders",
     "salted_join_segment_counts",
     "semi_join_active_customers",
     "set_ops_intersect",
-    "stats_agg_suite",
-    "string_functions_suite",
     "top1_per_user_maxby",
     "streaming_parse_records",
     "streaming_wordcount",
@@ -114,10 +119,6 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     "streaming_static_join",
     "streaming_watermarked_counts",
     "streaming_dedup_events",
-    # -- last green in round 2, twice green (cheap re-confirms; nine slots
-    # -- ceded to the new entries above — those nine stay r2-green) --------
-    "orderby_limit_topk",
-    "topk_per_user_window",
     # -- expensive ALS tail of the window (shared _MODEL_CACHE fits) -------
     "als_rmse",
     "als_precision_recall_at_k",
@@ -187,5 +188,6 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.operators.dedup  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.vectors  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.text  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.itemcf  # noqa: F401
 
     _LOADED = True

@@ -67,14 +67,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (S4 socket stand-in)."""
     from cqu_bigdata_recommender_system_for_movies_spark.tables import (
         EVENTS_RAW_SCHEMA,
+        _events_ts_is_nanos,
         _nanos_to_ts,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
-        _as_stream_dir(f"{sf_dir}/events.parquet")
-    )
-    return _nanos_to_ts(raw)
+    stream_dir = _as_stream_dir(f"{sf_dir}/events.parquet")
+    if _events_ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stream_dir)
+        return _nanos_to_ts(raw)
+    schema = EVENTS_RAW_SCHEMA.replace("ts LONG", "ts TIMESTAMP_NTZ")
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    # same NTZ -> session-zone cast as tables.load: downstream watermarks
+    # and unix_micros expect TIMESTAMP (wall-clock identical under UTC)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:

@@ -47,14 +47,25 @@ TABLE_NAMES = (
 )
 
 
-# events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects by
-# default; read nanos as long, then truncate to microseconds — exactly what
-# DuckDB does when it coerces TIMESTAMP_NS to TIMESTAMP, so oracle
-# comparisons agree. Integer `div` (not `/`) — epoch-nanos exceed 2^53.
+# Some driver generations write events.ts as TIMESTAMP(NANOS), which
+# Spark's reader rejects by default; others write plain timestamp[us].
+# Sniff the physical type from the parquet footer (driver-side, cached,
+# no Spark job) and only apply the nanos→micros truncation when needed —
+# that truncation is exactly what DuckDB does coercing TIMESTAMP_NS to
+# TIMESTAMP, so oracle comparisons agree either way. Integer `div`
+# (not `/`) — epoch-nanos exceed 2^53.
 EVENTS_RAW_SCHEMA = (
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
     "value DOUBLE, props STRING"
 )
+
+
+@lru_cache(maxsize=None)
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return getattr(t, "unit", None) == "ns"
 
 
 def _nanos_to_ts(df: DataFrame) -> DataFrame:
@@ -64,8 +75,16 @@ def _nanos_to_ts(df: DataFrame) -> DataFrame:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes filters/projections into it."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return _nanos_to_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        if _events_ts_is_nanos(sf_dir):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return _nanos_to_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        # timestamp[us] generations read as TIMESTAMP_NTZ; cast to the
+        # session-zone TIMESTAMP every downstream operator (unix_micros,
+        # watermarks) expects — wall-clock identical under the UTC session,
+        # and the same type the nanos path has always produced.
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
