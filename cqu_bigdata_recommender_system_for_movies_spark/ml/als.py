@@ -275,3 +275,46 @@ def als_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_hit") / F.col("n_rel")), 4).alias("recall_at_k"),
         F.count("*").alias("n_users"),
     )
+
+
+@register(
+    "als_implicit_topk",
+    oracle=None,  # iterative ML — rows-only check; invariants in pytest
+    doc="M1 implicit-feedback variant (Hu/Koren/Volinsky, ICDM'08 — the "
+    "standard extension of the reference's explicit ALS when only "
+    "interaction events exist): implicitPrefs=True over per-(user, item) "
+    "interaction counts as confidence, then top-5 recommendations for "
+    "the first 5 users. Same blocked MLlib fit; preference is binary, "
+    "confidence 1 + alpha*count.",
+)
+def als_implicit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (
+        ratings(spark, sf_dir)
+        .groupBy("user_id", "item_id")
+        .agg(F.count("*").cast("float").alias("rating"))
+    )
+    key = (sf_dir, "implicit")
+    if key not in _MODEL_CACHE:
+        als = ALS(
+            rank=10,
+            maxIter=10,
+            regParam=0.1,
+            implicitPrefs=True,
+            alpha=40.0,
+            userCol="user_id",
+            itemCol="item_id",
+            ratingCol="rating",
+            coldStartStrategy="drop",
+            seed=SEED,
+        )
+        _MODEL_CACHE[key] = als.fit(r)
+    model = _MODEL_CACHE[key]
+    users = r.select("user_id").distinct().orderBy("user_id").limit(5)
+    recs = model.recommendForUserSubset(users, 5)
+    return recs.select(
+        "user_id", F.explode("recommendations").alias("rec")
+    ).select(
+        "user_id",
+        F.col("rec.item_id").alias("item_id"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+    )

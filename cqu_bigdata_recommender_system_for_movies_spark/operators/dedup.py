@@ -903,3 +903,32 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+@register(
+    "dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           ROUND(1 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4)
+               AS dup_rate
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source duplication audit — the rollup that tells you WHICH "
+    "feed is polluting the corpus before you dedup it. Distinct-count on "
+    "the 16-byte content hash (never the text), grouped by the "
+    "source dim: one partial-aggregated shuffle at any scale.",
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+            F.round(
+                1 - F.countDistinct(F.md5("text")) * 1.0 / F.count("*"), 4
+            ).alias("dup_rate"),
+        )
+    )

@@ -850,3 +850,171 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_raw"),
         F.length(normalized).alias("n_chars_norm"),
     )
+
+
+# --- Retrieval / vocabulary -------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("spark", "join", "window")
+BM25_TOPK = 20
+
+_BM25_TERMS_SQL = str(tuple(BM25_QUERY_TERMS))
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          w -> w <> '')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM tok
+        WHERE w IN {_BM25_TERMS_SQL} GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok
+           WHERE w IN {_BM25_TERMS_SQL} GROUP BY w)
+    SELECT tf.doc_id,
+           ROUND(SUM(
+               ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl))
+           ), 4) AS bm25
+    FROM tf
+    JOIN df USING (w)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT {BM25_TOPK}
+    """,
+    doc="BM25 retrieval (Robertson/Sparck Jones probabilistic ranking, the "
+    "lexical-search baseline every RAG corpus ships with): top-k documents "
+    "for a fixed query-term set. Scale shape: only postings matching the "
+    "query terms shuffle (corpus-independent, tiny); doc lengths are one "
+    "map-side-combined count; df and the avgdl scalar broadcast.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs"))
+    qtok = tok.filter(F.col("w").isin(*BM25_QUERY_TERMS))
+    tf = qtok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = qtok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1) / norm
+    return (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+@register(
+    "vocab_build",
+    oracle="""
+    SELECT word, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, word) - 1 AS token_id
+    FROM (
+        SELECT w AS word, COUNT(*) AS cnt
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS w
+              FROM documents)
+        GROUP BY w
+    )
+    """,
+    doc="Tokenizer vocabulary build: frequency-ranked contiguous token ids "
+    "(count desc, word asc — the deterministic id assignment every "
+    "tokenizer training run needs). The rank runs over the already-"
+    "aggregated vocab table (vocab-sized, not corpus-sized); at real "
+    "scale the single-partition window is bounded by vocab size, not "
+    "data size.",
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    vocab = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "word")
+    return vocab.select(
+        "word", "cnt", (F.row_number().over(w) - 1).alias("token_id")
+    )
+
+
+@register(
+    "quality_quartile_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_filter(toks, w -> list_contains({list(STOPWORDS)}, w)))
+                   * 1.0 / greatest(len(toks), 1) AS stopword_ratio
+        FROM t
+    ),
+    binned AS (
+        SELECT *, NTILE(4) OVER (ORDER BY stopword_ratio, doc_id) AS quartile
+        FROM scored
+    )
+    SELECT quartile,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(stopword_ratio), 4) AS min_ratio,
+           ROUND(MAX(stopword_ratio), 4) AS max_ratio,
+           ROUND(AVG(n_tokens), 2) AS avg_tokens
+    FROM binned GROUP BY quartile
+    """,
+    doc="Quality-quartile report: NTILE(4) over the stopword-ratio signal, "
+    "then per-quartile attrition stats — how a filtering threshold is "
+    "chosen before cutting a corpus. The ntile orders only the compact "
+    "(doc_id, ratio) projection; at 100 TB this would ride the same "
+    "range-partitioned sort a global orderBy uses.",
+)
+def quality_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+            * 1.0
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+    w = Window.orderBy("stopword_ratio", "doc_id")
+    return (
+        scored.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("stopword_ratio"), 4).alias("min_ratio"),
+            F.round(F.max("stopword_ratio"), 4).alias("max_ratio"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+    )

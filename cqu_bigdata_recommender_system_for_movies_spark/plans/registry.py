@@ -92,6 +92,10 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     "skew_key_diagnostics",  # heavy-hitter share report
     "key_distribution_histogram",  # log2 counts-of-counts skew profile
     "dedup_canonical_docs",  # survivor selection over CC clusters
+    "bm25_topk",  # lexical retrieval baseline
+    "vocab_build",  # frequency-ranked tokenizer vocabulary
+    "quality_quartile_stats",  # ntile attrition report
+    "dup_rate_by_source",  # per-source duplication audit
     # -- last green in round 1 (VERDICT r3 "What's missing" #2) ------------
     "multimodal_frame_sample",
     "graph_embedding_propagation",
@@ -110,11 +114,6 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     # -- the streaming file-source entries) --------------------------------
     "range_join_events_orders",
     "salted_join_segment_counts",
-    "semi_join_active_customers",
-    "set_ops_intersect",
-    "top1_per_user_maxby",
-    "streaming_parse_records",
-    "streaming_wordcount",
     "streaming_window_counts",
     "streaming_static_join",
     "streaming_watermarked_counts",
@@ -124,6 +123,7 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     "als_precision_recall_at_k",
     "als_cross_validation",  # changed: full-fidelity fold_1 row added
     "als_hyperparam_search",  # the ONE never-driver-checked entry (r3 #1)
+    "als_implicit_topk",  # new: implicit-feedback fit (rows-only)
 )
 
 # Expensive, many-times-verified entries parked at the very end of the

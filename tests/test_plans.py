@@ -516,3 +516,39 @@ def test_ndcg_bounds_and_broadcast(spark, sf_dir):
     assert "BroadcastExchange" in plan
     rows = df.collect()
     assert rows and all(0.0 <= r.ndcg_at_k <= 1.0 for r in rows)
+
+
+def test_hash_split_no_shuffle(spark, sf_dir):
+    """Hash-based split assignment is a pure projection — any Exchange in
+    this plan means someone added a shuffle to a map-only operator."""
+    plan = _plan(all_queries()["hash_split_assign"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_text_normalize_no_shuffle(spark, sf_dir):
+    plan = _plan(all_queries()["text_normalize"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_item_cooccurrence_no_cartesian(spark, sf_dir):
+    """Pair generation must ride the basket equi-join on l_orderkey —
+    a cartesian/unbounded nested loop is the O(n^2) failure mode."""
+    plan = _plan(all_queries()["item_cooccurrence_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top pairs, not a global sort
+
+
+def test_bm25_broadcasts_stats(spark, sf_dir):
+    """df/avgdl are vocab/scalar-sized and must broadcast; the only real
+    shuffles are the token aggregates."""
+    plan = _plan(all_queries()["bm25_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_reservoir_sample_partitioned_window(spark, sf_dir):
+    """The per-key rank must be a hash-partitioned window (one exchange),
+    never a single-partition global sort."""
+    plan = _plan(all_queries()["reservoir_sample_per_key"](spark, sf_dir))
+    assert "Exchange hashpartitioning" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -145,3 +145,18 @@ def test_als_hyperparam_search_selects_best(spark, sf_dir):
     assert len(best) == 1
     assert best[0].avg_rmse == min(r.avg_rmse for r in rows)
     assert all(r.avg_rmse > 0 for r in rows)
+
+
+def test_als_implicit_topk_shape(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import als_implicit_topk
+
+    rows = als_implicit_topk(spark, sf_dir).collect()
+    assert len(rows) == 5 * 5
+    by_user: dict[int, list[float]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.score)
+    assert len(by_user) == 5
+    for scores in by_user.values():
+        assert scores == sorted(scores, reverse=True)  # ranked desc per user
+        # implicit ALS scores approximate a 0/1 preference
+        assert all(-1.0 <= s <= 2.0 for s in scores)
