@@ -142,3 +142,55 @@ def item_cooccurrence_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "item_a", "item_b")
         .limit(TOP_PAIRS)
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING COUNT(*) >= {MIN_SUPPORT}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    doc="Triangle count over the item co-occurrence graph (support-pruned "
+    "edges) — the standard distributed graph-analytics kernel (Suri & "
+    "Vassilvitskii, WWW'11). Edges are canonically oriented u < v, so "
+    "each triangle is counted exactly once by the two-hop equi-join "
+    "u->v->w closed by (u, w). All three legs are equi-joins on node "
+    "ids; the support threshold bounds degree so the two-hop "
+    "intermediate can't explode on a hub item at scale.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    e1 = e.select(F.col("u").alias("u"), F.col("v").alias("v"))
+    e2 = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = e.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, ["u", "w"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return tri.crossJoin(edges)

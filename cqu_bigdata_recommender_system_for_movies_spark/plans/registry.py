@@ -55,14 +55,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # queries() yields them (every completed round truncated at exactly 50).
 # This list pins that window for round 4 — exactly DRIVER_WINDOW names
 # (r3's list had 52 for 50 slots and silently dropped the last two, so
-# _driver_order now asserts the invariants): the one never-checked entry
-# (als_hyperparam_search), everything whose implementation or oracle
-# changed this round, the new entries, the eleven queries whose latest
-# green row is still round 1, then the stalest (round-2) greens — once-
-# green before twice-green — to keep cumulative freshness rotating.
-# Expensive ALS entries sit at the tail of the 50 so a fit failure can't
-# starve the cheap checks; the remaining r2-stale entries (11 twice-green
-# + the 4 parked in DRIVER_CHECK_LAST) are next round's fill.
+# _driver_order now asserts the invariants). Priority order: entries whose
+# implementation or oracle changed this round, every round-4 NEW entry
+# (never driver-checked — new evidence beats re-confirming greens), the
+# eleven queries whose latest green row is still round 1, then the freshest
+# slice of round-2 singles that keeps the events-loading and streaming
+# file-source paths covered. Expensive ALS entries sit at the tail of the
+# 50 so a fit failure can't starve the cheap checks; the r2-green singles
+# ceded this round (semi_join, set-ops, maxby, percentile/date/string
+# suites, cube, gap-fill, nested-struct, salted-join, parse-records,
+# wordcount, orderby/topk re-confirms) are next round's fill.
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (
@@ -96,6 +98,7 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     "vocab_build",  # frequency-ranked tokenizer vocabulary
     "quality_quartile_stats",  # ntile attrition report
     "dup_rate_by_source",  # per-source duplication audit
+    "graph_triangle_count",  # co-occurrence graph triangle kernel
     # -- last green in round 1 (VERDICT r3 "What's missing" #2) ------------
     "multimodal_frame_sample",
     "graph_embedding_propagation",
@@ -113,7 +116,6 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     # -- above; the events-loading path stays covered via range_join +
     # -- the streaming file-source entries) --------------------------------
     "range_join_events_orders",
-    "salted_join_segment_counts",
     "streaming_window_counts",
     "streaming_static_join",
     "streaming_watermarked_counts",
