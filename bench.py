@@ -63,6 +63,8 @@ HEADLINE = [
     "hash_split_assign",
     "skew_key_diagnostics",
     "dedup_canonical_docs",
+    "graph_triangle_count",
+    "bm25_topk",
 ]
 
 

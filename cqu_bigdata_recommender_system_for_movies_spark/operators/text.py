@@ -1018,3 +1018,64 @@ def quality_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
         )
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    scores AS ({" UNION ALL ".join(
+        f"SELECT doc_id, lang, '{lang}' AS cand,"
+        f" len(list_filter(toks, w -> list_contains({list(words)}, w)))"
+        f" AS score FROM t"
+        for lang, words in sorted(LANG_MARKERS.items()))}),
+    ranked AS (
+        SELECT doc_id, lang, cand,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, cand
+               ) AS rn
+        FROM scores
+    )
+    SELECT lang AS true_lang, cand AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM ranked WHERE rn = 1
+    GROUP BY lang, cand
+    """,
+    doc="Language-ID confusion matrix: the heuristic's argmax prediction "
+    "cross-tabulated against the labeled lang column — the eval report "
+    "that decides whether the cheap triage heuristic is good enough to "
+    "route documents before the expensive model. Same unpivot->rank "
+    "plan as lang_id_heuristic plus one tiny (|langs|^2-row) aggregate.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    base = docs.select("doc_id", "lang", toks.alias("toks"))
+    scored = None
+    for lang, words in sorted(LANG_MARKERS.items()):
+        marker = F.array(*[F.lit(w) for w in words])
+        part = base.select(
+            "doc_id",
+            "lang",
+            F.lit(lang).alias("cand"),
+            F.size(
+                F.filter(F.col("toks"), lambda w: F.array_contains(marker, w))
+            ).cast("long").alias("score"),
+        )
+        scored = part if scored is None else scored.union(part)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("cand").alias("predicted_lang"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
