@@ -111,7 +111,7 @@ def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-(SparkContext, sf_dir) caches of the two materialized base tables the
 # dedup family shares — the per-doc shingle-hash arrays (ngram, MinHash,
-# components) and the SimHash popcount base (fingerprint, banded pairs).
+# components) and the packed SimHash value table (fingerprint, banded pairs).
 # Within one session every consumer query reuses the same checkpointed
 # blocks instead of re-running the corpus scan + aggregation (~2-3 s each
 # at sf0.1); the application id keys out stale contexts across sessions.
@@ -273,27 +273,24 @@ def _token_hashes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_popcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n, p0..p63): token count and per-bit popcounts — the shared
-    aggregate both SimHash surfaces project from. 64 plain
+    """(doc_id, n, p0..p63): token count and per-bit popcounts. 64 plain
     SUM((hv >> k) & 1) aggregates instead of 64 CASE-over-comparison sums:
     the bit-majority test (2*p_b >= n ⇔ the old sum(±1) >= 0) moves to a
     separate post-aggregation projection, which keeps each generated
     function small — the CASE formulation's single giant aggregate cost
-    ~6 s of janino compile per cold session, independent of data size."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _POPCOUNTS_CACHE:
-        v = _token_hashes_df(spark, sf_dir)
-        # one F.expr per aggregate (each parsed server-side in a single py4j
-        # call) — building these from nested Column objects cost ~3 s of
-        # pure py4j round-trips per query construction at 64 bits
-        aggs = [F.expr("count(1) as n")] + [
-            F.expr(f"sum(({_bit_source(b)})) as p{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-        _POPCOUNTS_CACHE[key] = (
-            v.groupBy("doc_id").agg(*aggs).localCheckpoint(eager=False)
-        )
-    return _POPCOUNTS_CACHE[key]
+    ~6 s of janino compile per cold session, independent of data size.
+    NOT checkpointed or cached here: converting this 65-agg plan to a
+    checkpoint RDD costs ~3 s of physical planning, so the one shared
+    checkpoint lives on the much simpler packed table (_simhash_value_df)
+    that both SimHash surfaces consume."""
+    v = _token_hashes_df(spark, sf_dir)
+    # one F.expr per aggregate (each parsed server-side in a single py4j
+    # call) — building these from nested Column objects cost ~3 s of
+    # pure py4j round-trips per query construction at 64 bits
+    aggs = [F.expr("count(1) as n")] + [
+        F.expr(f"sum(({_bit_source(b)})) as p{b}") for b in range(SIMHASH_BITS)
+    ]
+    return v.groupBy("doc_id").agg(*aggs)
 
 
 _TOKEN_HASHES_SQL = f"""
@@ -324,13 +321,13 @@ _TOKEN_HASHES_SQL = f"""
     "constant output size per doc.",
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _simhash_popcounts(spark, sf_dir)
-    concat_expr = (
-        "concat("
-        + ", ".join(f"if(p{b}*2 >= n, '1', '0')" for b in range(SIMHASH_BITS))
-        + ") as simhash"
+    # render the shared packed BIGINT as the bit-0-first string the oracle
+    # concat builds: bin() gives the MSB-first two's-complement digits,
+    # lpad to the full 64, reverse for ascending bit order
+    return _simhash_value_df(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"reverse(lpad(bin(sim), {SIMHASH_BITS}, '0')) as simhash",
     )
-    return base.selectExpr("doc_id", concat_expr)
 
 
 HAMMING_MAX = 3  # near-dup iff fingerprints differ in <= 3 of 64 bits
@@ -342,37 +339,41 @@ SIMHASH_BANDS = 4  # pigeonhole: 3 flipped bits touch <= 3 of any 4 disjoint
 # lets the width scale with the corpus without touching the result.
 SIMHASH_BLOCK_BITS_MAX = SIMHASH_BITS // SIMHASH_BANDS  # 16 — Manku's 4x16
 SIMHASH_BLOCK_BITS_MIN = 4
-SIMHASH_TARGET_BUCKET_DOCS = 8
 
 
 def derive_simhash_block_bits(n_docs: int) -> int:
-    """Band-key width in bits, grown with the corpus (same role as
-    ``derive_n_planes``, vectors.py): 2^w buckets per band sized
-    ~SIMHASH_TARGET_BUCKET_DOCS, so map-side pair generation inside a
-    bucket stays O(bucket²) with a bounded bucket as data grows — at 1e9+
-    docs this resolves to Manku's production 4x16-bit blocks, and the
-    candidate set shrinks toward the true near-dup pairs. Any width yields
-    the SAME final result (banding is lossless for hamming <= 3 and the
-    xor/popcount verify drops false candidates), so the data-dependent
-    width never diverges from the width-independent all-pairs oracle."""
-    import math
-
-    raw = math.ceil(math.log2(max(1, n_docs) / SIMHASH_TARGET_BUCKET_DOCS + 1))
-    return min(SIMHASH_BLOCK_BITS_MAX, max(SIMHASH_BLOCK_BITS_MIN, raw))
+    """Band-key width in bits: always the full SIMHASH_BITS/SIMHASH_BANDS
+    (Manku's production 4x16). Because 4 disjoint blocks make banding
+    LOSSLESS for hamming <= 3 at ANY width, width is a pure selectivity
+    knob — wider blocks are strictly better (fewer false candidates),
+    narrower ones never help. The round-4 occupancy-targeted derivation
+    (2^w buckets sized to ~8 docs uniform) undersized w badly in practice:
+    real fingerprints are skew-clustered, and at sf0.1 a 10-bit width
+    admitted 3.65M candidates for 105k true pairs (35x overgeneration in
+    the xor/popcount verify). Kept as a function of n_docs for API
+    stability and so the guard test documents the width contract."""
+    return SIMHASH_BLOCK_BITS_MAX if n_docs > 0 else SIMHASH_BLOCK_BITS_MIN
 
 
 def _simhash_value_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sim): the 64-bit SimHash fingerprint as a signed BIGINT —
-    same bit-majority construction as ``simhash_fingerprint`` (which
-    renders the bits as a string for display), packed with two's-complement
-    bit weights for bitwise banding and xor/popcount verification."""
-    base = _simhash_popcounts(spark, sf_dir)
-    # bit 63's weight is -2^63: summed LAST so every partial sum stays
-    # inside signed-64 range (ANSI mode would reject an overflow)
-    total = " + ".join(
-        f"if(p{b}*2 >= n, {_bit_weight(b)}L, 0L)" for b in range(SIMHASH_BITS)
-    )
-    return base.selectExpr("doc_id", f"cast(({total}) as bigint) as sim")
+    """(doc_id, sim): the 64-bit SimHash fingerprint as a signed BIGINT,
+    packed with two's-complement bit weights for bitwise banding and
+    xor/popcount verification — THE materialized SimHash table: cached and
+    checkpointed per (SparkContext, sf_dir); the string-rendering
+    fingerprint query and the banded pair query both project from it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _POPCOUNTS_CACHE:
+        base = _simhash_popcounts(spark, sf_dir)
+        # bit 63's weight is -2^63: summed LAST so every partial sum stays
+        # inside signed-64 range (ANSI mode would reject an overflow)
+        total = " + ".join(
+            f"if(p{b}*2 >= n, {_bit_weight(b)}L, 0L)"
+            for b in range(SIMHASH_BITS)
+        )
+        _POPCOUNTS_CACHE[key] = base.selectExpr(
+            "doc_id", f"cast(({total}) as bigint) as sim"
+        ).localCheckpoint(eager=False)
+    return _POPCOUNTS_CACHE[key]
 
 
 def _simhash_value_sql() -> str:
@@ -400,23 +401,23 @@ def _simhash_value_sql() -> str:
     "near-dup detector): all document pairs whose 64-bit SimHash "
     "fingerprints are within hamming distance 3. The oracle IS the "
     "specification (brute-force all-pairs popcount); the Spark plan is the "
-    "scalable banded-LSH equivalent — 4 disjoint bit blocks whose width "
-    "derive_simhash_block_bits grows with the corpus (16 bits = Manku's "
-    "4x16 sizing at production counts), candidates only from same-"
-    "(block, value) buckets with map-side pair generation, then "
-    "xor/popcount verify on the candidate set. Lossless by pigeonhole: "
-    "<= 3 flipped bits leave >= 1 of the 4 blocks intact, so every "
-    "qualifying pair lands in some bucket and the banded result equals "
-    "the all-pairs result for ANY block width — bucket occupancy "
-    "(~n/2^w) is a pure performance knob, which is why sizing it from "
-    "the corpus count cannot diverge from the pinned oracle.",
+    "scalable banded-LSH equivalent — Manku's 4 disjoint 16-bit blocks "
+    "(full width unconditionally: width is a pure selectivity knob, and "
+    "the occupancy-derived narrower widths admitted 35x candidate "
+    "overgeneration on skew-clustered fingerprints), candidates only "
+    "from same-(block, value) buckets with map-side pair generation, "
+    "then xor/popcount verify on the candidate set. Lossless by "
+    "pigeonhole: <= 3 flipped bits leave >= 1 of the 4 blocks intact, "
+    "so every qualifying pair lands in some bucket and the banded "
+    "result equals the all-pairs oracle at ANY width.",
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cqu_bigdata_recommender_system_for_movies_spark.tables import table_row_count
 
-    # one fingerprint row per doc, checkpointed: banding and both verify
-    # probes read it, and the token-hash aggregation must not re-run per probe
-    sim = _simhash_value_df(spark, sf_dir).localCheckpoint(eager=False)
+    # one fingerprint row per doc (checkpointed + session-cached inside
+    # _simhash_value_df): banding and both verify probes read it, and the
+    # token-hash aggregation must not re-run per probe
+    sim = _simhash_value_df(spark, sf_dir)
     block_bits = derive_simhash_block_bits(table_row_count(sf_dir, "documents"))
     band_structs = F.array(
         *[

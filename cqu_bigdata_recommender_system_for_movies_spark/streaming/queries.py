@@ -567,3 +567,45 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_value", 4).alias("purchase_value"),
     )
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "streaming_hash_split_counts",
+    oracle="""
+    SELECT CASE
+             WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 < 80 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 < 90 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="Streaming twin of hash_split_assign: deterministic md5 train/val/"
+    "test assignment applied per micro-batch (a pure map — no state), "
+    "split counts aggregated in complete mode. Because the assignment is "
+    "a function of the key alone, the streaming result is exactly the "
+    "batch result — the property that makes hash-splitting the correct "
+    "choice for a continuously-ingesting training pipeline (an RNG split "
+    "would re-roll every restart).",
+)
+def streaming_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    counts = (
+        stream.select(
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+    return _run_to_memory(counts, "complete")

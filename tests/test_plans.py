@@ -322,17 +322,12 @@ def test_simhash_manku_sizing_and_losslessness_preconditions():
     # SIMHASH_BANDS disjoint blocks intact, and blocks must be disjoint
     assert SIMHASH_BANDS > HAMMING_MAX
     assert SIMHASH_BANDS * SIMHASH_BLOCK_BITS_MAX <= SIMHASH_BITS
-    # derived width grows monotonically with the corpus and hits the
-    # production sizing at web scale; floor keeps tiny corpora bucketed
-    assert derive_simhash_block_bits(1) == SIMHASH_BLOCK_BITS_MIN
-    assert derive_simhash_block_bits(10**9) == SIMHASH_BLOCK_BITS_MAX
-    widths = [derive_simhash_block_bits(n) for n in (10, 10**3, 10**6, 10**9)]
-    assert widths == sorted(widths)
-    # expected bucket occupancy n / 2^w stays bounded once off the floor
-    for n in (10**4, 10**6, 10**9):
-        w = derive_simhash_block_bits(n)
-        if w < SIMHASH_BLOCK_BITS_MAX:
-            assert n / 2**w <= 16
+    # width is a pure selectivity knob (losslessness holds at any width),
+    # so every real corpus gets the full production 16-bit blocks — the
+    # occupancy-targeted derivation undersized the width 35x at sf0.1
+    for n in (10, 10**3, 10**6, 10**9):
+        assert derive_simhash_block_bits(n) == SIMHASH_BLOCK_BITS_MAX
+    assert SIMHASH_BLOCK_BITS_MIN >= 1  # degenerate floor only
 
 
 def test_dedup_components_one_action_per_iteration(spark, sf_dir, monkeypatch):
