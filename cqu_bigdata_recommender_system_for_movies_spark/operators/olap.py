@@ -634,3 +634,95 @@ def key_distribution_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_events").alias("max_events"),
         )
     )
+
+
+@register(
+    "map_functions_suite",
+    oracle="""
+    SELECT event_id,
+           'k' AS first_key,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           event_type AS tagged_key,
+           CAST(json_extract(props, '$.k') AS BIGINT) + 1 AS tagged_value,
+           1 AS n_entries
+    FROM events
+    """,
+    doc="Map-type function suite: from_json into map<string,bigint>, "
+    "map_keys / element_at access, map_from_arrays construction keyed by "
+    "a row value, and size — the MapType column surface (the engine-side "
+    "twin of the reference's dict-shaped node properties). All map "
+    "operations are per-row codegen expressions; the oracle flattens the "
+    "same accesses through DuckDB's JSON path functions.",
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    tagged = F.map_from_arrays(
+        F.array(F.col("event_type")), F.array(F.element_at(m, "k") + 1)
+    )
+    return events.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(F.map_keys(tagged), 1).alias("tagged_key"),
+        F.element_at(tagged, F.col("event_type")).alias("tagged_value"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey AS user_id,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT user_id, frequency, monetary_cents,
+               NTILE(4) OVER (ORDER BY last_order, user_id) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency, user_id) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary_cents, user_id) AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_users,
+           CAST(SUM(monetary_cents) AS BIGINT) AS total_monetary_cents,
+           CAST(SUM(frequency) AS BIGINT) AS total_frequency
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    doc="RFM segmentation (recency/frequency/monetary quartiles — the "
+    "classic customer-analytics rollup): one aggregate over orders, "
+    "three NTILE ranks over the customer-sized table, then a 64-cell "
+    "segment summary. Money is carried as exact integer cents: float "
+    "sums round differently across engines at the half-cent boundary, "
+    "and exact keys keep the NTILE order engine-stable. The windows "
+    "order a customer-count table, not the fact table — at 100 TB the orders aggregate is the only "
+    "corpus-sized shuffle.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("last_order", "user_id")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(4).over(
+            Window.orderBy("monetary_cents", "user_id")
+        ).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.sum("monetary_cents").alias("total_monetary_cents"),
+        F.sum("frequency").alias("total_frequency"),
+    )

@@ -304,3 +304,81 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_max", ignorenulls=True).over(w).alias("filled_value"),
         F.col("day_max").isNull().alias("was_gap"),
     )
+
+
+ATTRIBUTION_WINDOW_US = 86_400_000_000  # 1 day in microseconds
+
+
+@register(
+    "last_touch_attribution",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN event_id END AS touch_id,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN ts END AS touch_ts
+        FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    w AS (
+        SELECT *,
+               LAST_VALUE(touch_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_touch_id,
+               LAST_VALUE(touch_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_touch_ts
+        FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, last_touch_id,
+           epoch_us(ts) - epoch_us(last_touch_ts) AS micros_since_touch
+    FROM w
+    WHERE event_type = 'purchase' AND last_touch_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(last_touch_ts) <= {ATTRIBUTION_WINDOW_US}
+    """,
+    doc="Last-touch attribution: each purchase credited to the user's most "
+    "recent click/view within a 1-day lookback — the classic marketing "
+    "attribution query, built exactly like the as-of join (tagged single "
+    "stream + last_value-ignore-nulls over a per-user time sort): one "
+    "shuffle on user_id, no range cross-product, micros arithmetic kept "
+    "integer-exact for the oracle.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = events.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(is_touch, F.col("event_id")).alias("touch_id"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = tagged.select(
+        "*",
+        F.last("touch_id", ignorenulls=True).over(w).alias("last_touch_id"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("last_touch_ts")
+    return (
+        enriched.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_touch_ts").isNotNull()
+            & (gap <= ATTRIBUTION_WINDOW_US)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "last_touch_id",
+            gap.alias("micros_since_touch"),
+        )
+    )
