@@ -971,3 +971,69 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "dedup_pipeline_summary",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    {_NGRAM_PAIRS_SQL},
+    und AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM und
+        UNION
+        SELECT u.src, r.lbl FROM und u JOIN reach r ON u.dst = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+    comp_sizes AS (
+        SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents)
+               AS n_unique_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_near_dup_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM comp_sizes) AS n_clusters,
+           (SELECT CAST(COALESCE(SUM(sz - 1), 0) AS BIGINT) FROM comp_sizes)
+               AS n_near_dup_removed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+               - (SELECT CAST(COALESCE(SUM(sz - 1), 0) AS BIGINT)
+                  FROM comp_sizes) AS n_survivors
+    """,
+    doc="End-to-end dedup pipeline attrition summary — the one-row report "
+    "a corpus build publishes after the dedup stage: corpus size, exact-"
+    "unique count, near-dup pair count, cluster count, docs removed by "
+    "survivor selection, and the surviving corpus size. Composes the "
+    "session-cached edge/cluster tables (no stage recomputes), so the "
+    "marginal cost after the dedup family has run is three tiny "
+    "aggregates.",
+)
+def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    comp = dedup_components(spark, sf_dir)
+    pairs = _pair_edges(spark, sf_dir)
+    n_docs = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_exact"),
+    )
+    n_pairs = pairs.agg(F.count("*").alias("n_near_dup_pairs"))
+    clusters = (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.coalesce(F.sum(F.col("sz") - 1), F.lit(0)).alias(
+                "n_near_dup_removed"
+            ),
+        )
+    )
+    return (
+        n_docs.crossJoin(n_pairs)
+        .crossJoin(clusters)
+        .withColumn(
+            "n_survivors", F.col("n_docs") - F.col("n_near_dup_removed")
+        )
+    )

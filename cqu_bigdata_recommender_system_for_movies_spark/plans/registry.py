@@ -116,10 +116,12 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     # -- above; the events-loading path stays covered via range_join +
     # -- the streaming file-source entries) --------------------------------
     "range_join_events_orders",
-    "streaming_window_counts",
-    "streaming_static_join",
     "streaming_watermarked_counts",
-    "streaming_dedup_events",
+    # -- new (late round 4): the streaming twin also re-covers the changed
+    # -- events loader path; confusion matrix is never-checked ------------
+    "streaming_hash_split_counts",
+    "lang_id_confusion",
+    "dedup_pipeline_summary",  # capstone attrition report over cached stages
     # -- expensive ALS tail of the window (shared _MODEL_CACHE fits) -------
     "als_rmse",
     "als_precision_recall_at_k",
