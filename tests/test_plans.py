@@ -547,3 +547,41 @@ def test_reservoir_sample_partitioned_window(spark, sf_dir):
     plan = _plan(all_queries()["reservoir_sample_per_key"](spark, sf_dir))
     assert "Exchange hashpartitioning" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_dedup_base_tables_cached_per_session(spark, sf_dir):
+    """The dedup family's shared base tables (shingle-hash arrays, pair
+    edges, packed SimHash values) must be cached per (context, sf_dir) —
+    re-materializing them per consumer was the round-4 bench's dominant
+    dedup cost. Identity equality is the contract: same object, same
+    checkpoint blocks."""
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.dedup import (
+        _doc_hash_arrays,
+        _pair_edges,
+        _simhash_value_df,
+    )
+
+    assert _doc_hash_arrays(spark, sf_dir) is _doc_hash_arrays(spark, sf_dir)
+    assert _pair_edges(spark, sf_dir) is _pair_edges(spark, sf_dir)
+    assert _simhash_value_df(spark, sf_dir) is _simhash_value_df(spark, sf_dir)
+
+
+def test_bench_regressions_skip_cross_sf(tmp_path, monkeypatch):
+    """bench._regressions must not compare a run against a prior-round
+    record taken at a DIFFERENT scale factor (an sf0.01 smoke vs the
+    driver's sf0.1 record flagged nonsense ratios)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    rec = {"queries": {"q1": 1.0}, "sf": 0.1}
+    (tmp_path / "BENCH_r9.json").write_text(json.dumps(rec))
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda _: str(tmp_path)
+    )
+    # same sf: a 2x slowdown is flagged
+    assert "q1" in bench._regressions({"q1": 2.0}, 0.1)
+    # different sf: no comparison at all
+    assert bench._regressions({"q1": 2.0}, 0.01) == {}
