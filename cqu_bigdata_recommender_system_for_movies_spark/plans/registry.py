@@ -61,10 +61,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # eleven queries whose latest green row is still round 1, then the freshest
 # slice of round-2 singles that keeps the events-loading and streaming
 # file-source paths covered. Expensive ALS entries sit at the tail of the
-# 50 so a fit failure can't starve the cheap checks; the r2-green singles
-# ceded this round (semi_join, set-ops, maxby, percentile/date/string
-# suites, cube, gap-fill, nested-struct, salted-join, parse-records,
-# wordcount, orderby/topk re-confirms) are next round's fill.
+# 50 so a fit failure can't starve the cheap checks. Next round's fill,
+# in priority order: the four late-round-4 additions with no driver row
+# yet (map_functions_suite, rfm_segmentation, last_touch_attribution,
+# embedding_quantize_int8), then the r2-green singles ceded this round
+# (semi_join, set-ops, maxby, percentile/date/string suites, cube,
+# gap-fill, nested-struct, salted-join, parse-records, wordcount,
+# window_counts/static_join/dedup_events streaming re-confirms,
+# orderby/topk re-confirms).
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (
