@@ -772,3 +772,66 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mse"),
     )
+
+
+# --- PCA (power iteration) --------------------------------------------------
+
+PCA_POWER_ITERATIONS = 12
+
+
+@register(
+    "embedding_pca_top_component",
+    oracle=None,  # iterative float linear algebra — invariants in pytest
+    doc="Top principal component of the embedding column by distributed "
+    "power iteration: mean-center, build the d x d covariance as a "
+    "(i, j, value) table via per-row outer products (posexplode twice, "
+    "groupBy-sum — never a driver-side matrix), then iterate "
+    "v <- normalize(C v) with the 64-row vector re-broadcast each step. "
+    "The covariance aggregate is the only corpus-sized shuffle; each "
+    "iteration is a d^2-row join — constant cost regardless of corpus "
+    "size, the property that makes power iteration the scalable PCA "
+    "path (vs collecting X^T X to one machine). Returns (position, "
+    "weight, eigenvalue) rows; sign fixed by forcing weight[0] >= 0.",
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", F.posexplode("embedding").alias("i", "xi"))
+    mean = x.groupBy("i").agg(F.avg("xi").alias("mu"))
+    xc = (
+        x.join(F.broadcast(mean), "i")
+        .select("vec_id", "i", (F.col("xi") - F.col("mu")).alias("xi"))
+    )
+    n = emb.count()
+    cov = (
+        xc.alias("a")
+        .join(xc.alias("b"), "vec_id")
+        .groupBy(
+            F.col("a.i").alias("i"), F.col("b.i").alias("j")
+        )
+        .agg((F.sum(F.col("a.xi") * F.col("b.xi")) / F.lit(n - 1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    d = cov.agg(F.max("i")).collect()[0][0] + 1
+    # v0 = uniform unit vector; each round: w = C v; v = w / ||w||
+    v = spark.createDataFrame(
+        [(i, 1.0 / d**0.5) for i in range(d)], "j int, v double"
+    )
+    eigenvalue = 0.0
+    for _ in range(PCA_POWER_ITERATIONS):
+        w = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        norm_row = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w")))).collect()[0]
+        eigenvalue = float(norm_row[0])
+        v = w.select(
+            F.col("i").alias("j"), (F.col("w") / F.lit(eigenvalue)).alias("v")
+        ).localCheckpoint(eager=True)
+    sign = v.filter(F.col("j") == 0).collect()[0]["v"]
+    flip = -1.0 if sign < 0 else 1.0
+    return v.select(
+        F.col("j").alias("position"),
+        F.round(F.col("v") * flip, 6).alias("weight"),
+        F.round(F.lit(eigenvalue), 6).alias("eigenvalue"),
+    ).orderBy("position")

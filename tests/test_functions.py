@@ -75,3 +75,17 @@ def test_set_ops_except_nontrivial(spark, sf_dir):
     )
 
     assert set_ops_except(spark, sf_dir).count() > 0
+
+
+def test_embedding_pca_top_component(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        embedding_pca_top_component,
+    )
+
+    rows = embedding_pca_top_component(spark, sf_dir).collect()
+    assert len(rows) == 64  # one weight per embedding dimension
+    assert rows[0].position == 0 and rows[-1].position == 63
+    norm = sum(r.weight**2 for r in rows) ** 0.5
+    assert abs(norm - 1.0) < 1e-4  # unit eigenvector
+    assert rows[0].weight >= 0  # sign convention
+    assert rows[0].eigenvalue > 0  # top covariance eigenvalue is positive
