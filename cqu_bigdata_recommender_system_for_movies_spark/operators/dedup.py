@@ -121,6 +121,17 @@ _ARRAYS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _POPCOUNTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _cache_put(cache: dict, key: tuple[str, str], df: DataFrame) -> DataFrame:
+    """Insert and evict entries from other (dead) Spark contexts: their
+    checkpoint blocks died with the context, and keeping the DataFrames
+    would pin py4j refs for the life of a process that restarts sessions."""
+    stale = [k for k in cache if k[0] != key[0]]
+    for k in stale:
+        del cache[k]
+    cache[key] = df
+    return df
+
+
 def _doc_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, hvs: array<long>): each doc's DISTINCT shingle-hash set as a
     compact array, materialized once via ``localCheckpoint`` — the verify
@@ -131,11 +142,13 @@ def _doc_hash_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     footprint a real pipeline would write out as its signature table."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ARRAYS_CACHE:
-        _ARRAYS_CACHE[key] = (
+        _cache_put(
+            _ARRAYS_CACHE,
+            key,
             _shingles_raw(spark, sf_dir)
             .groupBy("doc_id")
             .agg(F.collect_set("hv").alias("hvs"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False),
         )
     return _ARRAYS_CACHE[key]
 
@@ -370,9 +383,13 @@ def _simhash_value_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"if(p{b}*2 >= n, {_bit_weight(b)}L, 0L)"
             for b in range(SIMHASH_BITS)
         )
-        _POPCOUNTS_CACHE[key] = base.selectExpr(
-            "doc_id", f"cast(({total}) as bigint) as sim"
-        ).localCheckpoint(eager=False)
+        _cache_put(
+            _POPCOUNTS_CACHE,
+            key,
+            base.selectExpr(
+                "doc_id", f"cast(({total}) as bigint) as sim"
+            ).localCheckpoint(eager=False),
+        )
     return _POPCOUNTS_CACHE[key]
 
 
@@ -409,7 +426,13 @@ def _simhash_value_sql() -> str:
     "then xor/popcount verify on the candidate set. Lossless by "
     "pigeonhole: <= 3 flipped bits leave >= 1 of the 4 blocks intact, "
     "so every qualifying pair lands in some bucket and the banded "
-    "result equals the all-pairs oracle at ANY width.",
+    "result equals the all-pairs oracle at ANY width. Identical "
+    "fingerprints collapse to one representative BEFORE banding "
+    "(exact-dup skew at crawl scale would otherwise concentrate one "
+    "bucket and make its pair generator quadratic in the duplicate "
+    "count); hamming-0 pairs enumerate from the collapsed groups and "
+    "cross-group pairs re-expand after the verify — same result, "
+    "duplicate-skew-proof buckets.",
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cqu_bigdata_recommender_system_for_movies_spark.tables import table_row_count
@@ -419,6 +442,31 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token-hash aggregation must not re-run per probe
     sim = _simhash_value_df(spark, sf_dir)
     block_bits = derive_simhash_block_bits(table_row_count(sf_dir, "documents"))
+    return _simhash_pairs_from_values(sim, block_bits)
+
+
+def _simhash_groups(sim: DataFrame) -> DataFrame:
+    """(sim, docs): one row per DISTINCT fingerprint value, docs sorted so
+    docs[0] is the min-id representative. Collapsing identical fingerprints
+    BEFORE banding is the hot-bucket cap: a corpus heavy in exact
+    duplicates (the common case at crawl scale) piles millions of docs
+    onto one fingerprint, and banding them individually would make every
+    (block, value) bucket quadratic in the duplicate count x 4 bands.
+    After the collapse a bucket holds at most the number of distinct
+    fingerprints sharing that block value — duplicate skew cannot touch
+    it. Checkpointed: banding, the hamming-0 expansion, and both sides
+    of the cross-group expansion all read it."""
+    return (
+        sim.groupBy("sim")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _rep_band_buckets(groups: DataFrame, block_bits: int) -> DataFrame:
+    """(band, key, reps): banded LSH buckets over one representative per
+    distinct fingerprint. Bucket cardinality is bounded by distinct-
+    fingerprint count per (block, value), never by duplicate multiplicity."""
     band_structs = F.array(
         *[
             F.struct(
@@ -430,27 +478,66 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(SIMHASH_BANDS)
         ]
     )
-    bands = sim.select("doc_id", F.explode(band_structs).alias("bk")).select(
+    reps = groups.select(F.col("docs")[0].alias("doc_id"), "sim")
+    bands = reps.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    cand = (
+    return (
         bands.groupBy("band", "key")
-        .agg(F.collect_set("doc_id").alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(_pairs_in_array("ds")).alias("p"))
+        .agg(F.collect_set("doc_id").alias("reps"))
+        .filter(F.size("reps") >= 2)
+    )
+
+
+def _simhash_pairs_from_values(sim: DataFrame, block_bits: int) -> DataFrame:
+    """All (doc_a < doc_b, hamming <= HAMMING_MAX) pairs from a
+    (doc_id, sim) fingerprint table. Three stages, all output-bound:
+    hamming-0 pairs enumerate straight from the identical-fingerprint
+    groups (they exist no matter how banding is tuned); banded LSH runs
+    over one representative per distinct fingerprint; surviving
+    representative pairs re-expand to the full duplicate groups with a
+    double explode. Result is identical to the all-pairs specification —
+    the collapse only changes WHERE the (inherently quadratic-in-group)
+    pair enumeration happens, never which pairs come out."""
+    groups = _simhash_groups(sim)
+    within = (
+        groups.filter(F.size("docs") >= 2)
+        .select(F.explode(_pairs_in_array("docs")).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    cand = (
+        _rep_band_buckets(groups, block_bits)
+        .select(F.explode(_pairs_in_array("reps")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
     sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
     hamming = F.expr("bit_count(sim_a ^ sim_b)").cast("int")
-    return (
+    rep_pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
+    # distinct fingerprints have hamming >= 1, so rep pairs never overlap
+    # the within-group (hamming 0) pairs; expansion crosses two disjoint
+    # doc groups, so least/greatest only canonicalizes the id order
+    ga = groups.select(F.col("docs")[0].alias("doc_a"), F.col("docs").alias("docs_a"))
+    gb = groups.select(F.col("docs")[0].alias("doc_b"), F.col("docs").alias("docs_b"))
+    cross = (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("hamming", F.explode("docs_a").alias("da"), "docs_b")
+        .select("hamming", "da", F.explode("docs_b").alias("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return within.unionAll(cross)
 
 
 def _band_key_parts(bi: int) -> list[str]:
@@ -582,10 +669,12 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = (
+        _cache_put(
+            _PAIRS_CACHE,
+            key,
             ngram_jaccard_pairs(spark, sf_dir)
             .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True),
         )
     return _PAIRS_CACHE[key]
 

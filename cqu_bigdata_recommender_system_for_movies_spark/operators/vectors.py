@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
 from cqu_bigdata_recommender_system_for_movies_spark.tables import (
     RATINGS_SQL,
     load,
@@ -779,59 +780,94 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_POWER_ITERATIONS = 12
 
 
+GRAM_PARTIAL_SCHEMA = "n long, sums array<double>, gram array<double>"
+
+
+def _gram_partials(batch_iter):
+    """Per-Arrow-batch Gramian accumulation: one (n, Σx, flat ΣxxT) row per
+    input batch. The corpus never shuffles — each task reduces its rows to
+    d + d^2 doubles, exactly RowMatrix.computeGramianMatrix's shape."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batch_iter:
+        if not len(pdf):
+            continue
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        yield pd.DataFrame(
+            {
+                "n": [m.shape[0]],
+                "sums": [m.sum(axis=0)],
+                "gram": [(m.T @ m).ravel()],
+            }
+        )
+
+
+def _gram_reduced(emb: DataFrame) -> DataFrame:
+    """(idx, val): the corpus's (count, Σx, flat ΣxxT) summed across all
+    batch partials. Tree-reduce shape: flatten each partial to (idx, val)
+    and sum per idx — partial aggregation combines map-side, so the
+    shuffle carries at most (1 + d + d^2) rows per task regardless of
+    corpus size, and the plan contains NO join (asserted in
+    tests/test_plans.py)."""
+    parts = emb.select("embedding").mapInPandas(
+        _gram_partials, GRAM_PARTIAL_SCHEMA
+    )
+    flat = F.concat(F.array(F.col("n").cast("double")), "sums", "gram")
+    return (
+        parts.select(F.posexplode(flat).alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
 @register(
     "embedding_pca_top_component",
     oracle=None,  # iterative float linear algebra — invariants in pytest
-    doc="Top principal component of the embedding column by distributed "
-    "power iteration: mean-center, build the d x d covariance as a "
-    "(i, j, value) table via per-row outer products (posexplode twice, "
-    "groupBy-sum — never a driver-side matrix), then iterate "
-    "v <- normalize(C v) with the 64-row vector re-broadcast each step. "
-    "The covariance aggregate is the only corpus-sized shuffle; each "
-    "iteration is a d^2-row join — constant cost regardless of corpus "
-    "size, the property that makes power iteration the scalable PCA "
-    "path (vs collecting X^T X to one machine). Returns (position, "
-    "weight, eigenvalue) rows; sign fixed by forcing weight[0] >= 0.",
+    doc="Top principal component of the embedding column via a distributed "
+    "Gramian: mapInPandas accumulates X^T X per Arrow batch (d + d^2 "
+    "doubles per task — the corpus itself never shuffles), a map-side-"
+    "combined groupBy tree-reduces the partials to one d x d matrix, and "
+    "the d=64 covariance eigenproblem finishes with driver-side power "
+    "iteration — the same split RowMatrix.computePrincipalComponents "
+    "uses, and the scale-safe replacement for the round-4 per-row "
+    "self-join that shuffled n*d^2 rows. Returns (position, weight, "
+    "eigenvalue) rows; sign fixed by forcing weight[0] >= 0.",
 )
 def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ensure_shipped(spark)
     emb = load(spark, sf_dir, "embeddings")
-    x = emb.select("vec_id", F.posexplode("embedding").alias("i", "xi"))
-    mean = x.groupBy("i").agg(F.avg("xi").alias("mu"))
-    xc = (
-        x.join(F.broadcast(mean), "i")
-        .select("vec_id", "i", (F.col("xi") - F.col("mu")).alias("xi"))
-    )
-    n = emb.count()
-    cov = (
-        xc.alias("a")
-        .join(xc.alias("b"), "vec_id")
-        .groupBy(
-            F.col("a.i").alias("i"), F.col("b.i").alias("j")
+    reduced = _gram_reduced(emb).collect()
+    if not reduced:
+        raise ValueError("embedding_pca_top_component: embeddings table is empty")
+    vals = np.zeros(len(reduced))
+    for r in reduced:
+        vals[r.idx] = r.val
+    n = int(round(vals[0]))
+    if n < 2:
+        raise ValueError(
+            f"embedding_pca_top_component needs n >= 2 vectors, got {n}"
         )
-        .agg((F.sum(F.col("a.xi") * F.col("b.xi")) / F.lit(n - 1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    d = cov.agg(F.max("i")).collect()[0][0] + 1
+    d = int(round((len(vals) - 1 + 0.25) ** 0.5 - 0.5))  # len = 1 + d + d^2
+    s = vals[1 : 1 + d]
+    gram = vals[1 + d :].reshape(d, d)
+    cov = (gram - np.outer(s, s) / n) / (n - 1)
     # v0 = uniform unit vector; each round: w = C v; v = w / ||w||
-    v = spark.createDataFrame(
-        [(i, 1.0 / d**0.5) for i in range(d)], "j int, v double"
-    )
+    v = np.full(d, 1.0 / d**0.5)
     eigenvalue = 0.0
     for _ in range(PCA_POWER_ITERATIONS):
-        w = (
-            cov.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
-        )
-        norm_row = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w")))).collect()[0]
-        eigenvalue = float(norm_row[0])
-        v = w.select(
-            F.col("i").alias("j"), (F.col("w") / F.lit(eigenvalue)).alias("v")
-        ).localCheckpoint(eager=True)
-    sign = v.filter(F.col("j") == 0).collect()[0]["v"]
-    flip = -1.0 if sign < 0 else 1.0
-    return v.select(
-        F.col("j").alias("position"),
-        F.round(F.col("v") * flip, 6).alias("weight"),
-        F.round(F.lit(eigenvalue), 6).alias("eigenvalue"),
+        w = cov @ v
+        eigenvalue = float(np.sqrt(w @ w))
+        if eigenvalue == 0.0:
+            raise ValueError(
+                "embedding_pca_top_component: degenerate (zero) covariance"
+            )
+        v = w / eigenvalue
+    if v[0] < 0:
+        v = -v
+    return spark.createDataFrame(
+        [(i, round(float(v[i]), 6), round(eigenvalue, 6)) for i in range(d)],
+        "position int, weight double, eigenvalue double",
     ).orderBy("position")
