@@ -162,6 +162,67 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_ratings_join",
+    oracle="""
+    WITH r AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+                      l_quantity AS rating, o_orderdate AS ts
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT rating, COUNT(*) AS n_ratings,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM r GROUP BY rating
+    """,
+    doc="The bucketed-layout escape hatch tables.py promises for the core "
+    "ratings view: lineitem and orders written ONCE as bucketBy(8, "
+    "orderkey) + sortBy tables, then the ratings flattening join "
+    "(SURVEY.md J2 — the reference's MATCH (u)-[r:Rate]->(m) projection, "
+    "spark_als.py:145-150) planned bucket-to-bucket with NO exchange "
+    "under the SortMergeJoin (asserted in tests/test_plans.py). At "
+    "100 TB this amortizes the fact-fact shuffle across every downstream "
+    "consumer of the ratings view — the layout a nightly refresh should "
+    "write. The aggregate on top is the oracle-visible result.",
+)
+def bucketed_ratings_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    loc = _scratch("bucketed_ratings")
+    for name, df, key in (
+        (
+            "lineitem_bucketed",
+            lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
+            "l_orderkey",
+        ),
+        (
+            "orders_bucketed_by_ok",
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            "o_orderkey",
+        ),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(loc, name))
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    li = spark.table("lineitem_bucketed")
+    # hint("merge"): force SMJ so the join provably reads bucket-to-bucket
+    # (same rationale as bucketed_join_agg above)
+    o = spark.table("orders_bucketed_by_ok").hint("merge")
+    r = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").alias("rating"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return r.groupBy("rating").agg(
+        F.count("*").alias("n_ratings"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
     "json_source_roundtrip",
     oracle="""
     SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value

@@ -640,11 +640,11 @@ def key_distribution_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions_suite",
     oracle="""
     SELECT event_id,
-           'k' AS first_key,
+           json_keys(props)[1] AS first_key,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
            event_type AS tagged_key,
            CAST(json_extract(props, '$.k') AS BIGINT) + 1 AS tagged_value,
-           1 AS n_entries
+           CAST(len(json_keys(props)) AS INTEGER) AS n_entries
     FROM events
     """,
     doc="Map-type function suite: from_json into map<string,bigint>, "

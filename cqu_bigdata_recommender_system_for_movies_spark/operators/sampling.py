@@ -135,12 +135,18 @@ MIXTURE_EN_KEEP_PCT = 40
 MIXTURE_OTHER_KEEP_PCT = 70
 
 
+def sql_in_list(items) -> str:
+    """('a', 'b') — built explicitly, never via tuple repr: a 1-element
+    tuple reprs as ('x',) whose trailing comma is invalid SQL."""
+    return "(" + ", ".join(f"'{s}'" for s in items) + ")"
+
+
 @register(
     "mixture_sample_by_source",
     oracle=f"""
     WITH assigned AS (
         SELECT source,
-               CASE WHEN source IN {MIXTURE_KEEP_ALL_SOURCES} THEN 100
+               CASE WHEN source IN {sql_in_list(MIXTURE_KEEP_ALL_SOURCES)} THEN 100
                     WHEN lang = 'en' THEN {MIXTURE_EN_KEEP_PCT}
                     ELSE {MIXTURE_OTHER_KEEP_PCT} END AS keep_pct,
                {_md5_bucket_sql("doc_id")} AS bucket

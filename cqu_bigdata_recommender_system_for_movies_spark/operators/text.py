@@ -859,7 +859,11 @@ BM25_B = 0.75
 BM25_QUERY_TERMS = ("spark", "join", "window")
 BM25_TOPK = 20
 
-_BM25_TERMS_SQL = str(tuple(BM25_QUERY_TERMS))
+from cqu_bigdata_recommender_system_for_movies_spark.operators.sampling import (
+    sql_in_list as _sql_in_list,
+)
+
+_BM25_TERMS_SQL = _sql_in_list(BM25_QUERY_TERMS)
 
 
 @register(

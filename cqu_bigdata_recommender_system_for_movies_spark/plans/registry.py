@@ -53,95 +53,95 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 # The driver verifies a fixed window of 50 queries per round, in the order
 # queries() yields them (every completed round truncated at exactly 50).
-# This list pins that window for round 4 — exactly DRIVER_WINDOW names
-# (r3's list had 52 for 50 slots and silently dropped the last two, so
-# _driver_order now asserts the invariants). Priority order: entries whose
-# implementation or oracle changed this round, every round-4 NEW entry
-# (never driver-checked — new evidence beats re-confirming greens), the
-# eleven queries whose latest green row is still round 1, then the freshest
-# slice of round-2 singles that keeps the events-loading and streaming
-# file-source paths covered. Expensive ALS entries sit at the tail of the
-# 50 so a fit failure can't starve the cheap checks. Next round's fill,
-# in priority order: the four late-round-4 additions with no driver row
-# yet (map_functions_suite, rfm_segmentation, last_touch_attribution,
-# embedding_quantize_int8), then the r2-green singles ceded this round
-# (semi_join, set-ops, maxby, percentile/date/string suites, cube,
-# gap-fill, nested-struct, salted-join, parse-records, wordcount,
-# window_counts/static_join/dedup_events streaming re-confirms,
-# orderby/topk re-confirms).
+# This list pins that window for round 5 — exactly DRIVER_WINDOW names.
+# Priority order: (a) entries whose implementation or oracle changed this
+# round (simhash_near_dup_pairs: fingerprint-collapse rewrite;
+# map_functions_suite: oracle now derives first_key/n_entries from the
+# JSON; embedding_pca_top_component: Gramian re-plan), (b) the round-4
+# additions that have never had a driver row (VERDICT r4 #1), (c) the new
+# round-5 entry (image_decode_pixel_stats — real PNG decode), then (d) the
+# FULL set of queries whose latest green row is round 2 — 44 of them, so
+# no green row ages past 2 rounds (VERDICT r4 #7)... minus one:
+# als_recommend_topk is ceded (51 names for 50 slots). It is the weakest
+# marginal evidence in the set — rows-only (no oracle), costs a full ALS
+# fit, and its semantics are pytest-gated every run — and it goes FIRST
+# into the r6 window. r6 fill, in priority order: als_recommend_topk,
+# then the 46 r3-latest greens (they age to 3 at r6; 47 names fit the
+# window with 3 slots to spare for r5-round changes; one of those goes
+# to bucketed_ratings_join, the round-5 layout demo registered too late
+# for this window).
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (
     # -- changed this round: must re-verify --------------------------------
-    "simhash_fingerprint",  # 64-bit Manku fingerprint (was 32)
-    "simhash_near_dup_pairs",  # 64-bit + corpus-derived block width
-    "contamination_check",  # shared single shingled scan (r3 perf regression)
-    "dedup_components",  # one-job-per-iteration convergence fold
+    "simhash_near_dup_pairs",  # identical-fingerprint collapse before banding
+    "map_functions_suite",  # never-checked + oracle now data-derived
+    "embedding_pca_top_component",  # never-checked + Gramian re-plan (rows-only)
+    # -- never driver-checked (late round-4 additions) ---------------------
+    "rfm_segmentation",
+    "last_touch_attribution",
+    "embedding_quantize_int8",
     # -- new this round ----------------------------------------------------
-    "vector_serde_roundtrip",  # F8 serialize/parse driver row
-    "streaming_console_emit",  # S5 console sink driver row
-    "dedup_components_lss",  # large-star/small-star CC (O(log n) rounds)
-    "minhash_jaccard_estimate",  # sketch-accuracy audit on LSH candidates
-    "duplicate_passage_detection",  # chunk-hash substring dedup
-    "quality_filter_funnel",  # Gopher-style rule-chain attrition report
-    "unigram_logprob_score",  # unigram-LM quality signal
-    "zorder_layout_stats",  # Morton-curve layout / data-skipping audit
-    "rolling_time_window_features",  # trailing RANGE-frame features
-    "bpr_negative_sampling",  # deterministic uniform negatives (train_topn BPR)
-    "ndcg_at_k_popularity",  # position-discounted ranking eval
-    "hash_split_assign",  # deterministic md5 train/val/test split
-    "mixture_sample_by_source",  # hash-threshold mixture construction
-    "reservoir_sample_per_key",  # deterministic n-per-key sample
-    "item_cooccurrence_topk",  # item-item CF cosine (basket co-occurrence)
-    "item_cooccurrence_jaccard",  # item-item CF jaccard variant
-    "text_normalize",  # casefold/punct-strip/ws-collapse stage
-    "skew_key_diagnostics",  # heavy-hitter share report
-    "key_distribution_histogram",  # log2 counts-of-counts skew profile
-    "dedup_canonical_docs",  # survivor selection over CC clusters
-    "bm25_topk",  # lexical retrieval baseline
-    "vocab_build",  # frequency-ranked tokenizer vocabulary
-    "quality_quartile_stats",  # ntile attrition report
-    "dup_rate_by_source",  # per-source duplication audit
-    "graph_triangle_count",  # co-occurrence graph triangle kernel
-    # -- last green in round 1 (VERDICT r3 "What's missing" #2) ------------
-    "multimodal_frame_sample",
-    "graph_embedding_propagation",
-    "random_split_counts",
-    "shuffle_tokens_multiset",
-    "approx_aggregates",
-    "parquet_sink_roundtrip",
-    "write_recommendations_table",
-    "pipeline_classifier_eval",
-    "embedding_centroid_by_label",
-    "vector_argmax",
-    "multi_hot_encode",
-    # -- last green in round 2, single green row (nine r2-green slots —
-    # -- seven singles + both twice-greens — ceded to the nine new entries
-    # -- above; the events-loading path stays covered via range_join +
-    # -- the streaming file-source entries) --------------------------------
-    "range_join_events_orders",
-    "streaming_watermarked_counts",
-    # -- new (late round 4): the streaming twin also re-covers the changed
-    # -- events loader path; confusion matrix is never-checked ------------
-    "streaming_hash_split_counts",
-    "lang_id_confusion",
-    "dedup_pipeline_summary",  # capstone attrition report over cached stages
-    # -- expensive ALS tail of the window (shared _MODEL_CACHE fits) -------
-    "als_rmse",
-    "als_precision_recall_at_k",
-    "als_cross_validation",  # changed: full-fidelity fold_1 row added
-    "als_hyperparam_search",  # the ONE never-driver-checked entry (r3 #1)
-    "als_implicit_topk",  # new: implicit-feedback fit (rows-only)
+    "image_decode_pixel_stats",  # S8 real PNG decode, byte-exact vs oracle
+    # -- latest green is round 2: full rotation so max green-row age <= 2 --
+    "anti_join_unseen_items",
+    "asof_join_last_order",
+    "cold_start_new_items",
+    "cold_start_popular_items",
+    "cross_join_scoring",
+    "cube_lang_source",
+    "date_functions_suite",
+    "distinct_user_event_pairs",
+    "filter_notnull_range",
+    "filter_point_lookup",
+    "gap_fill_forward",
+    "global_stats",
+    "group_count_having_events",
+    "join_star_2hop",
+    "json_extract_props",
+    "nested_struct_history",
+    "orderby_limit_topk",
+    "percentile_stats",
+    "pivot_event_type",
+    "project_cast_rename",
+    "rollup_nation_brand",
+    "roundtrip_delimited_parse",
+    "salted_join_segment_counts",
+    "semi_join_active_customers",
+    "sessionize_events",
+    "set_ops_except",
+    "set_ops_intersect",
+    "set_ops_union_distinct",
+    "stats_agg_suite",
+    "stream_static_enrich",
+    "string_functions_suite",
+    "top1_per_user_maxby",
+    "topk_avg_rating_items",
+    "topk_per_user_window",
+    "window_functions_suite",
+    # -- r2-latest streaming re-confirms (file-source twins; cheap first) --
+    "streaming_parse_records",
+    "streaming_wordcount",
+    "streaming_window_counts",
+    "streaming_static_join",
+    "streaming_dedup_events",
+    # -- expensive stateful/streaming tail so a failure can't starve the
+    # -- cheap checks (all three are r2-latest: must re-confirm) -----------
+    "streaming_interest_fold",
+    "streaming_recommend_emit",
+    "streaming_stream_stream_join",
 )
 
 # Expensive, many-times-verified entries parked at the very end of the
-# registration order (each is rows-only or twice-green; re-checking them
-# would burn the driver window on ALS fits and streaming state loops).
+# registration order. als_recommend_topk leads the r6 window (ceded from
+# r5's 51-for-50 crunch); the rest are r4-green ALS fits.
 DRIVER_CHECK_LAST: tuple[str, ...] = (
     "als_recommend_topk",
-    "streaming_recommend_emit",
-    "streaming_interest_fold",
-    "streaming_stream_stream_join",
+    "als_rmse",
+    "als_precision_recall_at_k",
+    "als_cross_validation",
+    "als_hyperparam_search",
+    "als_implicit_topk",
 )
 
 

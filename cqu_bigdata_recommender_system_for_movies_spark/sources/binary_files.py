@@ -64,6 +64,52 @@ def stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+IMG_H, IMG_W, IMG_CH = 8, 8, 3  # staged fixture images: 8x8 RGB
+IMG_PIXELS = IMG_H * IMG_W * IMG_CH
+
+
+def fixture_pixels(doc_id: int):
+    """Deterministic pixel matrix for the staged PNG of ``doc_id``:
+    value(idx) = (doc_id*31 + idx*7) % 256 — closed-form, so the DuckDB
+    oracle can recompute any pixel statistic arithmetically while the
+    Spark side must recover the SAME values through a real PNG decode."""
+    import numpy as np
+
+    idx = np.arange(IMG_PIXELS, dtype=np.int64)
+    return ((doc_id * 31 + idx * 7) % 256).astype(np.uint8).reshape(
+        IMG_H, IMG_W, IMG_CH
+    )
+
+
+def stage_png_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Encode one real PNG per document (doc_id < N_STAGED) into a
+    content-addressed temp dir. The encoder rotates scanline filters 0-4
+    row by row, so decoding the staged corpus exercises the full PNG
+    unfilter path, not just the trivial filter."""
+    from cqu_bigdata_recommender_system_for_movies_spark.functions.png_codec import (
+        encode_png,
+    )
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_png", digest)
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < N_STAGED)
+        .select("doc_id")
+        .collect()  # driver-side by design: test staging only, N_STAGED rows
+    )
+    for row in ids:
+        with open(os.path.join(d, f"img_{row.doc_id:06d}.png"), "wb") as f:
+            f.write(encode_png(fixture_pixels(row.doc_id)))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
 @register(
     "binary_file_source_scan",
     oracle=f"""
@@ -104,11 +150,11 @@ def binary_file_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nChannels, mode, data)): the metadata-only slice of that contract — "
     "origin (file name), byte length, and an md5 of the first 16 payload "
     "bytes (the magic-number region a real image reader sniffs) — served "
-    "from the binaryFile source over the staged media dir. No decoder "
-    "exists in this container (multimodal.decode_image_real is the "
-    "honest stub), so height/width/nChannels are exactly what this scan "
-    "CANNOT fabricate; everything a listing-time scan can produce is "
-    "here, oracle-checked byte-exact.",
+    "from the binaryFile source over the staged media dir. These payloads "
+    "are opaque non-image bytes, so height/width/nChannels are exactly "
+    "what this scan CANNOT fabricate; the decoded half of the contract "
+    "lives in image_decode_pixel_stats, which runs the real PNG decoder "
+    "over the staged image corpus.",
 )
 def image_source_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = stage_media_dir(spark, sf_dir)

@@ -19,9 +19,12 @@ every correctness check derive the fact table identically.
 
 Scale note: the lineitem⋈orders join is a large-fact-to-large-fact equi
 join; at 100 TB both sides shuffle on the order key. Catalyst plans a
-sort-merge join with AQE skew splitting; we keep the join key as the
-natural parquet sort order so bucketed/sorted tables could elide the
-shuffle entirely. Nothing is collected to the driver.
+sort-merge join with AQE skew splitting; the bucketed/sorted layout that
+elides this shuffle entirely is demonstrated by
+``operators/io_sinks.bucketed_ratings_join`` (bucketBy(8, orderkey) +
+sortBy once, then the flattening join reads bucket-to-bucket with no
+Exchange — asserted in tests/test_plans.py). Nothing is collected to the
+driver.
 """
 
 from __future__ import annotations

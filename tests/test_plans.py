@@ -146,6 +146,18 @@ def test_bucketed_join_agg_registry_plan(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1  # group-agg only
 
 
+def test_bucketed_ratings_join_elides_shuffle(spark, sf_dir):
+    """VERDICT r4 #6: demonstrate the bucketed layout tables.py promises
+    for the core ratings view — the lineitem⋈orders flattening join must
+    read matching buckets directly (no Exchange under the SortMergeJoin);
+    the only exchange in the whole plan is the final rating-group agg."""
+    plan = _plan(all_queries()["bucketed_ratings_join"](spark, sf_dir))
+    assert plan.count("Bucketed: true") == 2
+    join_seg = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_seg, join_seg
+    assert plan.count("Exchange hashpartitioning") == 1  # group-agg only
+
+
 def test_chunking_is_narrow(spark, sf_dir):
     """doc_chunk_overlap must not shuffle: explode+slice is a narrow map
     of the scan, so it runs at parquet read speed at any scale."""
@@ -680,9 +692,9 @@ def test_bench_regressions_skip_cross_sf(tmp_path, monkeypatch):
 
     rec = {"queries": {"q1": 1.0}, "sf": 0.1}
     (tmp_path / "BENCH_r9.json").write_text(json.dumps(rec))
-    monkeypatch.setattr(
-        bench.os.path, "dirname", lambda _: str(tmp_path)
-    )
+    # point the record search at tmp_path via bench.__file__ (patching
+    # os.path.dirname would hijack the process-global posixpath.dirname)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
     # same sf: a 2x slowdown is flagged
     assert "q1" in bench._regressions({"q1": 2.0}, 0.1)
     # different sf: no comparison at all
