@@ -67,9 +67,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # fit, and its semantics are pytest-gated every run — and it goes FIRST
 # into the r6 window. r6 fill, in priority order: als_recommend_topk,
 # then the 46 r3-latest greens (they age to 3 at r6; 47 names fit the
-# window with 3 slots to spare for r5-round changes; one of those goes
-# to bucketed_ratings_join, the round-5 layout demo registered too late
-# for this window).
+# window with 3 slots to spare for r5-round changes; two of those go to
+# bucketed_ratings_join and streaming_socket_parse_records, the round-5
+# additions registered too late for this window — both have sf0.001
+# parity coverage in pytest meanwhile).
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (

@@ -391,6 +391,15 @@ def test_pca_degenerate_inputs_raise(spark, tmp_path):
         embedding_pca_top_component(spark, stage([[1.0, 2.0], [1.0, 2.0]]))
 
 
+def test_image_decode_is_narrow(spark, sf_dir):
+    """image_decode_pixel_stats must be a pure map: binaryFile scan ->
+    Arrow mapInPandas decode, no exchange anywhere — at 100 TB the decode
+    parallelism is bounded by input partitions, never by a shuffle."""
+    plan = _plan(all_queries()["image_decode_pixel_stats"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_simhash_hot_buckets_collapse_exact_dups(spark):
     """VERDICT r4 #1 (the remaining half of the r3 width fix): a corpus
     heavy in IDENTICAL fingerprints — exact duplicates at crawl scale —
