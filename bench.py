@@ -52,13 +52,6 @@ HEADLINE = [
     # round-3 additions (earlier keys unchanged for comparability)
     "sequence_pack_assignments",
     "embedding_near_dup_pairs",
-    # round-5 additions
-    "image_decode_pixel_stats",
-    "embedding_pca_top_component",
-    "embedding_quantize_int8",
-    "rfm_segmentation",
-    "last_touch_attribution",
-    "bucketed_ratings_join",
     # round-4 additions
     "dedup_components_lss",
     "duplicate_passage_detection",
@@ -72,6 +65,16 @@ HEADLINE = [
     "dedup_canonical_docs",
     "graph_triangle_count",
     "bm25_topk",
+    # round-5 additions — APPENDED (the list is append-only: bench runs
+    # sequentially in one warm session, so inserting keys mid-list shifts
+    # every later query's warm-up position and breaks cross-round
+    # comparability of their single-shot timings)
+    "image_decode_pixel_stats",
+    "embedding_pca_top_component",
+    "embedding_quantize_int8",
+    "rfm_segmentation",
+    "last_touch_attribution",
+    "bucketed_ratings_join",
 ]
 
 

@@ -114,6 +114,21 @@ def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame
 N_BUCKETS = 8
 
 
+def _write_bucketed_tables(loc: str, specs) -> None:
+    """Write each (table_name, df, bucket_key) as a bucketBy(N_BUCKETS) +
+    sortBy parquet table under ``loc`` — the shared layout recipe for every
+    co-located-join demo."""
+    for name, df, key in specs:
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(loc, name))
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+
 @register(
     "bucketed_join_agg",
     oracle="""
@@ -133,19 +148,13 @@ N_BUCKETS = 8
 def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
-    loc = _scratch("bucketed")
-    for name, df, key in (
-        ("orders_bucketed", orders.select("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey"),
-        ("customer_bucketed", customer.select("c_custkey", "c_mktsegment"), "c_custkey"),
-    ):
+    _write_bucketed_tables(
+        _scratch("bucketed"),
         (
-            df.write.mode("overwrite")
-            .option("path", os.path.join(loc, name))
-            .bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .format("parquet")
-            .saveAsTable(name)
-        )
+            ("orders_bucketed", orders.select("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey"),
+            ("customer_bucketed", customer.select("c_custkey", "c_mktsegment"), "c_custkey"),
+        ),
+    )
     o = spark.table("orders_bucketed")
     # hint("merge"): force the sort-merge path so the join provably reads
     # bucket-to-bucket (at sf0.01 the dim is broadcast-small, which would
@@ -184,27 +193,21 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bucketed_ratings_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
-    loc = _scratch("bucketed_ratings")
-    for name, df, key in (
+    _write_bucketed_tables(
+        _scratch("bucketed_ratings"),
         (
-            "lineitem_bucketed",
-            lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
-            "l_orderkey",
+            (
+                "lineitem_bucketed",
+                lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
+                "l_orderkey",
+            ),
+            (
+                "orders_bucketed_by_ok",
+                orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                "o_orderkey",
+            ),
         ),
-        (
-            "orders_bucketed_by_ok",
-            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-            "o_orderkey",
-        ),
-    ):
-        (
-            df.write.mode("overwrite")
-            .option("path", os.path.join(loc, name))
-            .bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .format("parquet")
-            .saveAsTable(name)
-        )
+    )
     li = spark.table("lineitem_bucketed")
     # hint("merge"): force SMJ so the join provably reads bucket-to-bucket
     # (same rationale as bucketed_join_agg above)

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
-from cqu_bigdata_recommender_system_for_movies_spark.tables import load, ratings
+from cqu_bigdata_recommender_system_for_movies_spark.tables import (
+    load,
+    ratings,
+    sql_in_list,
+)
 
 SEED = 42
 
@@ -133,12 +137,6 @@ def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_KEEP_ALL_SOURCES = ("src0", "src1", "src2", "src3")
 MIXTURE_EN_KEEP_PCT = 40
 MIXTURE_OTHER_KEEP_PCT = 70
-
-
-def sql_in_list(items) -> str:
-    """('a', 'b') — built explicitly, never via tuple repr: a 1-element
-    tuple reprs as ('x',) whose trailing comma is invalid SQL."""
-    return "(" + ", ".join(f"'{s}'" for s in items) + ")"
 
 
 @register(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
-from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load, sql_in_list
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -859,11 +859,7 @@ BM25_B = 0.75
 BM25_QUERY_TERMS = ("spark", "join", "window")
 BM25_TOPK = 20
 
-from cqu_bigdata_recommender_system_for_movies_spark.operators.sampling import (
-    sql_in_list as _sql_in_list,
-)
-
-_BM25_TERMS_SQL = _sql_in_list(BM25_QUERY_TERMS)
+_BM25_TERMS_SQL = sql_in_list(BM25_QUERY_TERMS)
 
 
 @register(

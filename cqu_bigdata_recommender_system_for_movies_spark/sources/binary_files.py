@@ -41,27 +41,44 @@ def read_binary_files(
     return reader.load(path)
 
 
-def stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write doc texts as .bin files under a content-addressed temp dir
-    (idempotent per sf_dir; read-only testdata stays untouched)."""
+def _stage_fixture_dir(
+    spark: SparkSession, sf_dir: str, subdir: str, columns, row_to_file
+) -> str:
+    """Shared fixture-staging skeleton: write one file per document
+    (doc_id < N_STAGED) under a content-addressed temp dir, idempotent per
+    sf_dir via a _STAGED marker; read-only testdata stays untouched.
+    ``row_to_file(row) -> (filename, bytes)``. The collect is driver-side
+    by design — test staging of N_STAGED rows, not a query."""
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_media", digest)
+    d = os.path.join(tempfile.gettempdir(), subdir, digest)
     done = os.path.join(d, "_STAGED")
     if os.path.exists(done):
         return d
     os.makedirs(d, exist_ok=True)
-    docs = (
+    rows = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < N_STAGED)
-        .select("doc_id", "text")
-        .collect()  # driver-side by design: test staging only, N_STAGED rows
+        .select(*columns)
+        .collect()
     )
-    for row in docs:
-        with open(os.path.join(d, f"media_{row.doc_id:06d}.bin"), "wb") as f:
-            f.write(row.text.encode("utf-8"))
+    for row in rows:
+        fname, payload = row_to_file(row)
+        with open(os.path.join(d, fname), "wb") as f:
+            f.write(payload)
     with open(done, "w") as f:
         f.write("ok")
     return d
+
+
+def stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write doc texts as .bin files (opaque binary payload fixtures)."""
+    return _stage_fixture_dir(
+        spark,
+        sf_dir,
+        "spark_graft_media",
+        ("doc_id", "text"),
+        lambda row: (f"media_{row.doc_id:06d}.bin", row.text.encode("utf-8")),
+    )
 
 
 IMG_H, IMG_W, IMG_CH = 8, 8, 3  # staged fixture images: 8x8 RGB
@@ -82,32 +99,23 @@ def fixture_pixels(doc_id: int):
 
 
 def stage_png_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Encode one real PNG per document (doc_id < N_STAGED) into a
-    content-addressed temp dir. The encoder rotates scanline filters 0-4
-    row by row, so decoding the staged corpus exercises the full PNG
-    unfilter path, not just the trivial filter."""
+    """Encode one real PNG per document (doc_id < N_STAGED). The encoder
+    rotates scanline filters 0-4 row by row, so decoding the staged corpus
+    exercises the full PNG unfilter path, not just the trivial filter."""
     from cqu_bigdata_recommender_system_for_movies_spark.functions.png_codec import (
         encode_png,
     )
 
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_png", digest)
-    done = os.path.join(d, "_STAGED")
-    if os.path.exists(done):
-        return d
-    os.makedirs(d, exist_ok=True)
-    ids = (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < N_STAGED)
-        .select("doc_id")
-        .collect()  # driver-side by design: test staging only, N_STAGED rows
+    return _stage_fixture_dir(
+        spark,
+        sf_dir,
+        "spark_graft_png",
+        ("doc_id",),
+        lambda row: (
+            f"img_{row.doc_id:06d}.png",
+            encode_png(fixture_pixels(row.doc_id)),
+        ),
     )
-    for row in ids:
-        with open(os.path.join(d, f"img_{row.doc_id:06d}.png"), "wb") as f:
-            f.write(encode_png(fixture_pixels(row.doc_id)))
-    with open(done, "w") as f:
-        f.write("ok")
-    return d
 
 
 @register(

@@ -359,9 +359,9 @@ def run_console_sink(stream_df: DataFrame, mode: str = "append") -> int:
     "append mode), and the row count the sink consumed — summed from the "
     "query's progress metrics — must equal the batch COUNT(*) of the "
     "source table, i.e. the sink dropped nothing. Round 3 left S5 as "
-    "pytest-only; this closes the last source/sink cell with no driver "
-    "evidence (the socket twin stays pytest-only: a live loopback server "
-    "under the driver harness would be flaky by design).",
+    "pytest-only; this closed the last source/sink cell with no driver "
+    "evidence (round 5 then landed the live-socket driver row too — "
+    "streaming_socket_parse_records).",
 )
 def streaming_console_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir).select(
@@ -464,11 +464,20 @@ def streaming_socket_parse_records(spark: SparkSession, sf_dir: str) -> DataFram
     )
     try:
         deadline = time.time() + SOCKET_DEADLINE_SEC
+        got = 0
         while time.time() < deadline:
             q.processAllAvailable()
-            if spark.table(name).dropDuplicates(["event_id"]).count() >= len(lines):
+            got = spark.table(name).dropDuplicates(["event_id"]).count()
+            if got >= len(lines):
                 break
             time.sleep(0.2)
+        else:
+            # fail loudly: a partial drain would otherwise surface as an
+            # oracle row-count mismatch, indistinguishable from a parse bug
+            raise TimeoutError(
+                f"socket drain timed out after {SOCKET_DEADLINE_SEC}s: "
+                f"received {got}/{len(lines)} distinct lines"
+            )
     finally:
         done.set()
         q.stop()

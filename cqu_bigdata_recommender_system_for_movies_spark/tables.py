@@ -132,6 +132,14 @@ def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_in_list(items) -> str:
+    """Render an SQL IN-list: ('a', 'b') — built explicitly, never via
+    tuple repr (a 1-element tuple reprs as ('x',) whose trailing comma is
+    invalid SQL). Items must not contain single quotes — this formats
+    trusted engine constants, it does not escape."""
+    return "(" + ", ".join(f"'{s}'" for s in items) + ")"
+
+
 # DuckDB twin of ratings() — embedded as a CTE in oracle SQL strings.
 RATINGS_SQL = (
     "SELECT o_custkey AS user_id, l_partkey AS item_id, "

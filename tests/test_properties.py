@@ -75,3 +75,34 @@ def test_sequence_packing_conservation(n_tokens_list):
         assert 0 <= offset < PACK_CAPACITY
         assert pack_id >= 0
         cum += n
+
+
+# --- PNG codec round-trip (S8 real decode) ---------------------------------
+
+import numpy as np  # noqa: E402
+
+png_shape_strategy = st.tuples(
+    st.integers(min_value=1, max_value=12),  # height: cover all 5 filters
+    st.integers(min_value=1, max_value=12),  # width: incl. w < bpp edge
+    st.sampled_from([1, 3]),  # greyscale and RGB
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(png_shape_strategy, st.integers(min_value=0, max_value=2**32 - 1))
+def test_png_codec_roundtrip_every_shape(shape, seed):
+    """decode(encode(x)) == x for EVERY uint8 image — the invariant the
+    fixed-seed test can't state. The encoder rotates scanline filters
+    row-by-row, so any height >= 5 exercises Sub/Up/Average/Paeth
+    unfiltering against arbitrary pixel content."""
+    from cqu_bigdata_recommender_system_for_movies_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    h, w, ch = shape
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = decode_png(encode_png(arr if ch == 3 else arr[:, :, 0]))
+    assert out.shape == (h, w, ch)
+    assert (out == arr).all()
