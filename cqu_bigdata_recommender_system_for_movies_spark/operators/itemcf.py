@@ -24,6 +24,74 @@ MIN_SUPPORT = 2  # a single co-occurrence is noise at every scale
 TOP_PAIRS = 200
 
 
+def _basket_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ok, pks): each order's DISTINCT items as a sorted array — the
+    posting-list base for pair generation and item frequencies."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+    )
+
+
+def _co_counts(arrs: DataFrame) -> DataFrame:
+    """(item_a < item_b, n_ab >= MIN_SUPPORT): co-occurrence counts by
+    basket-local pair explosion — pairs are generated MAP-SIDE from each
+    basket's sorted item array (fan-out bounded by basket size, TPC-H
+    <= 7), so the only shuffles are the basket groupBy and the compact
+    (item_a, item_b) pair aggregation. This is the posting-list shape the
+    dedup family uses; a basket self-join would scan and shuffle the
+    basket table twice and add a join for the same result."""
+    pairs = arrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(pks, (x, i) -> "
+                "transform(slice(pks, i + 2, size(pks)), "
+                "y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_SUPPORT)
+    )
+
+
+def _item_freq(arrs: DataFrame) -> DataFrame:
+    """(pk, n): number of distinct baskets containing each item."""
+    return (
+        arrs.select(F.explode("pks").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _normalized_pairs(
+    spark: SparkSession, sf_dir: str, score_col, score_name: str
+) -> DataFrame:
+    """Shared cosine/jaccard tail: attach per-item frequencies to the
+    co-occurrence counts and rank the top pairs by the given score."""
+    arrs = _basket_arrays(spark, sf_dir)
+    co = _co_counts(arrs)
+    freq = _item_freq(arrs)
+    fa = freq.select(F.col("pk").alias("item_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("pk").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(fa, "item_a")
+        .join(fb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(score_col, 6).alias(score_name),
+        )
+        .orderBy(F.desc(score_name), "item_a", "item_b")
+        .limit(TOP_PAIRS)
+    )
+
+
 @register(
     "item_cooccurrence_topk",
     oracle=f"""
@@ -48,37 +116,17 @@ TOP_PAIRS = 200
     doc="Item-item CF similarity matrix head: co-occurrence counts within "
     "order baskets, cosine-normalized by item frequency, min-support "
     "pruned, top pairs. Offline twin of the reference's item-CF scorer "
-    "(streaming_rec.py:96-134). Pair generation is basket-local (bounded "
-    "fan-out); only the compact (item_a, item_b, count) stream shuffles.",
+    "(streaming_rec.py:96-134). Pairs are generated map-side from each "
+    "basket's sorted item array (fan-out bounded by basket size); only "
+    "the compact (item_a, item_b, count) stream shuffles. The all-pairs "
+    "self-join lives only in the DuckDB oracle, where it is the spec.",
 )
 def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    freq = basket.groupBy("pk").agg(F.count("*").alias("n"))
-    a, b = basket.alias("a"), basket.alias("b")
-    co = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("item_a"), F.col("b.pk").alias("item_b"))
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= MIN_SUPPORT)
-    )
-    fa = freq.select(F.col("pk").alias("item_a"), F.col("n").alias("n_a"))
-    fb = freq.select(F.col("pk").alias("item_b"), F.col("n").alias("n_b"))
-    return (
-        co.join(fa, "item_a")
-        .join(fb, "item_b")
-        .select(
-            "item_a",
-            "item_b",
-            "n_ab",
-            F.round(F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias(
-                "cosine"
-            ),
-        )
-        .orderBy(F.desc("cosine"), "item_a", "item_b")
-        .limit(TOP_PAIRS)
+    return _normalized_pairs(
+        spark,
+        sf_dir,
+        F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b")),
+        "cosine",
     )
 
 
@@ -108,39 +156,16 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Item-item Jaccard similarity over the same basket co-occurrence "
     "base — the set-overlap normalization (popular items discounted "
-    "harder than cosine). Shares the co-occurrence plan shape with "
+    "harder than cosine). Shares the map-side pair-generation base with "
     "item_cooccurrence_topk.",
 )
 def item_cooccurrence_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    freq = basket.groupBy("pk").agg(F.count("*").alias("n"))
-    a, b = basket.alias("a"), basket.alias("b")
-    co = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("item_a"), F.col("b.pk").alias("item_b"))
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= MIN_SUPPORT)
-    )
-    fa = freq.select(F.col("pk").alias("item_a"), F.col("n").alias("n_a"))
-    fb = freq.select(F.col("pk").alias("item_b"), F.col("n").alias("n_b"))
-    return (
-        co.join(fa, "item_a")
-        .join(fb, "item_b")
-        .select(
-            "item_a",
-            "item_b",
-            "n_ab",
-            F.round(
-                F.col("n_ab").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_ab")),
-                6,
-            ).alias("jaccard"),
-        )
-        .orderBy(F.desc("jaccard"), "item_a", "item_b")
-        .limit(TOP_PAIRS)
+    return _normalized_pairs(
+        spark,
+        sf_dir,
+        F.col("n_ab").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_ab")),
+        "jaccard",
     )
 
 
@@ -171,17 +196,9 @@ def item_cooccurrence_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "intermediate can't explode on a hub item at scale.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = basket.alias("a"), basket.alias("b")
     e = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= MIN_SUPPORT)
-        .select("u", "v")
+        _co_counts(_basket_arrays(spark, sf_dir))
+        .select(F.col("item_a").alias("u"), F.col("item_b").alias("v"))
         .localCheckpoint(eager=False)
     )
     e1 = e.select(F.col("u").alias("u"), F.col("v").alias("v"))

@@ -67,10 +67,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # fit, and its semantics are pytest-gated every run — and it goes FIRST
 # into the r6 window. r6 fill, in priority order: als_recommend_topk,
 # then the 46 r3-latest greens (they age to 3 at r6; 47 names fit the
-# window with 3 slots to spare for r5-round changes; two of those go to
-# bucketed_ratings_join and streaming_socket_parse_records, the round-5
-# additions registered too late for this window — both have sf0.001
-# parity coverage in pytest meanwhile).
+# window with 3 slots to spare for r5-round changes. r6 must also cover:
+# bucketed_ratings_join and streaming_socket_parse_records (round-5
+# additions registered too late for this window), and the three itemcf
+# entries whose co-occurrence base switched from a basket self-join to
+# map-side pair explosion in round 5 (item_cooccurrence_topk/_jaccard,
+# graph_triangle_count — outputs hash-identical, re-verified locally by
+# driver_sim at sf0.01). That totals ~52 names for 50 slots: cede two
+# twice-green r3-latest entries with r1 history (e.g. ann_lsh_topk,
+# cosine_topk) — all five r5-changed/new names carry sf0.001 parity
+# coverage in pytest meanwhile.
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (

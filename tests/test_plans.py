@@ -391,6 +391,21 @@ def test_pca_degenerate_inputs_raise(spark, tmp_path):
         embedding_pca_top_component(spark, stage([[1.0, 2.0], [1.0, 2.0]]))
 
 
+def test_itemcf_pairs_generated_map_side(spark, sf_dir):
+    """The co-occurrence base must generate pairs from each basket's item
+    array map-side (bounded fan-out), never via a basket self-join — the
+    plan has no join; its only shuffles are the basket groupBy and the
+    pair aggregation."""
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.itemcf import (
+        _basket_arrays,
+        _co_counts,
+    )
+
+    plan = _plan(_co_counts(_basket_arrays(spark, sf_dir)))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_image_decode_is_narrow(spark, sf_dir):
     """image_decode_pixel_stats must be a pure map: binaryFile scan ->
     Arrow mapInPandas decode, no exchange anywhere — at 100 TB the decode
