@@ -6,6 +6,8 @@ wrong plan is a 100-TB incident waiting; these tests fail it early."""
 
 from __future__ import annotations
 
+import pytest
+
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import all_queries
 
 
@@ -389,6 +391,32 @@ def test_pca_degenerate_inputs_raise(spark, tmp_path):
     with _pytest.raises(ValueError, match="zero"):
         # two identical vectors -> zero covariance -> zero first iterate
         embedding_pca_top_component(spark, stage([[1.0, 2.0], [1.0, 2.0]]))
+
+
+SHUFFLE_FREE_QUERIES = [
+    # every query whose docstring claims a narrow / zero-shuffle plan —
+    # the claim is load-bearing for the 100 TB story, so it is asserted,
+    # not just stated
+    "hash_split_assign",
+    "vector_serde_roundtrip",
+    "array_functions_suite",
+    "unpivot_doc_metrics",
+    "pii_redaction",
+    "text_normalize",
+    "multimodal_frame_sample",
+    "doc_fingerprint",
+    "multimodal_decode_features",
+    "embedding_quantize_int8",
+    "doc_chunk_overlap",
+    "vector_argmax",
+    "multi_hot_encode",
+]
+
+
+@pytest.mark.parametrize("name", SHUFFLE_FREE_QUERIES)
+def test_claimed_narrow_queries_have_zero_exchanges(name, spark, sf_dir):
+    plan = _plan(all_queries()[name](spark, sf_dir))
+    assert "Exchange" not in plan, f"{name} claims zero shuffle but plans one"
 
 
 def test_itemcf_pairs_generated_map_side(spark, sf_dir):
