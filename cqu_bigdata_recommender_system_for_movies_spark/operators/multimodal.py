@@ -213,6 +213,95 @@ def image_decode_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(decode_pixel_stats, DECODED_PIXEL_SCHEMA)
 
 
+RESIZE_STRIDE = 2  # nearest-neighbor 2x downsample: keep every 2nd pixel
+
+
+def resize_nearest(arr, stride: int = RESIZE_STRIDE):
+    """Nearest-neighbor downsample by integer stride — pure numpy striding
+    over the decoded (h, w, ch) pixel array, the canonical cheap resize
+    for thumbnail/feature pipelines."""
+    return arr[::stride, ::stride, :]
+
+
+def resize_pixel_stats(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode (real PNG pipeline) then resize each image per Arrow batch;
+    stats come from the RESIZED pixel matrix."""
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.multimodal import (
+        decode_image_real,
+        resize_nearest,
+    )
+
+    for pdf in batch_iter:
+        out = {k: [] for k in ("media_id", "height", "width", "n_channels",
+                               "pixel_sum", "pixel_mean")}
+        for mid, payload in zip(pdf["media_id"], pdf["content"]):
+            arr = resize_nearest(decode_image_real(bytes(payload)))
+            h, w, ch = arr.shape
+            total = int(arr.astype("int64").sum())
+            out["media_id"].append(mid)
+            out["height"].append(h)
+            out["width"].append(w)
+            out["n_channels"].append(ch)
+            out["pixel_sum"].append(total)
+            out["pixel_mean"].append(round(total / arr.size, 6))
+        yield pd.DataFrame(out)
+
+
+# the resized image keeps pixels at stride-multiple (row, col); map the
+# kept-pixel enumeration i back to the ORIGINAL flat index the fixture
+# law is defined over: idx = (stride*W*ch)*r' + (stride*ch)*c' + ch'
+_RESIZED_W_CH = (IMG_W // RESIZE_STRIDE) * IMG_CH  # kept values per row
+_RESIZED_IDX_SQL = (
+    f"({RESIZE_STRIDE * IMG_W * IMG_CH} * (i // {_RESIZED_W_CH}) "
+    f"+ {RESIZE_STRIDE * IMG_CH} * ((i % {_RESIZED_W_CH}) // {IMG_CH}) "
+    f"+ (i % {IMG_CH}))"
+)
+_RESIZED_PIXELS = (IMG_H // RESIZE_STRIDE) * (IMG_W // RESIZE_STRIDE) * IMG_CH
+
+
+@register(
+    "image_resize_stats",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               list_sum([(doc_id * 31 + {_RESIZED_IDX_SQL} * 7) % 256
+                         for i in range(0, {_RESIZED_PIXELS})]) AS s
+        FROM documents WHERE doc_id < {N_STAGED}
+    )
+    SELECT doc_id AS media_id,
+           {IMG_H // RESIZE_STRIDE} AS height,
+           {IMG_W // RESIZE_STRIDE} AS width,
+           {IMG_CH} AS n_channels,
+           CAST(s AS BIGINT) AS pixel_sum,
+           ROUND(CAST(s AS BIGINT) / {_RESIZED_PIXELS}.0, 6) AS pixel_mean
+    FROM px
+    """,
+    doc="Image resize (north-star multimodal verb set: decode / "
+    "feature-extract / RESIZE / frame-sample): real PNG decode then a "
+    "nearest-neighbor 2x downsample per Arrow batch, stats over the "
+    "resized pixels. The oracle recomputes the kept-pixel lattice "
+    "arithmetically from the fixture law, so the hash match proves the "
+    "resize selected exactly the right pixels. Same shuffle-free "
+    "binaryFile-scan -> mapInPandas shape as the decode query.",
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.sources.binary_files import (
+        read_binary_files,
+        stage_png_dir,
+    )
+
+    ensure_shipped(spark)
+    d = stage_png_dir(spark, sf_dir)
+    files = read_binary_files(spark, d, glob="*.png")
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.png$", 1)
+        .cast("long")
+        .alias("media_id"),
+        "content",
+    )
+    return media.mapInPandas(resize_pixel_stats, DECODED_PIXEL_SCHEMA)
+
+
 @register(
     "multimodal_frame_sample",
     oracle="""

@@ -73,10 +73,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # entries whose co-occurrence base switched from a basket self-join to
 # map-side pair explosion in round 5 (item_cooccurrence_topk/_jaccard,
 # graph_triangle_count — outputs hash-identical, re-verified locally by
-# driver_sim at sf0.01). That totals ~52 names for 50 slots: cede two
-# twice-green r3-latest entries with r1 history (e.g. ann_lsh_topk,
-# cosine_topk) — all five r5-changed/new names carry sf0.001 parity
-# coverage in pytest meanwhile.
+# driver_sim at sf0.01), and image_resize_stats (late r5). That totals
+# ~53 names for 50 slots: cede three twice-green r3-latest entries with
+# r1 history (e.g. ann_lsh_topk, cosine_topk, doc_fingerprint) — all six
+# r5-changed/new names carry sf0.001 parity coverage in pytest meanwhile.
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (

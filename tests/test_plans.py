@@ -406,6 +406,7 @@ SHUFFLE_FREE_QUERIES = [
     "multimodal_frame_sample",
     "doc_fingerprint",
     "multimodal_decode_features",
+    "image_resize_stats",
     "embedding_quantize_int8",
     "doc_chunk_overlap",
     "vector_argmax",
