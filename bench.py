@@ -75,6 +75,7 @@ HEADLINE = [
     "rfm_segmentation",
     "last_touch_attribution",
     "bucketed_ratings_join",
+    "image_resize_stats",
 ]
 
 
