@@ -382,3 +382,116 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap.alias("micros_since_touch"),
         )
     )
+
+
+@register(
+    "ohlc_resample",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM events
+    )
+    SELECT event_type, bucket,
+           ROUND(MAX(CASE WHEN rn_first = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(MAX(CASE WHEN rn_last = 1 THEN value END), 4) AS close,
+           COUNT(*) AS volume
+    FROM e GROUP BY event_type, bucket
+    """,
+    doc="Time-series downsample: per (event_type, hour) OHLC bars — the "
+    "classic resample a metrics/market pipeline runs before charting or "
+    "feature extraction. open/close are min_by/max_by on the (ts, "
+    "event_id) struct — single-pass aggregates with map-side partial "
+    "combine, so the shuffle carries one bar per group, not the raw "
+    "ticks (the oracle's window-function formulation would sort the "
+    "whole fact table; the agg form is the 100 TB plan). Tie-break on "
+    "event_id makes first/last well-defined under equal timestamps.",
+)
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    order_key = F.struct("ts", "event_id")
+    return (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.round(F.min_by("value", order_key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", order_key), 4).alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )
+
+
+@register(
+    "scd2_priority_history",
+    oracle="""
+    WITH runs AS (
+        SELECT o_custkey AS user_id, o_orderpriority AS priority,
+               o_orderdate, o_orderkey,
+               CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+                    THEN 1 ELSE 0 END AS is_start
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    grouped AS (
+        SELECT user_id, priority, o_orderdate,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY o_orderdate, o_orderkey) AS grp
+        FROM runs
+    ),
+    islands AS (
+        SELECT user_id, priority, grp,
+               MIN(o_orderdate) AS valid_from,
+               COUNT(*) AS n_orders
+        FROM grouped GROUP BY user_id, priority, grp
+    )
+    SELECT user_id, priority, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to,
+           CAST(grp AS INTEGER) AS version,
+           n_orders
+    FROM islands
+    """,
+    doc="SCD Type-2 dimension build (change-data-capture compaction): "
+    "collapse each customer's order-priority timeline into "
+    "[valid_from, valid_to) versioned runs via gaps-and-islands — LAG "
+    "marks run starts, a running SUM numbers them, one aggregate per "
+    "run, LEAD closes each interval (NULL = current). Every window and "
+    "the aggregate partition on the same key (user_id), so the whole "
+    "history build is ONE shuffle of the orders table; at 100 TB this "
+    "is the standard nightly dimension-compaction job shape.",
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            ~F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wg = Window.partitionBy("user_id").orderBy("o_orderdate", "o_orderkey")
+    grouped = runs.withColumn("grp", F.sum("is_start").over(wg))
+    islands = grouped.groupBy("user_id", "priority", "grp").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("grp")
+    return islands.select(
+        "user_id",
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.col("grp").cast("int").alias("version"),
+        "n_orders",
+    )
