@@ -76,6 +76,13 @@ HEADLINE = [
     "last_touch_attribution",
     "bucketed_ratings_join",
     "image_resize_stats",
+    "pagerank_bipartite",
+    "random_walk_training_paths",
+    "ivf_pq_topk",
+    "hll_distinct_rollup",
+    "data_profile_summary",
+    "ohlc_resample",
+    "scd2_priority_history",
 ]
 
 

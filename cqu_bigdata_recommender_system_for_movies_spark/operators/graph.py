@@ -1,0 +1,167 @@
+"""Graph analytics over the user-item interaction graph: fixed-iteration
+PageRank and deterministic random-walk (DeepWalk-style) corpus generation.
+
+The reference models users/movies as a property graph and its ML stack
+(LightGCN, SURVEY.md §2.10) consumes graph-structure signals; these
+operators provide the two graph primitives a Spark-native rebuild needs:
+a damped importance score (PageRank over the bipartite rating graph) and
+walk-based (center, context) training positives — the input corpus for
+skip-gram / node2vec embedding training at 100 TB.
+
+Both are expressed as iterative DataFrame joins against a materialized
+edge list — per iteration exactly one shuffle per direction, keyed on
+the node id, with map-side partial aggregation folding neighbor
+contributions before the exchange. Iteration count is FIXED (3), which
+is what makes the computation ANSI-SQL-expressible: the DuckDB oracles
+unroll the same recurrence as chained CTEs, so both queries are
+hash-checked, not rows-only. The same code path extends to
+convergence-driven loops the way operators/dedup.py's connected
+components does (re-plan per iteration + localCheckpoint to truncate
+lineage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.tables import RATINGS_SQL, ratings
+
+DAMPING = 0.85
+TELEPORT = 0.15  # (1 - DAMPING), classic unnormalized formulation
+PR_ITERATIONS = 3
+
+_EDGES_SQL = f"""
+    WITH r AS ({RATINGS_SQL}),
+    edges AS (SELECT DISTINCT user_id AS u, item_id AS i FROM r)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (user u, item i) edge list, materialized once: every
+    iteration probes it from both directions, so without the checkpoint
+    the distinct (and the ratings join under it) would re-run per
+    iteration — at scale this is the persisted edge table every graph
+    job starts from."""
+    return (
+        ratings(spark, sf_dir)
+        .select(F.col("user_id").alias("u"), F.col("item_id").alias("i"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+@register(
+    "pagerank_bipartite",
+    oracle=f"""
+    {_EDGES_SQL},
+    du AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    di AS (SELECT i, COUNT(*) AS d FROM edges GROUP BY i),
+    -- iteration 1: every node starts at pr=1, so contributions are 1/deg
+    pi1 AS (SELECT e.i AS i, {TELEPORT} + {DAMPING} * SUM(1.0 / du.d) AS pr
+            FROM edges e JOIN du ON e.u = du.u GROUP BY e.i),
+    -- iteration 2 (user side, fed by item scores of iteration 1)
+    pu2 AS (SELECT e.u AS u, {TELEPORT} + {DAMPING} * SUM(pi1.pr / di.d) AS pr
+            FROM edges e JOIN pi1 ON e.i = pi1.i JOIN di ON e.i = di.i
+            GROUP BY e.u),
+    -- iteration 3 (item side, fed by user scores of iteration 2)
+    pi3 AS (SELECT e.i AS i, {TELEPORT} + {DAMPING} * SUM(pu2.pr / du.d) AS pr
+            FROM edges e JOIN pu2 ON e.u = pu2.u JOIN du ON e.u = du.u
+            GROUP BY e.i)
+    SELECT i AS item_id, ROUND(pr, 6) AS pagerank FROM pi3
+    """,
+    doc="PageRank over the bipartite user-item rating graph, 3 damped "
+    "Jacobi iterations (d=0.85, unnormalized teleport 0.15): each "
+    "half-iteration joins the edge list with the opposite side's "
+    "scores and SUM-aggregates neighbor contributions — one shuffle "
+    "keyed on the receiving node, with partial sums folded map-side, "
+    "so the exchange carries one partial per (partition, node), not "
+    "one row per edge. Degree tables divide contributions at the "
+    "sending side. The edge list is checkpointed once and reused by "
+    "all iterations. Scores rounded to 6dp (double accumulation order "
+    "differs across engines).",
+)
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    du = edges.groupBy("u").agg(F.count("*").alias("du"))
+    di = edges.groupBy("i").agg(F.count("*").alias("di"))
+
+    # iteration 1, item side: pr_u0 = 1 → contribution 1/d_u
+    pi = (
+        edges.join(du, "u")
+        .groupBy("i")
+        .agg((F.lit(TELEPORT) + F.lit(DAMPING) * F.sum(F.lit(1.0) / F.col("du"))).alias("pr"))
+    )
+    # iteration 2, user side: weight item scores by 1/d_i
+    qi = pi.join(di, "i").select("i", (F.col("pr") / F.col("di")).alias("w"))
+    pu = (
+        edges.join(qi, "i")
+        .groupBy("u")
+        .agg((F.lit(TELEPORT) + F.lit(DAMPING) * F.sum("w")).alias("pr"))
+    )
+    # iteration 3, item side: weight user scores by 1/d_u
+    qu = pu.join(du, "u").select("u", (F.col("pr") / F.col("du")).alias("w"))
+    pi3 = (
+        edges.join(qu, "u")
+        .groupBy("i")
+        .agg((F.lit(TELEPORT) + F.lit(DAMPING) * F.sum("w")).alias("pr"))
+    )
+    return pi3.select(F.col("i").alias("item_id"), F.round("pr", 6).alias("pagerank"))
+
+
+def _pick(neighbor: str, start: str, step: int):
+    """Deterministic neighbor choice: the md5-minimal neighbor for this
+    (walker, step). A keyed hash — not RAND() — so the walk is replayable
+    across engines, retries, and partitionings; vary the corpus by
+    salting the start column upstream."""
+    return F.min_by(
+        neighbor, F.md5(F.concat_ws("|", F.col(start), F.lit(step), F.col(neighbor)))
+    )
+
+
+@register(
+    "random_walk_training_paths",
+    oracle=f"""
+    {_EDGES_SQL},
+    s1 AS (SELECT u AS start_user,
+                  arg_min(i, md5(concat_ws('|', u, 1, i))) AS item_step1
+           FROM edges GROUP BY u),
+    s2 AS (SELECT s1.start_user, s1.item_step1,
+                  arg_min(e.u, md5(concat_ws('|', s1.start_user, 2, e.u))) AS user_step2
+           FROM s1 JOIN edges e ON e.i = s1.item_step1
+           GROUP BY s1.start_user, s1.item_step1),
+    s3 AS (SELECT s2.start_user, s2.item_step1, s2.user_step2,
+                  arg_min(e.i, md5(concat_ws('|', s2.start_user, 3, e.i))) AS item_step3
+           FROM s2 JOIN edges e ON e.u = s2.user_step2
+           GROUP BY s2.start_user, s2.item_step1, s2.user_step2)
+    SELECT start_user, item_step1, user_step2, item_step3 FROM s3
+    """,
+    doc="DeepWalk-style training-corpus generation: one 3-hop walk "
+    "(user→item→user→item) per user, each hop choosing the md5-minimal "
+    "neighbor keyed by (walker, step) — deterministic, so the emitted "
+    "paths are reproducible training data rather than engine-dependent "
+    "RNG draws (multiple walks per node = salt the walker id). Each "
+    "hop is one edge-list join on the current node plus a min_by "
+    "aggregate per walker; min_by combines map-side, and walker "
+    "fan-out is bounded at one row per start node, so hot items "
+    "inflate the probe side only — the AQE skew-join case. The "
+    "(center, context) pairs for skip-gram training are column slices "
+    "of these paths.",
+)
+def random_walk_training_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    s1 = edges.groupBy(F.col("u").alias("start_user")).agg(
+        _pick("i", "u", 1).alias("item_step1")
+    )
+    s2 = (
+        s1.join(edges, s1.item_step1 == edges.i)
+        .groupBy("start_user", "item_step1")
+        .agg(_pick("u", "start_user", 2).alias("user_step2"))
+    )
+    s3 = (
+        s2.join(edges, s2.user_step2 == edges.u)
+        .groupBy("start_user", "item_step1", "user_step2")
+        .agg(_pick("i", "start_user", 3).alias("item_step3"))
+    )
+    return s3.select("start_user", "item_step1", "user_step2", "item_step3")

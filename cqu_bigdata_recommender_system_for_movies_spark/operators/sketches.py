@@ -1,0 +1,128 @@
+"""Mergeable-sketch aggregates: DataSketches HLL distinct rollups and
+frequent-items (approx_top_k) heavy hitters.
+
+These are the 100 TB substitutes for exact COUNT(DISTINCT) / exact top-k:
+a sketch is built once per group with map-side partial aggregation, is
+tiny (KBs) regardless of input size, and — critically — RE-AGGREGATES:
+``hll_union_agg`` merges already-built group sketches into coarser
+rollup levels without touching the raw data again. That is the property
+an exact distinct count does not have (distinct counts don't add), and
+it is why production pipelines persist sketch columns in their rollup
+tables. The reference has no sketch surface; SURVEY.md §2 lists this
+under the beyond-reference pipeline extensions.
+
+Correctness note (why these can still be oracle-checked exactly): a
+DataSketches HLL sketch stores raw coupon hashes until the set outgrows
+its exact mode, so at the verified scale factors (≤ sf0.1, ≤ 15k distinct
+users; checked empirically at lgK=14 across sf0.001/0.01/0.1) the
+estimate equals the exact count. The frequent-items sketch is exact while
+no eviction occurs, i.e. while maxItemsTracked exceeds the number of
+distinct keys. Both caps are asserted in tests/test_sketches.py so a
+testdata change that breaks the exact-mode assumption fails loudly
+instead of silently flipping a driver row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+# lgConfigK=14 → 16 KiB dense sketch, ±0.41% relative error at scale; in
+# exact (coupon) mode well past the distinct-user cardinality of every
+# test scale factor.
+HLL_LG_K = 14
+
+# Frequent-items capacity: must exceed distinct l_partkey at the largest
+# verified sf (20k at sf0.1) for the sketch to stay in exact mode.
+TOPK_MAX_ITEMS_TRACKED = 65536
+TOPK_K = 20
+
+
+@register(
+    "hll_distinct_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS approx_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           COUNT(DISTINCT user_id) AS approx_users,
+           COUNT(*) AS n_events
+    FROM events
+    """,
+    doc="Mergeable distinct-count rollup: per-event_type distinct users "
+    "via hll_sketch_agg, then the GRAND-TOTAL distinct derived by "
+    "hll_union_agg over the five per-type sketches — the raw events "
+    "are scanned exactly once, and the 'ALL' row re-aggregates KB-sized "
+    "sketches, not data. This is the rollup-table pattern at 100 TB: "
+    "persist the sketch column at the finest grain, merge upward for "
+    "free. The oracle checks exact distinct counts — valid because the "
+    "sketch is in exact coupon mode at test cardinalities (see module "
+    "docstring); at production cardinality the same query returns "
+    "±0.4% estimates.",
+)
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    # One grand-total row from MERGED sketches (no second scan of events).
+    total = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias(
+            "approx_users"
+        ),
+        F.sum("n_events").alias("n_events"),
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").alias("approx_users"),
+        "n_events",
+    )
+    return per_type_est.unionByName(total.select("event_type", "approx_users", "n_events"))
+
+
+@register(
+    "approx_topk_parts",
+    oracle=f"""
+    WITH counts AS (
+        SELECT l_partkey AS item, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    ),
+    boundary AS (
+        SELECT cnt FROM counts ORDER BY cnt DESC LIMIT {TOPK_K}
+    )
+    SELECT item, cnt
+    FROM counts
+    WHERE cnt > (SELECT MIN(cnt) FROM boundary)
+    """,
+    doc="Sketch-based heavy hitters: approx_top_k over l_partkey builds a "
+    "frequent-items sketch in one pass (map-side mergeable, no exact "
+    "groupBy of the full key space on the reduce side). Determinism at "
+    "the k-th boundary: the sketch breaks count-ties arbitrarily, so "
+    "both sides drop items tied AT the boundary count (keep cnt > "
+    "min(top-k cnt)) — the surviving set is engine-independent because "
+    "the top-k COUNT MULTISET is unique even when the member set is "
+    "not. Counts are exact while maxItemsTracked exceeds the distinct "
+    "key count (asserted in tests); beyond that the same query "
+    "degrades gracefully to sketch estimates.",
+)
+def approx_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    sketch = lineitem.agg(
+        F.expr(
+            f"approx_top_k(l_partkey, {TOPK_K}, {TOPK_MAX_ITEMS_TRACKED})"
+        ).alias("tk")
+    )
+    exploded = sketch.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )
+    boundary = exploded.agg(F.min("cnt").alias("b"))
+    return exploded.join(F.broadcast(boundary)).filter(F.col("cnt") > F.col("b")).select(
+        "item", "cnt"
+    )

@@ -69,14 +69,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # then the 46 r3-latest greens (they age to 3 at r6; 47 names fit the
 # window with 3 slots to spare for r5-round changes. r6 must also cover:
 # bucketed_ratings_join and streaming_socket_parse_records (round-5
-# additions registered too late for this window), and the three itemcf
+# additions registered too late for this window), the three itemcf
 # entries whose co-occurrence base switched from a basket self-join to
 # map-side pair explosion in round 5 (item_cooccurrence_topk/_jaccard,
 # graph_triangle_count — outputs hash-identical, re-verified locally by
-# driver_sim at sf0.01), and image_resize_stats (late r5). That totals
-# ~53 names for 50 slots: cede three twice-green r3-latest entries with
-# r1 history (e.g. ann_lsh_topk, cosine_topk, doc_fingerprint) — all six
-# r5-changed/new names carry sf0.001 parity coverage in pytest meanwhile.
+# driver_sim at sf0.01), image_resize_stats (late r5), and the EIGHT
+# late-round-5 additions (all driver_sim-green at sf0.01):
+# ohlc_resample, scd2_priority_history, data_profile_summary,
+# hll_distinct_rollup, approx_topk_parts, pagerank_bipartite,
+# random_walk_training_paths, ivf_pq_topk. That totals ~61 names for 50
+# slots: cede the 46 r3-latest block's lowest-risk tail (thrice-green
+# entries with r1 history — e.g. ann_lsh_topk, cosine_topk,
+# doc_fingerprint and 8 more of the oldest-green set; they rotate back
+# in r7) — every never-checked name outranks every re-confirmation.
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (
@@ -204,5 +209,7 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.operators.vectors  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.text  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.itemcf  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.sketches  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.graph  # noqa: F401
 
     _LOADED = True
