@@ -67,9 +67,18 @@ TOPK_K = 20
 )
 def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
-    per_type = events.groupBy("event_type").agg(
-        F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk"),
-        F.count("*").alias("n_events"),
+    # Materialize the per-type sketch table (5 rows x 16 KiB): BOTH output
+    # branches read it, and without the checkpoint each branch would
+    # re-scan events and re-build the sketches — the exact re-aggregation
+    # cost this operator exists to avoid. This is the in-session stand-in
+    # for the persisted sketch column of a production rollup table.
+    per_type = (
+        events.groupBy("event_type")
+        .agg(
+            F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk"),
+            F.count("*").alias("n_events"),
+        )
+        .localCheckpoint(eager=False)
     )
     # One grand-total row from MERGED sketches (no second scan of events).
     total = per_type.agg(
@@ -119,8 +128,13 @@ def approx_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"approx_top_k(l_partkey, {TOPK_K}, {TOPK_MAX_ITEMS_TRACKED})"
         ).alias("tk")
     )
-    exploded = sketch.select(F.explode("tk").alias("e")).select(
-        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    # 20-row result of the one-pass sketch build; checkpointed because the
+    # boundary subquery AND the final filter both read it (otherwise the
+    # full lineitem sketch pass runs twice).
+    exploded = (
+        sketch.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     boundary = exploded.agg(F.min("cnt").alias("b"))
     return exploded.join(F.broadcast(boundary)).filter(F.col("cnt") > F.col("b")).select(

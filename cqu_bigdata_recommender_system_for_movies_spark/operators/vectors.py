@@ -978,12 +978,18 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    # Materialize the cell assignment: the encode pass, the query side,
+    # and the candidate side all read it — without the checkpoint the
+    # corpus-sized assign (scan + broadcast score + window) re-runs three
+    # times. Production form: the persisted (vec_id, cell, codes) index
+    # table every IVF-PQ system writes at build time.
     assigned = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "e", "cid", cosine("e", "ce").alias("c_cos"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "e", F.col("cid").alias("cell"))
+        .localCheckpoint(eager=False)
     )
 
     subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))

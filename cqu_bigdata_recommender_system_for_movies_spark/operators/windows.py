@@ -466,17 +466,22 @@ def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the standard nightly dimension-compaction job shape.",
 )
 def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    runs = orders.select(
+    # Rename BEFORE the first window: aliasing the partition key between
+    # two windows broke partitioning propagation and cost a second
+    # full-table Exchange (caught by the plan test below).
+    orders = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderpriority").alias("priority"),
         "o_orderdate",
         "o_orderkey",
-        F.when(
-            ~F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority")),
-            1,
-        )
+    )
+    w = Window.partitionBy("user_id").orderBy("o_orderdate", "o_orderkey")
+    runs = orders.select(
+        "user_id",
+        "priority",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(~F.lag("priority").over(w).eqNullSafe(F.col("priority")), 1)
         .otherwise(0)
         .alias("is_start"),
     )

@@ -752,3 +752,67 @@ def test_bench_regressions_skip_cross_sf(tmp_path, monkeypatch):
     assert "q1" in bench._regressions({"q1": 2.0}, 0.1)
     # different sf: no comparison at all
     assert bench._regressions({"q1": 2.0}, 0.01) == {}
+
+
+# --- round-5 additions: sketches, graph, PQ, time-series -------------------
+
+
+def test_ohlc_single_pass_partial_agg(spark, sf_dir):
+    """OHLC bars must be ONE scan + ONE shuffle of pre-aggregated bars —
+    not the oracle's window-sort of the raw fact table."""
+    plan = _plan(all_queries()["ohlc_resample"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" not in plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Both windows, the island aggregate, and the interval-closing LEAD
+    all share the user_id key: exactly one Exchange of the orders table
+    (a rename between windows used to break partitioning propagation and
+    cost a second one)."""
+    plan = _plan(all_queries()["scd2_priority_history"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_data_profile_single_scan_expand(spark, sf_dir):
+    """All 7 columns' exact-distinct stats from one scan via one Expand —
+    not 7 scans of the fact table."""
+    plan = _plan(all_queries()["data_profile_summary"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Expand") == 1
+
+
+def test_approx_topk_no_keyed_shuffle(spark, sf_dir):
+    """The frequent-items sketch is globally mergeable: no
+    hash-partitioned exchange of the key space anywhere — partials merge
+    through a SinglePartition gather, and the boundary subquery joins
+    broadcast."""
+    plan = _plan(all_queries()["approx_topk_parts"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "BroadcastExchange" in plan
+
+
+def test_pagerank_bounded_shuffles(spark, sf_dir):
+    """3 fixed iterations: degree tables + one keyed exchange pair per
+    half-iteration. A lineage bug (edges re-derived per iteration) or a
+    lost map-side combine shows up as extra exchanges/scans."""
+    plan = _plan(all_queries()["pagerank_bipartite"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 9
+    assert plan.count("FileScan parquet") == 0  # edges come from the checkpoint
+
+
+def test_random_walk_bounded_shuffles(spark, sf_dir):
+    plan = _plan(all_queries()["random_walk_training_paths"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 5
+    assert plan.count("FileScan parquet") == 0
+
+
+def test_ivf_pq_broadcasts_codebooks(spark, sf_dir):
+    """Codebook/centroid sides are broadcast (no shuffled join against the
+    128-row subspace table) and the coarse assignment never degrades to a
+    CartesianProduct."""
+    plan = _plan(all_queries()["ivf_pq_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
