@@ -83,6 +83,7 @@ HEADLINE = [
     "data_profile_summary",
     "ohlc_resample",
     "scd2_priority_history",
+    "hll_sliding_distinct",
 ]
 
 

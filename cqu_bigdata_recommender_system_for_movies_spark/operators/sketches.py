@@ -140,3 +140,66 @@ def approx_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.join(F.broadcast(boundary)).filter(F.col("cnt") > F.col("b")).select(
         "item", "cnt"
     )
+
+
+SLIDE_WINDOW_HOURS = 3  # trailing window: hours (b-2, b-1, b)
+
+
+@register(
+    "hll_sliding_distinct",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+               user_id
+        FROM events
+    ),
+    hrs AS (SELECT DISTINCT h FROM e)
+    SELECT make_timestamp(CAST(b.h AS BIGINT) * 3600 * 1000000) AS bucket,
+           COUNT(DISTINCT e.user_id) AS trailing_users,
+           COUNT(DISTINCT e.h) AS window_hours
+    FROM hrs b JOIN e ON e.h BETWEEN b.h - 2 AND b.h
+    GROUP BY b.h
+    """,
+    doc="Sliding-window distinct count — the query exact COUNT(DISTINCT) "
+    "cannot do incrementally: distinct users over each trailing 3-hour "
+    "window, computed by building ONE HLL sketch per hour and merging "
+    "each hour's sketch into the 3 windows it belongs to (map-side "
+    "replicate by window offset, then hll_union_agg per target bucket) "
+    "— the raw events are scanned once, and window width changes only "
+    "the replication factor, never a rescan. The oracle's range "
+    "self-join re-reads every event once per window it falls in — "
+    "exactly the cost curve the sketch algebra flattens at 100 TB. "
+    "window_hours counts the hours merged (boundary buckets < 3). "
+    "Exact at test cardinalities (coupon mode, module docstring).",
+)
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    # integer hour ids keep the window arithmetic engine-portable
+    hourly = (
+        events.select(
+            (F.unix_micros(F.date_trunc("hour", "ts")) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("h"),
+            "user_id",
+        )
+        .groupBy("h")
+        .agg(F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk"))
+        .localCheckpoint(eager=False)  # read by the replicate AND the bucket list
+    )
+    replicated = hourly.select(
+        F.explode(F.sequence(F.col("h"), F.col("h") + (SLIDE_WINDOW_HOURS - 1))).alias(
+            "tb"
+        ),
+        "sk",
+    )
+    merged = replicated.groupBy("tb").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("trailing_users"),
+        F.count("*").alias("window_hours"),
+    )
+    # trailing windows exist only for buckets that have their own data
+    buckets = hourly.select(F.col("h").alias("tb"))
+    return merged.join(F.broadcast(buckets), "tb").select(
+        F.timestamp_micros(F.col("tb") * F.lit(3_600_000_000)).alias("bucket"),
+        "trailing_users",
+        "window_hours",
+    )

@@ -705,3 +705,33 @@ def streaming_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return _run_to_memory(counts, "complete")
+
+
+@register(
+    "streaming_hll_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming distinct-count via mergeable HLL sketches — the only "
+    "shape a per-key streaming COUNT(DISTINCT) keeps at scale: exact "
+    "streaming distinct would hold every seen user id as state, while "
+    "the sketch keeps O(16 KiB) per key no matter how many users flow "
+    "through, and each micro-batch MERGES into that bounded state "
+    "(hll_sketch_agg is a mergeable aggregate, so it runs under "
+    "complete-mode streaming aggregation unchanged). The estimate is "
+    "applied AFTER the stateful agg, per emitted row. Oracle is the "
+    "exact batch distinct — equal while the sketch is in coupon mode "
+    "(operators/sketches.py module docstring).",
+)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import HLL_LG_K
+
+    stream = _events_stream(spark, sf_dir)
+    sketched = stream.groupBy("event_type").agg(
+        F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk")
+    )
+    est = sketched.select(
+        "event_type", F.expr("hll_sketch_estimate(sk)").alias("approx_users")
+    )
+    return _run_to_memory(est, "complete")
