@@ -84,6 +84,8 @@ HEADLINE = [
     "ohlc_resample",
     "scd2_priority_history",
     "hll_sliding_distinct",
+    "auc_rank_sum",
+    "lpa_communities",
 ]
 
 

@@ -165,3 +165,75 @@ def random_walk_training_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_pick("i", "start_user", 3).alias("item_step3"))
     )
     return s3.select("start_user", "item_step1", "user_step2", "item_step3")
+
+
+LPA_SEED_LABELS = 16
+# 0..15 from the first hex digit of the node's md5 — identical in both
+# engines, and coarse enough that neighbor-label FREQUENCIES are
+# meaningful from iteration 1 (unique-per-node seeds would degenerate
+# LPA into min-label propagation, i.e. connected components, which
+# operators/dedup.py already provides).
+_SEED_SQL = "strpos('0123456789abcdef', substr(md5({node}), 1, 1)) - 1"
+_SEED_SPARK = "locate(substr(md5({node}), 1, 1), '0123456789abcdef') - 1"
+
+
+def _mode_label(df: DataFrame, key: str, label: str = "label") -> DataFrame:
+    """Most-frequent neighbor label per node, ties to the smallest label —
+    two-level aggregation (count per (node, label), then min_by over the
+    negated count) so partials combine map-side on both shuffles; the
+    window-free shape survives hot nodes."""
+    counted = df.groupBy(key, label).agg(F.count("*").alias("cnt"))
+    return counted.groupBy(key).agg(
+        F.min_by(label, F.struct((-F.col("cnt")).alias("neg"), F.col(label))).alias(
+            "label"
+        )
+    )
+
+
+@register(
+    "lpa_communities",
+    oracle=f"""
+    {_EDGES_SQL},
+    li0 AS (SELECT i, {_SEED_SQL.format(node="'i' || CAST(i AS VARCHAR)")} AS label
+            FROM (SELECT DISTINCT i FROM edges)),
+    -- iteration 1, user side: adopt the modal label of rated items
+    cu1 AS (SELECT e.u, li0.label, COUNT(*) AS cnt
+            FROM edges e JOIN li0 ON e.i = li0.i GROUP BY e.u, li0.label),
+    lu1 AS (SELECT u, label FROM (
+                SELECT u, label,
+                       ROW_NUMBER() OVER (PARTITION BY u
+                                          ORDER BY cnt DESC, label) AS rn
+                FROM cu1) WHERE rn = 1),
+    -- iteration 2, item side: adopt the modal label of raters
+    ci2 AS (SELECT e.i, lu1.label, COUNT(*) AS cnt
+            FROM edges e JOIN lu1 ON e.u = lu1.u GROUP BY e.i, lu1.label),
+    li2 AS (SELECT i, label FROM (
+                SELECT i, label,
+                       ROW_NUMBER() OVER (PARTITION BY i
+                                          ORDER BY cnt DESC, label) AS rn
+                FROM ci2) WHERE rn = 1)
+    SELECT i AS item_id, CAST(label AS INTEGER) AS community FROM li2
+    """,
+    doc="Label-propagation community detection on the bipartite rating "
+    f"graph: {LPA_SEED_LABELS} deterministic seed labels (first md5 hex "
+    "digit of the node id), then two Jacobi half-iterations of "
+    "adopt-the-modal-neighbor-label (ties to the smallest label). Each "
+    "half-iteration is one edge-list join plus a TWO-LEVEL aggregate — "
+    "count per (node, label) then min_by over negated counts — so both "
+    "shuffles combine map-side and no per-node window sort exists to "
+    "melt on hot nodes. The oracle unrolls the same recurrence with "
+    "window-function modes.",
+)
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    li0 = edges.select("i").distinct().select(
+        "i",
+        F.expr(_SEED_SPARK.format(node="concat('i', CAST(i AS STRING))")).alias(
+            "label"
+        ),
+    )
+    lu1 = _mode_label(edges.join(li0, "i").select("u", "label"), "u")
+    li2 = _mode_label(edges.join(lu1, "u").select("i", "label"), "i")
+    return li2.select(
+        F.col("i").alias("item_id"), F.col("label").cast("int").alias("community")
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
-from cqu_bigdata_recommender_system_for_movies_spark.tables import RATINGS_SQL, load, ratings
+from cqu_bigdata_recommender_system_for_movies_spark.tables import RATINGS_SQL, load, ratings, sql_in_list
 
 
 @register(
@@ -209,4 +209,90 @@ def ndcg_at_k_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_relevant",
             F.round(F.coalesce("dcg", F.lit(0.0)) / ideal, 4).alias("ndcg_at_k"),
         )
+    )
+
+
+AUC_POSITIVE_TYPES = ("purchase", "signup")
+
+
+@register(
+    "auc_rank_sum",
+    oracle=f"""
+    WITH l AS (
+        SELECT date_trunc('day', ts) AS day,
+               CASE WHEN event_type IN {sql_in_list(AUC_POSITIVE_TYPES)}
+                    THEN 1 ELSE 0 END AS y,
+               value AS s
+        FROM events
+    ),
+    r AS (
+        SELECT day, y,
+               RANK() OVER (PARTITION BY day ORDER BY s)
+                 + (COUNT(*) OVER (PARTITION BY day, s) - 1) / 2.0 AS midrank
+        FROM l
+    ),
+    agg AS (
+        SELECT day,
+               SUM(y) AS n_pos,
+               COUNT(*) - SUM(y) AS n_neg,
+               SUM(CASE WHEN y = 1 THEN midrank ELSE 0 END) AS pos_ranks
+        FROM r GROUP BY day
+    )
+    SELECT day, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((pos_ranks - n_pos * (n_pos + 1) / 2.0)
+                 / NULLIF(n_pos * n_neg, 0), 6) AS auc
+    FROM agg
+    """,
+    doc="Distributed AUC (Mann-Whitney rank-sum) per day: ranks positives "
+    "vs negatives on the score column with midrank tie handling. The "
+    "plan compacts rows to per-(day, score) positive/negative counts "
+    "FIRST — one partial-aggregated shuffle — and runs the cumulative "
+    "window over that compacted table, so the sort touches distinct "
+    "scores, not raw events (the oracle windows over raw rows — the "
+    "formulation a single node can afford). Equality is exact, not "
+    "approximate: every intermediate is a dyadic rational (integers and "
+    "halves), so both formulations agree bit-for-bit under the rank-sum "
+    "identity U = sum_s pos_s * (cum_neg_before + neg_s / 2).",
+)
+def auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    labeled = events.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.col("event_type").isin(*AUC_POSITIVE_TYPES).cast("int").alias("y"),
+        F.col("value").alias("s"),
+    )
+    per_score = labeled.groupBy("day", "s").agg(
+        F.sum("y").alias("np_s"),
+        (F.count("*") - F.sum("y")).alias("nn_s"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = per_score.select(
+        "day",
+        "np_s",
+        "nn_s",
+        (
+            F.col("np_s")
+            * (
+                F.coalesce(F.sum("nn_s").over(w), F.lit(0)).cast("double")
+                + F.col("nn_s") / 2.0
+            )
+        ).alias("u_s"),
+    )
+    agg = contrib.groupBy("day").agg(
+        F.sum("np_s").alias("n_pos"),
+        F.sum("nn_s").alias("n_neg"),
+        F.sum("u_s").alias("u"),
+    )
+    return agg.select(
+        "day",
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("u") / F.nullif((F.col("n_pos") * F.col("n_neg")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("auc"),
     )

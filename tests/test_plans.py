@@ -816,3 +816,21 @@ def test_ivf_pq_broadcasts_codebooks(spark, sf_dir):
     plan = _plan(all_queries()["ivf_pq_topk"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_auc_windows_compacted_scores(spark, sf_dir):
+    """The cumulative window must run over the per-(day, score) compacted
+    table: exactly one scan, and the aggregate shuffle precedes the
+    Window in the plan (no window directly over raw events)."""
+    plan = _plan(all_queries()["auc_rank_sum"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
+    # the first (innermost) exchange keys on (day, s) — the compaction
+    assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_lpa_mode_is_window_free(spark, sf_dir):
+    """Modal-label adoption is a two-level aggregate, not a per-node
+    window sort — hot nodes stay map-side combinable."""
+    plan = _plan(all_queries()["lpa_communities"](spark, sf_dir))
+    assert "Window" not in plan
