@@ -86,6 +86,8 @@ HEADLINE = [
     "hll_sliding_distinct",
     "auc_rank_sum",
     "lpa_communities",
+    "merge_upsert_snapshot",
+    "gap_fill_linear",
 ]
 
 

@@ -273,3 +273,81 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("sum_chars"))
     )
+
+
+MERGE_DELETE_MOD = 13  # matched keys with user_id % 13 == 0 are deleted
+
+
+@register(
+    "merge_upsert_snapshot",
+    oracle=f"""
+    WITH target AS (
+        SELECT c_custkey AS user_id,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS balance_cents
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    source AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(ROUND(SUM(value) * 100) AS BIGINT) AS delta_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+           CASE WHEN t.user_id IS NULL THEN 'insert'
+                WHEN s.user_id IS NULL THEN 'unchanged'
+                WHEN s.user_id % {MERGE_DELETE_MOD} = 0 THEN 'delete'
+                ELSE 'update' END AS action,
+           CASE WHEN t.user_id IS NULL THEN s.delta_cents
+                WHEN s.user_id IS NULL THEN t.balance_cents
+                WHEN s.user_id % {MERGE_DELETE_MOD} = 0 THEN NULL
+                ELSE t.balance_cents + s.delta_cents END AS balance_cents,
+           s.n_events AS n_events
+    FROM target t FULL JOIN source s ON t.user_id = s.user_id
+    """,
+    doc="MERGE INTO emulation (upsert/delete table maintenance — the verb "
+    "plain Spark lacks without a lakehouse format): a per-user change "
+    "set derived from events is merged into a customer snapshot via ONE "
+    "full-outer equi join, with WHEN MATCHED THEN UPDATE, WHEN MATCHED "
+    "AND <cond> THEN DELETE, WHEN NOT MATCHED THEN INSERT, and "
+    "target-only rows carried through unchanged — exactly the join "
+    "Delta/Iceberg MERGE plans under the hood, so this is the 100 TB "
+    "shape (AQE skew-splits the join; the change set aggregates first, "
+    "so the join carries one row per key, not per event). Output is the "
+    "post-merge audit: every key tagged insert/update/delete/unchanged. "
+    "Money is exact integer cents; the half-width target (even keys) "
+    "guarantees all four actions occur in test data.",
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("t_user"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("balance_cents"),
+        )
+    )
+    source = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("s_user"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("delta_cents"),
+        )
+    )
+    merged = target.join(source, target.t_user == source.s_user, "full_outer")
+    is_insert = F.col("t_user").isNull()
+    is_unchanged = F.col("s_user").isNull()
+    is_delete = F.col("s_user") % MERGE_DELETE_MOD == 0
+    return merged.select(
+        F.coalesce("t_user", "s_user").alias("user_id"),
+        F.when(is_insert, "insert")
+        .when(is_unchanged, "unchanged")
+        .when(is_delete, "delete")
+        .otherwise("update")
+        .alias("action"),
+        F.when(is_insert, F.col("delta_cents"))
+        .when(is_unchanged, F.col("balance_cents"))
+        .when(is_delete, F.lit(None).cast("long"))
+        .otherwise(F.col("balance_cents") + F.col("delta_cents"))
+        .alias("balance_cents"),
+        "n_events",
+    )

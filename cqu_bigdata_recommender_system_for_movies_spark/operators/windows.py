@@ -500,3 +500,123 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grp").cast("int").alias("version"),
         "n_orders",
     )
+
+
+@register(
+    "gap_fill_linear",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               MAX(value) AS day_max
+        FROM events WHERE value > {GAP_FILL_MIN_VALUE}
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    bounds AS (
+        SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                    FROM bounds) d
+    ),
+    joined AS (
+        SELECT s.event_type, s.day,
+               CAST(epoch(s.day) AS BIGINT) // 86400 AS di,
+               daily.day_max
+        FROM spine s LEFT JOIN daily
+          ON s.event_type = daily.event_type AND s.day = daily.day
+    ),
+    ctx AS (
+        SELECT event_type, day, di, day_max,
+               last_value(day_max IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN day_max IS NOT NULL THEN di END IGNORE NULLS)
+                   OVER wp AS prev_d,
+               first_value(day_max IGNORE NULLS) OVER wn AS next_v,
+               first_value(CASE WHEN day_max IS NOT NULL THEN di END IGNORE NULLS)
+                   OVER wn AS next_d
+        FROM joined
+        WINDOW wp AS (PARTITION BY event_type ORDER BY di
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY di
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           ROUND(CASE
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               WHEN next_d = prev_d THEN prev_v
+               ELSE prev_v + (next_v - prev_v)
+                             * (di - prev_d) / (next_d - prev_d)
+           END, 4) AS filled_value,
+           day_max IS NULL AS was_gap
+    FROM ctx
+    """,
+    doc="Linear-interpolation gap fill — the numeric sibling of "
+    "gap_fill_forward's LOCF: missing (event_type, day) points on the "
+    "dense spine take prev + (next-prev) * elapsed_fraction between "
+    "the surrounding observed days, falling back to the known side at "
+    "series edges. Both directional contexts come from the SAME "
+    "partition key (one shuffle, two window passes over it); day "
+    "arithmetic uses integer epoch-day ids so the interpolation "
+    "fraction is engine-portable. This is the standard sensor/metric "
+    "regularization step before resampling or model features.",
+)
+def gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("value") > GAP_FILL_MIN_VALUE)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.max("value").alias("day_max"))
+    )
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(days))
+    joined = spine.join(daily, ["event_type", "day"], "left").withColumn(
+        "di", (F.unix_micros("day") / F.lit(86_400_000_000)).cast("long")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_di = F.when(F.col("day_max").isNotNull(), F.col("di"))
+    ctx = joined.select(
+        "event_type",
+        "day",
+        "di",
+        "day_max",
+        F.last("day_max", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(known_di, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("day_max", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(known_di, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    filled = (
+        F.when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(F.col("next_d") == F.col("prev_d"), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("di") - F.col("prev_d"))
+            / (F.col("next_d") - F.col("prev_d"))
+        )
+    )
+    return ctx.select(
+        "event_type",
+        "day",
+        F.round(filled, 4).alias("filled_value"),
+        F.col("day_max").isNull().alias("was_gap"),
+    )
