@@ -88,6 +88,8 @@ HEADLINE = [
     "lpa_communities",
     "merge_upsert_snapshot",
     "gap_fill_linear",
+    "kcore_membership",
+    "boolean_retrieval_and",
 ]
 
 

@@ -237,3 +237,70 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li2.select(
         F.col("i").alias("item_id"), F.col("label").cast("int").alias("community")
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 2
+
+
+def _kcore_round_sql(edges_in: str, out_prefix: str) -> str:
+    """One peeling round in SQL: degree per side, keep >= K nodes, keep
+    edges whose BOTH endpoints survive."""
+    return f"""
+    {out_prefix}du AS (SELECT u, COUNT(*) AS d FROM {edges_in} GROUP BY u),
+    {out_prefix}di AS (SELECT i, COUNT(*) AS d FROM {edges_in} GROUP BY i),
+    {out_prefix}e AS (
+        SELECT e.u, e.i FROM {edges_in} e
+        JOIN {out_prefix}du ON e.u = {out_prefix}du.u AND {out_prefix}du.d >= {KCORE_K}
+        JOIN {out_prefix}di ON e.i = {out_prefix}di.i AND {out_prefix}di.d >= {KCORE_K}
+    )"""
+
+
+@register(
+    "kcore_membership",
+    oracle=f"""
+    {_EDGES_SQL},
+    {_kcore_round_sql("edges", "r1")},
+    {_kcore_round_sql("r1e", "r2")},
+    fu AS (SELECT u, COUNT(*) AS d FROM r2e GROUP BY u),
+    fi AS (SELECT i, COUNT(*) AS d FROM r2e GROUP BY i)
+    SELECT 'user' AS node_type, u AS node_id, d AS degree FROM fu
+    UNION ALL
+    SELECT 'item' AS node_type, i AS node_id, d AS degree FROM fi
+    """,
+    doc=f"k-core decomposition ({KCORE_ROUNDS} peeling rounds, k={KCORE_K}) "
+    "on the bipartite rating graph — the graph-mining densification "
+    "filter that strips low-engagement users/items before embedding "
+    "training (LightGCN-style models are notoriously noise-sensitive "
+    "to degree-1 nodes). Each round is: per-side degree aggregate, "
+    "then an edge filter keyed on each endpoint — two keyed joins per "
+    "round, both against node-sized degree tables, with the edge list "
+    "never replicated. Fixed round count keeps it SQL-unrollable; the "
+    "convergence-driven version iterates the same plan with "
+    "localCheckpoint truncation exactly like dedup's connected "
+    "components. Output: surviving nodes with their degree in the "
+    "peeled graph.",
+)
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    for _ in range(KCORE_ROUNDS):
+        du = e.groupBy("u").agg(F.count("*").alias("du_d"))
+        di = e.groupBy("i").agg(F.count("*").alias("di_d"))
+        # checkpoint each peeled edge list: the next round reads it from
+        # three consumers (two degree aggs + the join), and without the
+        # truncation round N re-executes rounds 1..N-1 per consumer
+        e = (
+            e.join(du.filter(F.col("du_d") >= KCORE_K), "u")
+            .join(di.filter(F.col("di_d") >= KCORE_K), "i")
+            .select("u", "i")
+            .localCheckpoint(eager=False)
+        )
+    fu = e.groupBy("u").agg(F.count("*").alias("degree"))
+    fi = e.groupBy("i").agg(F.count("*").alias("degree"))
+    return fu.select(
+        F.lit("user").alias("node_type"), F.col("u").alias("node_id"), "degree"
+    ).unionByName(
+        fi.select(
+            F.lit("item").alias("node_type"), F.col("i").alias("node_id"), "degree"
+        )
+    )

@@ -1079,3 +1079,55 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "boolean_retrieval_and",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          w -> w <> '')) AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM tok WHERE w IN {_BM25_TERMS_SQL}
+        GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           CAST(MIN(tf) AS BIGINT) AS min_term_tf
+    FROM hits
+    GROUP BY doc_id
+    HAVING COUNT(*) = {len(BM25_QUERY_TERMS)}
+    """,
+    doc="Conjunctive (AND) boolean retrieval over the same whitespace "
+    "tokenization and query terms as bm25_topk: docs containing EVERY "
+    "query term, found by counting matched DISTINCT terms per doc and "
+    "keeping count == |query| — the posting-list intersection expressed "
+    "as an aggregate, which is how a distributed engine intersects "
+    "postings without a per-term join chain (k terms would otherwise "
+    "be k-1 self-joins). The term filter is pushed below the explode's "
+    "aggregate, so the shuffle carries only matching (doc, term) "
+    "pairs. Emits per-doc total and minimum term frequency (the "
+    "ranking inputs a WAND-style scorer would consume next).",
+)
+def boolean_retrieval_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    hits = (
+        tok.filter(F.col("w").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("total_tf"),
+            F.min("tf").alias("min_term_tf"),
+            F.count("*").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(BM25_QUERY_TERMS))
+        .select("doc_id", "total_tf", "min_term_tf")
+    )
