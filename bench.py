@@ -90,6 +90,7 @@ HEADLINE = [
     "gap_fill_linear",
     "kcore_membership",
     "boolean_retrieval_and",
+    "temporal_holdout_split",
 ]
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
 from cqu_bigdata_recommender_system_for_movies_spark.tables import (
+    RATINGS_SQL,
     load,
     ratings,
     sql_in_list,
@@ -235,3 +236,55 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = events.groupBy("event_type").agg(F.count("*").alias("n_total"))
     got = sample.groupBy("event_type").agg(F.count("*").alias("n_sample"))
     return pop.join(got, "event_type", "left").na.fill(0, ["n_sample"])
+
+
+HOLDOUT_FRACTION = 0.2  # last 20% of each user's interactions -> test
+
+
+@register(
+    "temporal_holdout_split",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    ranked AS (
+        SELECT user_id, item_id, rating, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, item_id, rating) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM r
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN rn > n - CAST(floor(n * {HOLDOUT_FRACTION}) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           MAX(CASE WHEN rn = n THEN item_id END) AS last_item
+    FROM ranked GROUP BY user_id
+    """,
+    doc="Leave-last-out temporal holdout — the standard offline "
+    "recommender-eval protocol the reference's random split cannot "
+    "honestly stand in for (random splits leak future interactions "
+    "into training): each user's interactions rank by event time "
+    "(ties broken on item and rating for engine determinism) and the "
+    "LAST floor(20%) become test. One shuffle on user_id serves the "
+    "rank, the per-user count, and the summary aggregate. Emits the "
+    "per-user split audit (test size, total, final held-out item); "
+    "the train/test row sets themselves are the rn <= / > boundary "
+    "filters of the same ranked frame.",
+)
+def temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    r = ratings(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "item_id", "rating")
+    wc = Window.partitionBy("user_id")
+    ranked = r.select(
+        "user_id",
+        "item_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    is_test = F.col("rn") > F.col("n") - F.floor(F.col("n") * HOLDOUT_FRACTION)
+    return ranked.groupBy("user_id").agg(
+        F.sum(is_test.cast("long")).alias("n_test"),
+        F.count("*").alias("n_total"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("item_id"))).alias("last_item"),
+    )
