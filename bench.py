@@ -91,6 +91,7 @@ HEADLINE = [
     "kcore_membership",
     "boolean_retrieval_and",
     "temporal_holdout_split",
+    "eval_candidate_sampling",
 ]
 
 

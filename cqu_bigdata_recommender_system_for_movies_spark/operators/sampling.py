@@ -288,3 +288,68 @@ def temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.max(F.when(F.col("rn") == F.col("n"), F.col("item_id"))).alias("last_item"),
     )
+
+
+EVAL_N_USERS = 20  # bounded query-user subset, like content_based_recommend
+EVAL_N_CANDIDATES = 99  # the classic 1-vs-99 sampled-metrics protocol
+
+
+@register(
+    "eval_candidate_sampling",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    users AS (SELECT DISTINCT user_id FROM r WHERE user_id < {EVAL_N_USERS}),
+    items AS (SELECT DISTINCT p_partkey AS item_id FROM part),
+    seen AS (SELECT DISTINCT user_id, item_id FROM r),
+    cand AS (
+        SELECT u.user_id, i.item_id,
+               md5(concat_ws('|', u.user_id, i.item_id)) AS hk
+        FROM users u CROSS JOIN items i
+        ANTI JOIN seen s ON s.user_id = u.user_id AND s.item_id = i.item_id
+    ),
+    ranked AS (
+        SELECT user_id, item_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hk) AS rnk
+        FROM cand
+    )
+    SELECT user_id, item_id, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {EVAL_N_CANDIDATES}
+    """,
+    doc="Sampled-candidate generation for 1-vs-99 ranking metrics (the "
+    "protocol used when full-catalog scoring is too expensive to "
+    "evaluate): for each query user, the 99 md5-minimal items the user "
+    "has NEVER interacted with — deterministic negatives, so the eval "
+    "set is replayable across engines and runs, unlike RAND()-sampled "
+    "negatives. Plan: the bounded user subset broadcast-crosses the "
+    "item dim, the seen-pairs anti join removes positives, and one "
+    "per-user window ranks the md5 keys; candidate fan-out is "
+    "users x items with users bounded, so the window partitions stay "
+    "item-dim-sized. Pairs naturally with temporal_holdout_split's "
+    "held-out positives.",
+)
+def eval_candidate_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    r = ratings(spark, sf_dir)
+    users = (
+        r.filter(F.col("user_id") < EVAL_N_USERS).select("user_id").distinct()
+    )
+    items = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item_id")
+    ).distinct()
+    seen = r.select("user_id", "item_id").distinct()
+    cand = (
+        items.crossJoin(F.broadcast(users))
+        .join(seen, ["user_id", "item_id"], "left_anti")
+        .select(
+            "user_id",
+            "item_id",
+            F.md5(F.concat_ws("|", "user_id", "item_id")).alias("hk"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("hk")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= EVAL_N_CANDIDATES)
+        .select("user_id", "item_id", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -80,8 +80,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # random_walk_training_paths, ivf_pq_topk, hll_sliding_distinct,
 # streaming_hll_distinct, auc_rank_sum, lpa_communities,
 # merge_upsert_snapshot, gap_fill_linear, kcore_membership,
-# boolean_retrieval_and, temporal_holdout_split. That totals ~70 names
-# for 50
+# boolean_retrieval_and, temporal_holdout_split,
+# eval_candidate_sampling. That totals ~71 names for 50
 # slots: cede the 46 r3-latest block's lowest-risk tail (thrice-green
 # entries with r1 history — e.g. ann_lsh_topk, cosine_topk,
 # doc_fingerprint and 8 more of the oldest-green set; they rotate back
