@@ -92,6 +92,8 @@ HEADLINE = [
     "boolean_retrieval_and",
     "temporal_holdout_split",
     "eval_candidate_sampling",
+    "nearest_centroid_classify",
+    "calibration_bins",
 ]
 
 

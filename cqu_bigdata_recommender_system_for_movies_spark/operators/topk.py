@@ -296,3 +296,57 @@ def auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+CALIBRATION_N_BINS = 10
+
+
+@register(
+    "calibration_bins",
+    oracle=f"""
+    WITH stats AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    binned AS (
+        SELECT LEAST(CAST(floor((value - mn) / (mx - mn) * {CALIBRATION_N_BINS})
+                          AS INTEGER), {CALIBRATION_N_BINS - 1}) AS bin,
+               CASE WHEN event_type IN {sql_in_list(AUC_POSITIVE_TYPES)}
+                    THEN 1 ELSE 0 END AS y,
+               value
+        FROM events CROSS JOIN stats
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(AVG(value), 4) AS mean_value,
+           ROUND(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+    FROM binned GROUP BY bin
+    """,
+    doc="Calibration / reliability bins for the same labels as "
+    "auc_rank_sum: equal-WIDTH score bins from a broadcast (min, max) — "
+    "deliberately not NTILE deciles, because a global quantile sort of "
+    "the fact table is the one plan that cannot scale; equal-width "
+    "binning is one aggregate + broadcast + one grouped aggregate, and "
+    "the production decile variant substitutes approx-quantile "
+    "boundaries for (min, max) with the identical plan. Bin assignment "
+    "is the same arithmetic expression in both engines (IEEE ops on "
+    "identical doubles), so bin edges cannot disagree.",
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    stats = events.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = events.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * CALIBRATION_N_BINS
+            ).cast("int"),
+            F.lit(CALIBRATION_N_BINS - 1),
+        ).alias("bin"),
+        F.col("event_type").isin(*AUC_POSITIVE_TYPES).cast("int").alias("y"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.sum("y") / F.count("*").cast("double"), 6).alias("pos_rate"),
+    )

@@ -1052,3 +1052,76 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("vec_id", "neighbor_id", "approx_dist")
     )
+
+
+@register(
+    "nearest_centroid_classify",
+    oracle="""
+    WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+        SELECT label AS clabel, list(avgv ORDER BY pos) AS ce FROM (
+            SELECT label, pos, AVG(v) AS avgv FROM (
+                SELECT label, unnest(e) AS v, generate_subscripts(e, 1) AS pos
+                FROM base
+            ) GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    scored AS (
+        SELECT b.vec_id, b.label, c.clabel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_sum(list_transform(list_zip(b.e, c.ce),
+                                                   x -> (x[1]-x[2])**2)),
+                            c.clabel
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+    )
+    SELECT label AS true_label, clabel AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored WHERE rn = 1
+    GROUP BY label, clabel
+    """,
+    doc="Nearest-centroid classification eval (Rocchio): class prototypes "
+    "from the position-exploded per-label mean, collected back into one "
+    "centroid array per label (label-count-sized — broadcastable), each "
+    "vector assigned to its L2-nearest prototype via broadcast "
+    "cross-score + min_by (ties to the smaller label), and the "
+    "label-vs-prediction CONFUSION MATRIX aggregated out. One corpus "
+    "scan builds centroids, one scores — the evaluation loop for the "
+    "embedding quality the centroid/cluster operators feed. Assignment "
+    "uses unrounded centroids; near-tie flips would need distances "
+    "equal to ~1e-15 relative, beyond any rounding the 6dp centroid "
+    "display performs.",
+)
+def nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cent = (
+        emb.select("label", F.posexplode("e").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("avgv"))
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avgv"))),
+                lambda s: s.avgv,
+            ).alias("ce")
+        )
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            _l2sq(F.col("e"), F.col("ce")).alias("dist"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min_by("clabel", F.struct("dist", "clabel")).alias("pred_label"))
+    )
+    return assigned.groupBy(
+        F.col("label").alias("true_label"), "pred_label"
+    ).agg(F.count("*").alias("n"))

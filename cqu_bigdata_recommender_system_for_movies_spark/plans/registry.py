@@ -81,7 +81,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # streaming_hll_distinct, auc_rank_sum, lpa_communities,
 # merge_upsert_snapshot, gap_fill_linear, kcore_membership,
 # boolean_retrieval_and, temporal_holdout_split,
-# eval_candidate_sampling. That totals ~71 names for 50
+# eval_candidate_sampling, nearest_centroid_classify, calibration_bins,
+# streaming_approx_topk. That totals ~74 names for 50
 # slots: cede the 46 r3-latest block's lowest-risk tail (thrice-green
 # entries with r1 history — e.g. ann_lsh_topk, cosine_topk,
 # doc_fingerprint and 8 more of the oldest-green set; they rotate back

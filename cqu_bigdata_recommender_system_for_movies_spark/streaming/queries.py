@@ -735,3 +735,49 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr("hll_sketch_estimate(sk)").alias("approx_users")
     )
     return _run_to_memory(est, "complete")
+
+
+STREAM_TOPK_K = 10
+
+
+@register(
+    "streaming_approx_topk",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    boundary AS (SELECT cnt FROM counts ORDER BY cnt DESC LIMIT {STREAM_TOPK_K})
+    SELECT user_id, cnt
+    FROM counts WHERE cnt > (SELECT MIN(cnt) FROM boundary)
+    """,
+    doc="Streaming heavy hitters via the frequent-items sketch: "
+    "approx_top_k(user_id) as a complete-mode streaming aggregate — "
+    "bounded sketch state merged per micro-batch, where an exact "
+    "streaming top-k would keep a counter per key forever. The sketch "
+    "row lands in the memory sink; the explode + boundary-tie drop "
+    "(same determinism argument as operators/sketches.approx_topk_"
+    "parts: the top-k count MULTISET is unique even when tied members "
+    "are not) runs batch-side on the sink table. Counts exact while "
+    "maxItemsTracked exceeds the distinct-user count.",
+)
+def streaming_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import (
+        TOPK_MAX_ITEMS_TRACKED,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    sketched = stream.agg(
+        F.expr(
+            f"approx_top_k(user_id, {STREAM_TOPK_K}, {TOPK_MAX_ITEMS_TRACKED})"
+        ).alias("tk")
+    )
+    sink = _run_to_memory(sketched, "complete")
+    exploded = sink.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("user_id"), F.col("e.count").alias("cnt")
+    )
+    boundary = exploded.agg(F.min("cnt").alias("b"))
+    return (
+        exploded.join(F.broadcast(boundary))
+        .filter(F.col("cnt") > F.col("b"))
+        .select("user_id", "cnt")
+    )
