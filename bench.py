@@ -94,6 +94,7 @@ HEADLINE = [
     "eval_candidate_sampling",
     "nearest_centroid_classify",
     "calibration_bins",
+    "ewma_by_type",
 ]
 
 

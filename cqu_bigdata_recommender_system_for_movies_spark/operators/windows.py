@@ -620,3 +620,50 @@ def gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled, 4).alias("filled_value"),
         F.col("day_max").isNull().alias("was_gap"),
     )
+
+
+EWMA_ALPHA = 0.1
+
+
+@register(
+    "ewma_by_type",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, AVG(value) AS v
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(list_reduce(list(v ORDER BY day),
+                             (acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA}),
+                 6) AS ewma
+    FROM daily GROUP BY event_type
+    """,
+    doc="Exponentially weighted moving average per series — a RECURRENCE "
+    "(s_t = 0.9*s_(t-1) + 0.1*x_t, seeded with x_0) that no window "
+    "frame expresses: the series aggregates to daily means first (one "
+    "shuffle, map-side combine), each series' bounded day-count array "
+    "is assembled in order, and the recurrence runs as an in-row "
+    "functional fold (F.aggregate — JVM codegen, no UDF). Fold order "
+    "is ascending in both engines, so the result is exact, not "
+    "approximate. The bounded-array assumption is explicit: the array "
+    "is days-per-series sized, never event-sized — the same contract "
+    "as sequence packing.",
+)
+def ewma_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda s: s.v
+        ).alias("vals"),
+        F.count("*").alias("n_days"),
+    )
+    ewma = F.aggregate(
+        F.expr("slice(vals, 2, size(vals) - 1)"),
+        F.element_at("vals", 1),
+        lambda acc, x: acc * (1 - EWMA_ALPHA) + x * EWMA_ALPHA,
+    )
+    return series.select("event_type", "n_days", F.round(ewma, 6).alias("ewma"))
