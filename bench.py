@@ -95,6 +95,8 @@ HEADLINE = [
     "nearest_centroid_classify",
     "calibration_bins",
     "ewma_by_type",
+    "incremental_agg_merge",
+    "gdpr_erasure_audit",
 ]
 
 

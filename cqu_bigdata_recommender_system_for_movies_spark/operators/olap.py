@@ -790,3 +790,135 @@ def data_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(PROFILE_COLUMNS)}, {stack_args}) AS "
         "(column_name, n_rows, n_null, n_distinct, min_val, max_val, mean_val)"
     )
+
+
+INCR_CUTOVER = "2024-01-21"  # base = days before; delta = the rest
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, COUNT(*) AS cnt,
+               ROUND(SUM(value), 4) AS sum_v,
+               MIN(value) AS min_v, MAX(value) AS max_v
+        FROM events WHERE ts < TIMESTAMP '{INCR_CUTOVER}'
+        GROUP BY event_type
+    ),
+    delta AS (
+        SELECT event_type, COUNT(*) AS cnt,
+               ROUND(SUM(value), 4) AS sum_v,
+               MIN(value) AS min_v, MAX(value) AS max_v
+        FROM events WHERE ts >= TIMESTAMP '{INCR_CUTOVER}'
+        GROUP BY event_type
+    )
+    SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+           CAST(COALESCE(b.cnt, 0) + COALESCE(d.cnt, 0) AS BIGINT) AS cnt,
+           ROUND(COALESCE(b.sum_v, 0) + COALESCE(d.sum_v, 0), 4) AS sum_v,
+           LEAST(COALESCE(b.min_v, d.min_v), COALESCE(d.min_v, b.min_v)) AS min_v,
+           GREATEST(COALESCE(b.max_v, d.max_v), COALESCE(d.max_v, b.max_v)) AS max_v,
+           ROUND((COALESCE(b.sum_v, 0) + COALESCE(d.sum_v, 0))
+                 / (COALESCE(b.cnt, 0) + COALESCE(d.cnt, 0)), 4) AS avg_v
+    FROM base b FULL JOIN delta d ON b.event_type = d.event_type
+    """,
+    doc="Incremental aggregation — the nightly-ETL algebra that avoids "
+    "full recomputes: yesterday's materialized per-key aggregates "
+    "(count/sum/min/max) MERGE with the new partition's aggregates by "
+    "pure arithmetic (sums add, extrema fold, avg re-derives from "
+    "merged sum/count), never rescanning the base. Demonstrated by "
+    "splitting events at a cutover date, aggregating each side "
+    "separately, and merging — at 100 TB the base side is a KB-sized "
+    "summary table read, not a scan, so daily cost is proportional to "
+    "the DELTA. This algebraic-merge property is exactly what "
+    "non-decomposable aggregates (exact distinct, exact median) lack — "
+    "which is why the sketch family (operators/sketches.py) exists. "
+    "Sums are rounded at the partial level too, mirroring what a "
+    "persisted summary table would store.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    cut = F.lit(INCR_CUTOVER).cast("timestamp")
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+
+    base = _partial(events.filter(F.col("ts") < cut))
+    delta = _partial(events.filter(F.col("ts") >= cut))
+    b = base.select(*[F.col(c).alias(f"b_{c}") for c in base.columns])
+    d = delta.select(*[F.col(c).alias(f"d_{c}") for c in delta.columns])
+    merged = b.join(d, b.b_event_type == d.d_event_type, "full_outer")
+    cnt = F.coalesce("b_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+    sum_v = F.coalesce("b_sum_v", F.lit(0.0)) + F.coalesce("d_sum_v", F.lit(0.0))
+    return merged.select(
+        F.coalesce("b_event_type", "d_event_type").alias("event_type"),
+        cnt.alias("cnt"),
+        F.round(sum_v, 4).alias("sum_v"),
+        F.least(
+            F.coalesce("b_min_v", "d_min_v"), F.coalesce("d_min_v", "b_min_v")
+        ).alias("min_v"),
+        F.greatest(
+            F.coalesce("b_max_v", "d_max_v"), F.coalesce("d_max_v", "b_max_v")
+        ).alias("max_v"),
+        F.round(sum_v / cnt, 4).alias("avg_v"),
+    )
+
+
+GDPR_ERASE_MOD = 50  # erasure cohort: user_id % 50 == 0
+
+
+@register(
+    "gdpr_erasure_audit",
+    oracle=f"""
+    SELECT 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_subjects
+    FROM customer WHERE c_custkey % {GDPR_ERASE_MOD} = 0
+    UNION ALL
+    SELECT 'events', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+    FROM events WHERE user_id % {GDPR_ERASE_MOD} = 0
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders WHERE o_custkey % {GDPR_ERASE_MOD} = 0
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey % {GDPR_ERASE_MOD} = 0
+    """,
+    doc="Right-to-be-forgotten blast-radius audit — the pass a privacy "
+    "pipeline runs BEFORE erasure: for a deterministic erasure cohort, "
+    "count affected rows and distinct subjects in every table that "
+    "carries the subject key, including the indirect reach through the "
+    "order->lineitem foreign key (facts keyed by a surrogate still "
+    "join back to the subject). Direct tables are filter+aggregate "
+    "with the predicate pushed to the scan; the indirect table is one "
+    "keyed join pre-filtered on the erased cohort. The erasure itself "
+    "is then merge_upsert_snapshot's delete branch applied per table.",
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _audit(df: DataFrame, name: str, key: str) -> DataFrame:
+        return df.filter(F.col(key) % GDPR_ERASE_MOD == 0).agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.count_distinct(F.col(key)).alias("n_subjects"),
+        )
+
+    customer = _audit(load(spark, sf_dir, "customer"), "customer", "c_custkey")
+    events = _audit(load(spark, sf_dir, "events"), "events", "user_id")
+    orders_t = load(spark, sf_dir, "orders")
+    orders = _audit(orders_t, "orders", "o_custkey")
+    lineitem = _audit(
+        load(spark, sf_dir, "lineitem").join(
+            orders_t, F.col("l_orderkey") == F.col("o_orderkey")
+        ),
+        "lineitem",
+        "o_custkey",
+    )
+    return customer.unionByName(events).unionByName(orders).unionByName(lineitem)
