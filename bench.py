@@ -97,6 +97,9 @@ HEADLINE = [
     "ewma_by_type",
     "incremental_agg_merge",
     "gdpr_erasure_audit",
+    "interval_overlap_join",
+    "mad_outlier_counts",
+    "correlation_matrix",
 ]
 
 

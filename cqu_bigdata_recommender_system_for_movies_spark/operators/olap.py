@@ -922,3 +922,108 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
     )
     return customer.unionByName(events).unionByName(orders).unionByName(lineitem)
+
+
+MAD_SIGMA = 3.0  # |x - median| > 3 * MAD flags an outlier
+
+
+@register(
+    "mad_outlier_counts",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 4) AS median_v,
+           ROUND(MAX(m.mad), 4) AS mad_v,
+           CAST(SUM(CASE WHEN d.adev > {MAD_SIGMA} * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+    doc="Robust outlier detection via median absolute deviation — the "
+    "quantile-based alternative to z-scores that heavy-tailed metrics "
+    "need (stddev itself is blown up by the outliers it should flag). "
+    "Three passes by necessity (median -> MAD -> threshold count), each "
+    "a grouped aggregate plus a BROADCAST join of the 5-row statistic "
+    "table back onto the fact — never a fact-fact join. Exact "
+    "interpolated medians here; the production swap is "
+    "approx_percentile's t-digest in the identical plan, and the "
+    "cheap parquet re-scan is the right trade against checkpointing an "
+    "events-sized deviation table.",
+)
+def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("median_v"),
+            F.round(F.max("mad"), 4).alias("mad_v"),
+            F.sum(
+                (F.col("adev") > MAD_SIGMA * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+CORR_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "correlation_matrix",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           ROUND(corr({a}, {b}), 4) AS pearson_r
+    FROM lineitem
+    """
+        for idx, a in enumerate(CORR_COLUMNS)
+        for b in CORR_COLUMNS[idx + 1 :]
+    ),
+    doc="Pairwise Pearson correlation matrix of the numeric lineitem "
+    "measures — the feature-selection screen before model training: "
+    "all 6 upper-triangle pairs accumulate in ONE pass (each corr is a "
+    "5-tuple of moments, partial-aggregable map-side), then the single "
+    "wide row unpivots via stack. One scan, one 6x5-accumulator "
+    "shuffle row — at 100 TB this beats six separate jobs by exactly "
+    "6x the scan cost.",
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for idx, a in enumerate(CORR_COLUMNS)
+        for b in CORR_COLUMNS[idx + 1 :]
+    ]
+    wide = lineitem.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, pearson_r)"
+    )

@@ -667,3 +667,116 @@ def ewma_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * (1 - EWMA_ALPHA) + x * EWMA_ALPHA,
     )
     return series.select("event_type", "n_days", F.round(ewma, 6).alias("ewma"))
+
+
+OVERLAP_ORDER_DAYS = 3  # order activity window: [o_orderdate, +3 days)
+
+
+@register(
+    "interval_overlap_join",
+    oracle=f"""
+    WITH sess AS (
+        SELECT user_id,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id,
+               ts
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= {SESSION_GAP_MIN} * 60 * 1000000
+                        THEN 0 ELSE 1 END AS new_session
+            FROM events
+        )
+    ),
+    spans AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT o.o_orderkey, s.user_id, s.session_id
+    FROM orders o JOIN spans s
+      ON o.o_custkey = s.user_id
+     AND o.o_orderdate < s.s_end
+     AND s.s_start < o.o_orderdate + INTERVAL {OVERLAP_ORDER_DAYS} DAY
+    """,
+    doc="Interval-overlap join (interval × interval, one step past the "
+    "point-in-range band join): order activity windows "
+    f"[o_orderdate, +{OVERLAP_ORDER_DAYS}d) against user session spans "
+    "[first_event, last_event], overlapping when each starts before "
+    "the other ends. Plan: both interval sets explode to their covered "
+    "UTC-day buckets (orders: 4 buckets; sessions: span-dependent, "
+    "typically 1-2), equi-join on (user, day), dedup the multi-bucket "
+    "double-hits, and re-verify the exact predicate — the bucketed "
+    "interval-join shape that replaces the quadratic per-user nested "
+    "loop a raw inequality join plans. Session spans derive from the "
+    "same 30-min-gap sessionization as sessionize_events (one user_id "
+    "shuffle).",
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) <= gap_us, 0
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    spans = (
+        flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    day_us = 86_400_000_000
+    # o_orderdate reads as TIMESTAMP_NTZ in some driver generations;
+    # unix_micros needs the session-zone TIMESTAMP (UTC — wall-clock equal)
+    o_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        o_us.alias("o_start_us"),
+        (o_us + OVERLAP_ORDER_DAYS * day_us).alias("o_end_us"),
+    )
+    # explode each interval to covered day buckets; end is exclusive, but
+    # MAX ts is inclusive — cover the end bucket on the session side
+    o_b = orders.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("o_start_us") / day_us).cast("long"),
+                ((F.col("o_end_us") - 1) / day_us).cast("long"),
+            )
+        ).alias("day_b"),
+    )
+    s_b = spans.select(
+        F.col("user_id").alias("s_user"),
+        "session_id",
+        F.unix_micros("s_start").alias("s_start_us"),
+        F.unix_micros("s_end").alias("s_end_us"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("s_start_us") / day_us).cast("long"),
+                (F.col("s_end_us") / day_us).cast("long"),
+            )
+        ).alias("day_b"),
+    )
+    pairs = (
+        o_b.join(s_b, (o_b.user_id == s_b.s_user) & (o_b.day_b == s_b.day_b))
+        .filter(
+            (F.col("o_start_us") < F.col("s_end_us"))
+            & (F.col("s_start_us") < F.col("o_end_us"))
+        )
+        .select("o_orderkey", "user_id", "session_id")
+        .distinct()
+    )
+    return pairs

@@ -83,7 +83,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # boolean_retrieval_and, temporal_holdout_split,
 # eval_candidate_sampling, nearest_centroid_classify, calibration_bins,
 # streaming_approx_topk, ewma_by_type, incremental_agg_merge,
-# gdpr_erasure_audit. That totals ~77 names for 50
+# gdpr_erasure_audit, interval_overlap_join, mad_outlier_counts,
+# correlation_matrix. That totals ~80 names for 50
 # slots: cede the 46 r3-latest block's lowest-risk tail (thrice-green
 # entries with r1 history — e.g. ann_lsh_topk, cosine_topk,
 # doc_fingerprint and 8 more of the oldest-green set; they rotate back
