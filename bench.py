@@ -100,6 +100,7 @@ HEADLINE = [
     "interval_overlap_join",
     "mad_outlier_counts",
     "correlation_matrix",
+    "arrow_vector_norms",
 ]
 
 

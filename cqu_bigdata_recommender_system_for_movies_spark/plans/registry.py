@@ -65,30 +65,30 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # als_recommend_topk is ceded (51 names for 50 slots). It is the weakest
 # marginal evidence in the set — rows-only (no oracle), costs a full ALS
 # fit, and its semantics are pytest-gated every run — and it goes FIRST
-# into the r6 window. r6 fill, in priority order: als_recommend_topk,
-# then the 46 r3-latest greens (they age to 3 at r6; 47 names fit the
-# window with 3 slots to spare for r5-round changes. r6 must also cover:
-# bucketed_ratings_join and streaming_socket_parse_records (round-5
-# additions registered too late for this window), the three itemcf
-# entries whose co-occurrence base switched from a basket self-join to
-# map-side pair explosion in round 5 (item_cooccurrence_topk/_jaccard,
-# graph_triangle_count — outputs hash-identical, re-verified locally by
-# driver_sim at sf0.01), image_resize_stats (late r5), and the EIGHT
-# late-round-5 additions (all driver_sim-green at sf0.01):
-# ohlc_resample, scd2_priority_history, data_profile_summary,
-# hll_distinct_rollup, approx_topk_parts, pagerank_bipartite,
-# random_walk_training_paths, ivf_pq_topk, hll_sliding_distinct,
-# streaming_hll_distinct, auc_rank_sum, lpa_communities,
-# merge_upsert_snapshot, gap_fill_linear, kcore_membership,
-# boolean_retrieval_and, temporal_holdout_split,
-# eval_candidate_sampling, nearest_centroid_classify, calibration_bins,
-# streaming_approx_topk, ewma_by_type, incremental_agg_merge,
-# gdpr_erasure_audit, interval_overlap_join, mad_outlier_counts,
-# correlation_matrix. That totals ~80 names for 50
-# slots: cede the 46 r3-latest block's lowest-risk tail (thrice-green
-# entries with r1 history — e.g. ann_lsh_topk, cosine_topk,
-# doc_fingerprint and 8 more of the oldest-green set; they rotate back
-# in r7) — every never-checked name outranks every re-confirmation.
+# into the r6 window.
+#
+# r6 fill — EXACT math (counted against CORRECTNESS_r01..r04 + this
+# window): round 5 registered 30 queries after this window was pinned,
+# every one driver_sim-green at sf0.01 but with no driver row:
+# ohlc_resample, scd2_priority_history, gap_fill_linear, ewma_by_type,
+# interval_overlap_join, streaming_socket_parse_records,
+# streaming_hll_distinct, streaming_approx_topk, auc_rank_sum,
+# calibration_bins, data_profile_summary, incremental_agg_merge,
+# gdpr_erasure_audit, mad_outlier_counts, correlation_matrix,
+# temporal_holdout_split, eval_candidate_sampling,
+# bucketed_ratings_join, merge_upsert_snapshot, image_resize_stats,
+# ivf_pq_topk, nearest_centroid_classify, boolean_retrieval_and,
+# hll_distinct_rollup, approx_topk_parts, hll_sliding_distinct,
+# pagerank_bipartite, random_walk_training_paths, lpa_communities,
+# kcore_membership, arrow_vector_norms (31st, added after this count).
+# Those, plus als_recommend_topk (ceded above),
+# plus the three entries whose co-occurrence base changed in round 5
+# (item_cooccurrence_topk, item_cooccurrence_jaccard,
+# graph_triangle_count — outputs hash-identical locally, still must
+# re-verify) = 35 priority names. The remaining 15 slots go to the
+# oldest r3-latest greens (they age to 3 at r6), ordered
+# oldest-evidence-first; the rest of the r3 block rotates in r7 —
+# every never-checked name outranks every re-confirmation.
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (
