@@ -101,6 +101,7 @@ HEADLINE = [
     "mad_outlier_counts",
     "correlation_matrix",
     "arrow_vector_norms",
+    "streaming_upsert_merge",
 ]
 
 

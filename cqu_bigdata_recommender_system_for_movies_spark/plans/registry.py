@@ -80,12 +80,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # ivf_pq_topk, nearest_centroid_classify, boolean_retrieval_and,
 # hll_distinct_rollup, approx_topk_parts, hll_sliding_distinct,
 # pagerank_bipartite, random_walk_training_paths, lpa_communities,
-# kcore_membership, arrow_vector_norms (31st, added after this count).
+# kcore_membership, arrow_vector_norms and streaming_upsert_merge
+# (31st/32nd, added after this count).
 # Those, plus als_recommend_topk (ceded above),
 # plus the three entries whose co-occurrence base changed in round 5
 # (item_cooccurrence_topk, item_cooccurrence_jaccard,
 # graph_triangle_count — outputs hash-identical locally, still must
-# re-verify) = 35 priority names. The remaining 15 slots go to the
+# re-verify) = 36 priority names. The remaining 14 slots go to the
 # oldest r3-latest greens (they age to 3 at r6), ordered
 # oldest-evidence-first; the rest of the r3 block rotates in r7 —
 # every never-checked name outranks every re-confirmation.

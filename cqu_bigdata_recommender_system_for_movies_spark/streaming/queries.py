@@ -781,3 +781,90 @@ def streaming_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > F.col("b"))
         .select("user_id", "cnt")
     )
+
+
+UPSERT_N_SLICES = 3  # staged source files -> micro-batches
+LAST_UPSERT_VERSIONS: list[int] = []  # snapshot versions of the last run (test hook)
+
+
+@register(
+    "streaming_upsert_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="Streaming upsert into a snapshot table — the foreachBatch MERGE "
+    "pattern every lakehouse streaming sink implements: the source is "
+    "staged into 3 files consumed one per micro-batch "
+    "(maxFilesPerTrigger=1), and each batch full-outer-merges its "
+    "per-user aggregate into the previous snapshot version by pure "
+    "arithmetic (counts and exact per-event cents add), writing an "
+    "immutable new version — MVCC-style, never overwriting the file a "
+    "reader might hold. Because the merge is the same decomposable "
+    "algebra as incremental_agg_merge, the FINAL snapshot equals the "
+    "one-shot batch aggregate, which is exactly what the oracle "
+    "checks: exactly-once upsert semantics across micro-batch "
+    "boundaries, not just within one.",
+)
+def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    events = load(spark, sf_dir, "events")
+    stage_dir = tempfile.mkdtemp(prefix="spark_graft_upsert_src_")
+    # stage the source as N files so availableNow + maxFilesPerTrigger=1
+    # yields N real micro-batches (a single parquet file is one batch)
+    events.withColumn("slice", F.pmod("event_id", F.lit(UPSERT_N_SLICES))).repartition(
+        UPSERT_N_SLICES, "slice"
+    ).drop("slice").write.mode("overwrite").parquet(stage_dir)
+
+    snap_root = tempfile.mkdtemp(prefix="spark_graft_upsert_snap_")
+    state = {"version": -1}
+    LAST_UPSERT_VERSIONS.clear()
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        if state["version"] >= 0:
+            prev = batch_df.sparkSession.read.parquet(
+                f"{snap_root}/v{state['version']}"
+            )
+            p = prev.select(*[F.col(c).alias(f"p_{c}") for c in prev.columns])
+            merged = p.join(
+                delta, p.p_user_id == delta.user_id, "full_outer"
+            ).select(
+                F.coalesce("p_user_id", "user_id").alias("user_id"),
+                (
+                    F.coalesce("p_n_events", F.lit(0))
+                    + F.coalesce("n_events", F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce("p_sum_cents", F.lit(0))
+                    + F.coalesce("sum_cents", F.lit(0))
+                ).alias("sum_cents"),
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{snap_root}/v{int(batch_id)}")
+        state["version"] = int(batch_id)
+        LAST_UPSERT_VERSIONS.append(int(batch_id))
+
+    schema = events.schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage_dir)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    return spark.read.parquet(f"{snap_root}/v{state['version']}")

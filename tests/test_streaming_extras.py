@@ -225,3 +225,19 @@ def test_checkpoint_resume_is_exactly_once(spark, sf_dir):
     second = spark.read.parquet(out).count()
     assert second == first
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_upsert_merge_is_actually_incremental(spark, sf_dir):
+    """The exactly-once claim is only meaningful if the snapshot really
+    crossed micro-batch boundaries: the staged 3-slice source must yield
+    multiple versions, each merged from the previous."""
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        LAST_UPSERT_VERSIONS,
+        streaming_upsert_merge,
+    )
+
+    out = streaming_upsert_merge(spark, sf_dir)
+    assert out.count() > 0
+    assert len(LAST_UPSERT_VERSIONS) >= 2, (
+        f"only {LAST_UPSERT_VERSIONS} micro-batches — merge path never ran"
+    )
