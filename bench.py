@@ -102,6 +102,8 @@ HEADLINE = [
     "correlation_matrix",
     "arrow_vector_norms",
     "streaming_upsert_merge",
+    "two_phase_topk",
+    "next_item_training_pairs",
 ]
 
 

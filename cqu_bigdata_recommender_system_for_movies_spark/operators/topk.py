@@ -350,3 +350,94 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("mean_value"),
         F.round(F.sum("y") / F.count("*").cast("double"), 6).alias("pos_rate"),
     )
+
+
+TWO_PHASE_K = 5
+TWO_PHASE_SALTS = 8
+
+
+@register(
+    "two_phase_topk",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL}),
+    ranked AS (
+        SELECT item_id, user_id, rating,
+               ROW_NUMBER() OVER (
+                   PARTITION BY item_id
+                   ORDER BY rating DESC, user_id, ts
+               ) AS rnk
+        FROM ratings
+    )
+    SELECT item_id, user_id, rating, rnk
+    FROM ranked WHERE rnk <= {TWO_PHASE_K}
+    """,
+    doc=f"Per-key top-{TWO_PHASE_K} in TWO phases — the skew-proof shape "
+    "for hot keys that melt a single window sort: phase 1 ranks within "
+    f"(item, salt = user_id % {TWO_PHASE_SALTS}) partitions and keeps "
+    f"each salt's local top-{TWO_PHASE_K} (any global top-k row is "
+    "necessarily in its own salt's local top-k, so this prunes "
+    f"losslessly to at most {TWO_PHASE_SALTS}x{TWO_PHASE_K} rows per "
+    "item); phase 2 re-ranks only the survivors. A hot item's sort "
+    "spreads across 8 salted partitions instead of one reducer — the "
+    "same two-level shape MLlib's TopByKey and every skewed "
+    "leaderboard job use. Output is identical to the single-window "
+    "formulation, which is exactly what the oracle checks.",
+)
+def two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings(spark, sf_dir)
+    order = [F.desc("rating"), F.asc("user_id"), F.asc("ts")]
+    salted = r.withColumn("salt", F.pmod("user_id", F.lit(TWO_PHASE_SALTS)))
+    w_local = Window.partitionBy("item_id", "salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("lrnk", F.row_number().over(w_local))
+        .filter(F.col("lrnk") <= TWO_PHASE_K)
+        .drop("salt", "lrnk")
+    )
+    w_global = Window.partitionBy("item_id").orderBy(*order)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= TWO_PHASE_K)
+        .select("item_id", "user_id", "rating", "rnk")
+    )
+
+
+@register(
+    "next_item_training_pairs",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    seq AS (
+        SELECT user_id, item_id, ts,
+               LEAD(item_id) OVER w AS next_item,
+               LEAD(ts) OVER w AS next_ts
+        FROM r
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, item_id, rating)
+    )
+    SELECT user_id, item_id AS prev_item, next_item,
+           CAST(date_diff('day', ts, next_ts) AS BIGINT) AS gap_days
+    FROM seq WHERE next_item IS NOT NULL
+    """,
+    doc="Sequential-recommender training pairs (SASRec/GRU4Rec-style "
+    "next-item prediction data): each user's interaction sequence in "
+    "event-time order yields (prev_item, next_item, gap_days) examples "
+    "via one LEAD window — one user_id shuffle, output rows = "
+    "interactions minus users. Ties on (ts, item, rating) order "
+    "identically in both engines, keeping the emitted pairs "
+    "deterministic — the property that makes the corpus cacheable and "
+    "the training run reproducible.",
+)
+def next_item_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "item_id", "rating")
+    seq = r.select(
+        "user_id",
+        "item_id",
+        "ts",
+        F.lead("item_id").over(w).alias("next_item"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return seq.filter(F.col("next_item").isNotNull()).select(
+        "user_id",
+        F.col("item_id").alias("prev_item"),
+        "next_item",
+        F.datediff("next_ts", "ts").cast("long").alias("gap_days"),
+    )
