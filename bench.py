@@ -104,6 +104,8 @@ HEADLINE = [
     "streaming_upsert_merge",
     "two_phase_topk",
     "next_item_training_pairs",
+    "ann_ivf_multiprobe_topk",
+    "mixture_rebalance_weights",
 ]
 
 

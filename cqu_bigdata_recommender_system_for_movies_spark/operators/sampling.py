@@ -353,3 +353,65 @@ def eval_candidate_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= EVAL_N_CANDIDATES)
         .select("user_id", "item_id", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# target mixture the curated dataset should converge to, by source
+MIXTURE_TARGET_SHARES = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+@register(
+    "mixture_rebalance_weights",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    target AS (
+        SELECT source, CAST(share AS DOUBLE) AS share FROM (VALUES
+            {", ".join(f"('{s}', {w})" for s, w in sorted(MIXTURE_TARGET_SHARES.items()))}
+        ) AS t(source, share)
+    ),
+    raw AS (
+        SELECT c.source, c.n, t.share,
+               t.share * tot.total / c.n AS raw_w
+        FROM counts c JOIN target t ON c.source = t.source CROSS JOIN tot
+    ),
+    capped AS (SELECT *, LEAST(raw_w, 1.0) AS keep_prob FROM raw)
+    SELECT source, CAST(n AS BIGINT) AS n_rows,
+           ROUND(share, 4) AS target_share,
+           ROUND(keep_prob, 6) AS keep_prob,
+           CAST(floor(n * keep_prob) AS BIGINT) AS expected_rows,
+           raw_w > 1.0 AS undersupplied
+    FROM capped
+    """,
+    doc="Dataset-curation mixture planning: given target per-source "
+    "shares, derive each source's downsampling keep-probability "
+    "(share x total / available, capped at 1) and flag undersupplied "
+    "sources that cannot reach their share without upsampling — the "
+    "planning pass run before mixture_sample_by_source executes the "
+    "draw. Pure arithmetic over a source-count-sized aggregate (one "
+    "shuffle); the target table is a literal broadcast. This is how "
+    "LLM data curation hits a prescribed domain mixture without "
+    "materializing anything twice.",
+)
+def mixture_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_rows"))
+    target = spark.createDataFrame(
+        sorted(MIXTURE_TARGET_SHARES.items()), "source string, share double"
+    )
+    tot = counts.agg(F.sum("n_rows").alias("total"))
+    raw = (
+        counts.join(F.broadcast(target), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("raw_w", F.col("share") * F.col("total") / F.col("n_rows"))
+    )
+    keep = F.least(F.col("raw_w"), F.lit(1.0))
+    return raw.select(
+        "source",
+        "n_rows",
+        F.round("share", 4).alias("target_share"),
+        F.round(keep, 6).alias("keep_prob"),
+        F.floor(F.col("n_rows") * keep).cast("long").alias("expected_rows"),
+        (F.col("raw_w") > 1.0).alias("undersupplied"),
+    )

@@ -94,3 +94,48 @@ def test_ivf_pq_codes_bounded(spark, sf_dir):
     out = ivf_pq_topk(spark, sf_dir)
     assert out.filter(F.col("approx_dist") < 0).count() == 0
     assert PQ_N_CODES == 16  # oracle SQL hardcodes the first-16 codebook
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of single-probe's, so recall
+    vs the exact global top-3 can only improve (any displaced selection
+    loses to a higher-cosine item). At sf0.001 the measured gain is
+    0.433 -> 0.513."""
+    import duckdb
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        ann_ivf_multiprobe_topk,
+        ann_ivf_topk,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    exact = con.execute(
+        """
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        p AS (SELECT q.vec_id, x.vec_id AS nb,
+                     list_dot_product(q.e, x.e) /
+                     (sqrt(list_dot_product(q.e, q.e)) *
+                      sqrt(list_dot_product(x.e, x.e)) + 1e-8) AS c
+              FROM base q JOIN base x ON q.vec_id <> x.vec_id
+              WHERE q.vec_id < 50),
+        r AS (SELECT vec_id, nb,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, nb) rk
+              FROM p)
+        SELECT vec_id, nb FROM r WHERE rk <= 3
+        """
+    ).fetchall()
+    con.close()
+    exact_set = set(map(tuple, exact))
+
+    def hits(fn):
+        got = [(r.vec_id, r.neighbor_id) for r in fn(spark, sf_dir).collect()]
+        return sum(1 for t in got if t in exact_set)
+
+    single, multi = hits(ann_ivf_topk), hits(ann_ivf_multiprobe_topk)
+    assert multi >= single, f"multi-probe recall regressed: {multi} < {single}"
+    if sf_dir.rstrip("/").endswith("0.001"):
+        assert multi > single  # measured: 77 vs 65 of 150
