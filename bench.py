@@ -106,6 +106,8 @@ HEADLINE = [
     "next_item_training_pairs",
     "ann_ivf_multiprobe_topk",
     "mixture_rebalance_weights",
+    "rank_normalize_features",
+    "referential_integrity_audit",
 ]
 
 

@@ -481,3 +481,35 @@ def bpr_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "neg_item"],
         "left_anti",
     ).select("user_id", "pos_item", "k", "neg_item")
+
+
+@register(
+    "rank_normalize_features",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value),
+                 6) AS value_pctile,
+           ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value),
+                 6) AS value_cume
+    FROM events
+    """,
+    doc="Rank normalization (quantile transform) of a skewed feature: "
+    "percent_rank and cume_dist within each event_type map value onto "
+    "[0, 1] uniformly — the monotone transform tree models and "
+    "calibration layers prefer over raw heavy-tailed inputs. Ties "
+    "share a rank by definition, so NO tie-break column is needed for "
+    "engine determinism — the one window family that is "
+    "hash-comparable without one. One shuffle on the partition key; "
+    "at 100 TB the same transform runs approximately via "
+    "approx_percentile buckets when a full per-key sort is too hot.",
+)
+def rank_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("value_pctile"),
+        F.round(F.cume_dist().over(w), 6).alias("value_cume"),
+    )

@@ -1027,3 +1027,65 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, pearson_r)"
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'events->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    """,
+    doc="Referential-integrity audit across every foreign key in the "
+    "star schema: left-join each fact to its dimension and count "
+    "orphans (rows whose key resolves to nothing) — the ingest gate "
+    "that catches a broken upstream export before a silent inner join "
+    "drops the rows downstream. Dimension sides broadcast "
+    "(nation/customer) so three of the four checks are shuffle-free on "
+    "the fact side; the fact-fact lineitem->orders check shuffles once "
+    "on the order key, same as the ratings view it protects. A healthy "
+    "dataset reports zero orphans everywhere — the audit VALUE is that "
+    "the zeros are verified, not assumed.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _check(fact: DataFrame, dim: DataFrame, fk, pk, name: str, bcast: bool):
+        d = F.broadcast(dim) if bcast else dim
+        joined = fact.join(d, fact[fk] == dim[pk], "left")
+        return joined.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").alias("n_rows"),
+            F.sum(dim[pk].isNull().cast("long")).alias("n_orphans"),
+        )
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    events = load(spark, sf_dir, "events")
+    return (
+        _check(lineitem, orders, "l_orderkey", "o_orderkey", "lineitem->orders", False)
+        .unionByName(
+            _check(orders, customer, "o_custkey", "c_custkey", "orders->customer", True)
+        )
+        .unionByName(
+            _check(
+                customer, nation, "c_nationkey", "n_nationkey", "customer->nation", True
+            )
+        )
+        .unionByName(
+            _check(events, customer, "user_id", "c_custkey", "events->customer", True)
+        )
+    )

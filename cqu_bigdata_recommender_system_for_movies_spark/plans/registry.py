@@ -80,15 +80,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # ivf_pq_topk, nearest_centroid_classify, boolean_retrieval_and,
 # hll_distinct_rollup, approx_topk_parts, hll_sliding_distinct,
 # pagerank_bipartite, random_walk_training_paths, lpa_communities,
-# kcore_membership, plus six added after this count:
+# kcore_membership, plus eight added after this count:
 # arrow_vector_norms, streaming_upsert_merge, two_phase_topk,
 # next_item_training_pairs, ann_ivf_multiprobe_topk,
-# mixture_rebalance_weights.
+# mixture_rebalance_weights, rank_normalize_features,
+# referential_integrity_audit.
 # Those, plus als_recommend_topk (ceded above),
 # plus the three entries whose co-occurrence base changed in round 5
 # (item_cooccurrence_topk, item_cooccurrence_jaccard,
 # graph_triangle_count — outputs hash-identical locally, still must
-# re-verify) = 40 priority names. The remaining 10 slots go to the
+# re-verify) = 42 priority names. The remaining 8 slots go to the
 # oldest r3-latest greens (they age to 3 at r6), ordered
 # oldest-evidence-first; the rest of the r3 block rotates in r7 —
 # every never-checked name outranks every re-confirmation.
