@@ -513,3 +513,68 @@ def rank_normalize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("value_pctile"),
         F.round(F.cume_dist().over(w), 6).alias("value_cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding
+# ---------------------------------------------------------------------------
+
+TE_FOLDS = 5
+TE_PRIOR = 20.0  # smoothing pseudo-count toward the global mean
+
+
+@register(
+    "target_encoding_oof",
+    oracle=f"""
+    WITH folded AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {TE_FOLDS} AS fold,
+               value
+        FROM events
+    ),
+    cell AS (
+        SELECT event_type, fold, SUM(value) AS s, COUNT(*) AS c
+        FROM folded GROUP BY 1, 2
+    ),
+    g AS (SELECT SUM(value) / COUNT(*) AS gmean FROM events)
+    SELECT event_type, fold,
+           CAST(SUM(c) OVER (PARTITION BY event_type) - c AS BIGINT) AS oof_n,
+           ROUND((SUM(s) OVER (PARTITION BY event_type) - s
+                  + {TE_PRIOR} * gmean)
+                 / (SUM(c) OVER (PARTITION BY event_type) - c + {TE_PRIOR}),
+                 4) AS oof_encoding
+    FROM cell CROSS JOIN g
+    """,
+    doc="K-fold out-of-fold target encoding: the leakage-free categorical "
+    "encoding a tabular training pipeline applies before boosting. Rows "
+    f"hash-assign to {TE_FOLDS} folds; a category's encoding for fold f "
+    "averages the target over the OTHER folds, smoothed toward the "
+    "global mean with a pseudo-count prior. Built from one "
+    "(category, fold) aggregation -- the per-category totals come from a "
+    "window over the tiny cell table, never a second scan -- and the "
+    "output IS the broadcast side of the training join at 100 TB: "
+    "categories x folds rows, independent of input size.",
+)
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % TE_FOLDS
+    )
+    cell = events.groupBy("event_type", fold.alias("fold")).agg(
+        F.sum("value").alias("s"), F.count("*").alias("c")
+    )
+    g = events.agg((F.sum("value") / F.count("*")).alias("gmean"))
+    w = Window.partitionBy("event_type")
+    return cell.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "fold",
+        (F.sum("c").over(w) - F.col("c")).alias("oof_n"),
+        F.round(
+            (F.sum("s").over(w) - F.col("s") + TE_PRIOR * F.col("gmean"))
+            / (F.sum("c").over(w) - F.col("c") + TE_PRIOR),
+            4,
+        ).alias("oof_encoding"),
+    )

@@ -10,7 +10,7 @@ codegen and scale out.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
@@ -496,3 +496,60 @@ def set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickers = events.filter(F.col("event_type") == "click").select("user_id")
     buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.intersect(buyers)
+
+
+# ---------------------------------------------------------------------------
+# Blocked record linkage (entity resolution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "record_linkage_blocked",
+    oracle="""
+    WITH pairs AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) AS dist
+        FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    ),
+    best AS (
+        SELECT c_custkey, s_suppkey AS best_suppkey, dist AS best_dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_custkey ORDER BY dist, s_suppkey
+               ) AS rk
+        FROM pairs
+    )
+    SELECT c_custkey, best_suppkey, best_dist
+    FROM best WHERE rk = 1
+    """,
+    doc="Blocked record linkage: the entity-resolution shape -- candidate "
+    "pairs come from an equi-join on a BLOCKING key (nation), never the "
+    "full cross product; each candidate is scored with an edit distance "
+    "on the normalized name (levenshtein, JVM built-in, scan-side); the "
+    "best match per left entity survives via a tie-broken per-key "
+    "window. At 100 TB the blocking key bounds pair fan-out to "
+    "block-size squared and the join shuffles on it like any equi-join; "
+    "tighter blocks (soundex, name prefix) drop in by changing one "
+    "column. Deterministic integer distances keep the oracle exact.",
+)
+def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    pairs = customer.join(
+        supplier, customer.c_nationkey == supplier.s_nationkey
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        F.levenshtein(
+            F.substring("c_name", 10, 100), F.substring("s_name", 10, 100)
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist", "s_suppkey")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("best_suppkey"),
+            F.col("dist").alias("best_dist"),
+        )
+    )

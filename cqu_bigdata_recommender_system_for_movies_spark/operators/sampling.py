@@ -415,3 +415,63 @@ def mixture_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_rows") * keep).cast("long").alias("expected_rows"),
         (F.col("raw_w") > 1.0).alias("undersupplied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, A-ES)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 10
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT o_orderpriority, o_orderkey,
+               ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1) / 4294967296.0) / o_totalprice AS es_key
+        FROM orders
+    ),
+    ranked AS (
+        SELECT o_orderpriority, o_orderkey, es_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority ORDER BY es_key DESC, o_orderkey
+               ) AS rk
+        FROM scored
+    )
+    SELECT o_orderpriority, rk, o_orderkey, ROUND(es_key, 6) AS es_key
+    FROM ranked WHERE rk <= {WEIGHTED_SAMPLE_K}
+    """,
+    doc="Weighted sampling WITHOUT replacement via Efraimidis-Spirakis "
+    "A-ES keys: each row draws u in (0,1] and competes on ln(u)/weight; "
+    "the top-k keys per group are an exact weighted-without-replacement "
+    "sample. The uniform comes from the row key's md5 prefix, so the "
+    "draw is deterministic and the DuckDB oracle reproduces the exact "
+    "sample, not just its distribution. One shuffle (the per-group "
+    "window); at 100 TB swap the window for the two_phase_topk pattern "
+    "-- the A-ES key is what makes weighted sampling a plain top-k, "
+    "which is the whole point of the algorithm for distributed engines.",
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(float(1 << 32))
+    scored = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (F.log(u) / F.col("o_totalprice")).alias("es_key"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("es_key").desc(), "o_orderkey"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WEIGHTED_SAMPLE_K)
+        .select("o_orderpriority", "rk", "o_orderkey", F.round("es_key", 6).alias("es_key"))
+    )

@@ -203,3 +203,269 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trailing_users",
         "window_hours",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime join pruning
+# ---------------------------------------------------------------------------
+
+# 65,536 bits packed into 2,048 x 32-bit words (stored in BIGINTs so the
+# DuckDB oracle's shifts never touch the sign bit). With ~300 build keys at
+# sf0.01 and k=3 hashes the false-positive rate is ~1e-5 -- and, critically
+# for the oracle, DETERMINISTIC: both engines derive identical bit
+# positions from the same md5 arithmetic, so they agree on every false
+# positive, not just on the rate.
+BLOOM_BITS = 1 << 16
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_K = 3
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos(col, i: int):
+    """Engine-portable hash position i for a key column: md5-prefix of a
+    salted rendering, mod BLOOM_BITS. Identical to the DuckDB rendering
+    ('bf' || i || '-' || key)."""
+    salted = F.concat(F.lit(f"bf{i}-"), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long") % BLOOM_BITS
+    )
+
+
+def _bit_mask(pos_col_name: str):
+    """1L << (pos % word) as a Column. F.shiftleft only takes a literal
+    shift count, so the variable-distance shift goes through F.expr."""
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({pos_col_name} % {BLOOM_WORD_BITS} AS INT))"
+    )
+
+
+@register(
+    "bloom_semi_join_prune",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT c_custkey FROM customer
+        WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+    ),
+    build_pos AS (
+        SELECT CAST(('0x' || substr(md5('bf' || i || '-' || c_custkey), 1, 8))
+                    AS BIGINT) % {BLOOM_BITS} AS p
+        FROM build CROSS JOIN (VALUES (0), (1), (2)) t(i)
+    ),
+    words AS (
+        SELECT p // {BLOOM_WORD_BITS} AS w,
+               bit_or(CAST(1 AS BIGINT) << (p % {BLOOM_WORD_BITS})) AS mask
+        FROM build_pos GROUP BY 1
+    ),
+    probe_pos AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority,
+               CAST(('0x' || substr(md5('bf' || i || '-' || o_custkey), 1, 8))
+                    AS BIGINT) % {BLOOM_BITS} AS p
+        FROM orders CROSS JOIN (VALUES (0), (1), (2)) t(i)
+    ),
+    checked AS (
+        SELECT o_orderkey,
+               any_value(o_custkey) AS o_custkey,
+               any_value(o_orderpriority) AS o_orderpriority,
+               COUNT(*) FILTER (
+                   WHERE ((w.mask >> (p % {BLOOM_WORD_BITS})) & 1) = 1
+               ) = {BLOOM_K} AS bloom_pass
+        FROM probe_pos LEFT JOIN words w ON w.w = p // {BLOOM_WORD_BITS}
+        GROUP BY o_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_probe,
+           COUNT(*) FILTER (WHERE bloom_pass) AS n_pass_bloom,
+           COUNT(*) FILTER (
+               WHERE o_custkey IN (SELECT c_custkey FROM build)
+           ) AS n_true_match,
+           COUNT(*) FILTER (
+               WHERE bloom_pass
+                 AND o_custkey NOT IN (SELECT c_custkey FROM build)
+           ) AS n_false_pos
+    FROM checked
+    GROUP BY o_orderpriority
+    """,
+    doc="Runtime Bloom-filter join pruning -- the InjectRuntimeFilter "
+    "pattern made explicit: build a 65,536-bit Bloom filter over the "
+    "dimension keys (one distinct + one bit_or aggregation, result is a "
+    "fixed 16 KiB bitmap regardless of input size), ship it to the fact "
+    "scan as an ARRAY LITERAL, and evaluate membership entirely "
+    "scan-side -- zero probe-side shuffle before the final rollup. At "
+    "100 TB this prunes the fact table BEFORE the join shuffle, which is "
+    "exactly what Spark's own bloom runtime filter does; the KB-bounded "
+    "driver collect of the bitmap is the same step Spark performs when "
+    "it materializes a runtime filter as a literal. Reports per-priority "
+    "probe/pass/true-match/false-positive counts; no-false-negative is "
+    "asserted in tests.",
+)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+
+    build = (
+        customer.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select("c_custkey")
+        .distinct()
+    )
+
+    # --- build the bitmap: explode k positions, OR the word masks -------
+    pos = build.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("c_custkey"), i) for i in range(BLOOM_K)])
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / BLOOM_WORD_BITS).cast("int").alias("w"),
+            _bit_mask("p").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    # Fixed-size sketch (<= 2,048 rows, 16 KiB): collecting it is the
+    # runtime-filter materialization step, NOT a data-sized collect.
+    dense = [0] * BLOOM_WORDS
+    for row in words.collect():
+        dense[row["w"]] = row["mask"]
+    bitmap = F.lit(dense)  # array<bigint> literal, broadcast with the plan
+
+    # --- probe scan-side: all k bits set => bloom_pass ------------------
+    probed = orders.withColumns(
+        {f"p{i}": _bloom_pos(F.col("o_custkey"), i) for i in range(BLOOM_K)}
+    )
+    cond = F.lit(True)
+    for i in range(BLOOM_K):
+        word = F.element_at(
+            bitmap, ((F.col(f"p{i}") / BLOOM_WORD_BITS).cast("int") + 1)
+        )
+        cond = cond & (word.bitwiseAND(_bit_mask(f"p{i}")) != 0)
+
+    flagged = probed.withColumn("bloom_pass", cond).join(
+        F.broadcast(build.withColumn("is_match", F.lit(True))),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_probe"),
+        F.count_if("bloom_pass").alias("n_pass_bloom"),
+        F.count_if(F.col("is_match").isNotNull()).alias("n_true_match"),
+        F.count_if(F.col("bloom_pass") & F.col("is_match").isNull()).alias(
+            "n_false_pos"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram quantiles
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 128
+
+
+@register(
+    "histogram_quantile_sketch",
+    oracle=f"""
+    WITH stats AS (
+        SELECT MIN(o_totalprice) AS lo,
+               (MAX(o_totalprice) - MIN(o_totalprice)) / {HIST_BINS} AS width
+        FROM orders
+    ),
+    binned AS (
+        SELECT o_orderpriority,
+               LEAST(CAST(FLOOR((o_totalprice - lo) / width) AS BIGINT),
+                     {HIST_BINS - 1}) AS bin
+        FROM orders CROSS JOIN stats
+    ),
+    hist AS (
+        SELECT o_orderpriority, bin, COUNT(*) AS cnt
+        FROM binned GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT o_orderpriority, bin, cnt FROM hist
+        UNION ALL
+        SELECT 'ALL' AS o_orderpriority, bin, SUM(cnt) AS cnt
+        FROM hist GROUP BY 2
+    ),
+    ranked AS (
+        SELECT o_orderpriority, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n_rows
+        FROM keyed
+    ),
+    picked AS (
+        SELECT o_orderpriority,
+               CAST(any_value(n_rows) AS BIGINT) AS n_rows,
+               MIN(CASE WHEN cum >= 0.5 * n_rows THEN bin END) AS b50,
+               MIN(CASE WHEN cum >= 0.9 * n_rows THEN bin END) AS b90
+        FROM ranked GROUP BY 1
+    )
+    SELECT o_orderpriority, n_rows,
+           ROUND(lo + b50 * width, 4) AS approx_p50,
+           ROUND(lo + b90 * width, 4) AS approx_p90
+    FROM picked CROSS JOIN stats
+    """,
+    doc="Mergeable histogram quantile sketch: a fixed 128-bin equi-width "
+    "histogram is built per group with map-side partial aggregation "
+    "(bin id computed scan-side from a broadcast 1-row min/max), then "
+    "p50/p90 read off the cumulative counts. The 'ALL' row re-aggregates "
+    "the per-group HISTOGRAMS -- bin counts add, so the global quantile "
+    "costs a 5x128-row sum, never a second scan. This is the "
+    "t-digest/KLL rollup-table pattern with a deterministic sketch, so "
+    "the DuckDB oracle matches bit-for-bit; error is bounded by the bin "
+    "width rather than a probabilistic guarantee.",
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        (
+            (F.max("o_totalprice") - F.min("o_totalprice")) / HIST_BINS
+        ).alias("width"),
+    )
+    binned = orders.crossJoin(F.broadcast(stats)).select(
+        "o_orderpriority",
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / F.col("width")),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin"),
+    )
+    hist = (
+        binned.groupBy("o_orderpriority", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # read twice: per-group rows + ALL merge
+    )
+    keyed = hist.unionByName(
+        hist.groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("o_orderpriority"), "bin", "cnt")
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    ranked = keyed.select(
+        "o_orderpriority",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n_rows"),
+    )
+    picked = ranked.groupBy("o_orderpriority").agg(
+        F.any_value("n_rows").alias("n_rows"),
+        F.min(F.when(F.col("cum") >= 0.5 * F.col("n_rows"), F.col("bin"))).alias(
+            "b50"
+        ),
+        F.min(F.when(F.col("cum") >= 0.9 * F.col("n_rows"), F.col("bin"))).alias(
+            "b90"
+        ),
+    )
+    return picked.crossJoin(F.broadcast(stats)).select(
+        "o_orderpriority",
+        "n_rows",
+        F.round(F.col("lo") + F.col("b50") * F.col("width"), 4).alias("approx_p50"),
+        F.round(F.col("lo") + F.col("b90") * F.col("width"), 4).alias("approx_p90"),
+    )

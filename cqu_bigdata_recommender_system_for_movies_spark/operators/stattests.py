@@ -1,0 +1,301 @@
+"""Statistical analysis operators: experiment readouts and distribution
+diagnostics a data platform runs over event logs — two-sample z-tests on
+hash-assigned arms, chi-square independence, KL divergence between
+per-source distributions, and a compaction (bin-packing) planner for the
+small-files problem.
+
+Scale notes:
+- Every operator reduces to one or two grouped aggregations whose output
+  grain is CATEGORY-sized (arms, contingency cells, sources, bins) —
+  independent of input row count, so the final combine is trivially
+  broadcastable and the only real shuffle is the map-side-combined agg.
+- The test statistics are closed-form column arithmetic over those tiny
+  aggregates — no UDFs, no driver math beyond the plan itself.
+- All doubles are rounded on both engines; accumulation-order noise at
+  sf0.1 is ~1e-12 relative, far inside the rounding scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_zscore",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               event_type, value
+        FROM events
+    ),
+    arm_stats AS (
+        SELECT event_type, arm,
+               COUNT(*) AS n,
+               SUM(value) / COUNT(*) AS mean,
+               SUM(value * value) / COUNT(*)
+                   - (SUM(value) / COUNT(*)) * (SUM(value) / COUNT(*)) AS var
+        FROM assigned GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT event_type,
+               MAX(CASE WHEN arm = 'control' THEN n END) AS n_c,
+               MAX(CASE WHEN arm = 'treatment' THEN n END) AS n_t,
+               MAX(CASE WHEN arm = 'control' THEN mean END) AS mean_c,
+               MAX(CASE WHEN arm = 'treatment' THEN mean END) AS mean_t,
+               MAX(CASE WHEN arm = 'control' THEN var END) AS var_c,
+               MAX(CASE WHEN arm = 'treatment' THEN var END) AS var_t
+        FROM arm_stats GROUP BY 1
+    )
+    SELECT event_type, n_c, n_t,
+           ROUND(mean_t - mean_c, 4) AS lift,
+           ROUND((mean_t - mean_c) / sqrt(var_t / n_t + var_c / n_c), 4)
+               AS z_score
+    FROM wide
+    """,
+    doc="A/B experiment readout: users hash-assign to two arms (the same "
+    "deterministic md5 bucketing as hash_split_assign, so assignment is "
+    "reproducible and consistent across metrics), then a per-metric "
+    "Welch z-score = lift / sqrt(var_t/n_t + var_c/n_c) from one "
+    "grouped aggregation. The sufficient statistics (n, sum, sum-of-"
+    "squares) combine map-side, so the experiment readout over 100 TB "
+    "of events is one partial-agg shuffle of metricxarm cells.",
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    stats = events.groupBy("event_type", arm.alias("arm")).agg(
+        F.count("*").alias("n"),
+        (F.sum("value") / F.count("*")).alias("mean"),
+        (
+            F.sum(F.col("value") * F.col("value")) / F.count("*")
+            - (F.sum("value") / F.count("*")) * (F.sum("value") / F.count("*"))
+        ).alias("var"),
+    )
+    wide = stats.groupBy("event_type").agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == "control", F.col("mean"))).alias("mean_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("mean"))).alias("mean_t"),
+        F.max(F.when(F.col("arm") == "control", F.col("var"))).alias("var_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("var"))).alias("var_t"),
+    )
+    return wide.select(
+        "event_type",
+        "n_c",
+        "n_t",
+        F.round(F.col("mean_t") - F.col("mean_c"), 4).alias("lift"),
+        F.round(
+            (F.col("mean_t") - F.col("mean_c"))
+            / F.sqrt(F.col("var_t") / F.col("n_t") + F.col("var_c") / F.col("n_c")),
+            4,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH joined AS (
+        SELECT n.n_name, c.c_mktsegment
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    cell AS (
+        SELECT n_name, c_mktsegment, COUNT(*) AS observed
+        FROM joined GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT n_name, c_mktsegment, observed,
+               SUM(observed) OVER (PARTITION BY n_name) AS row_total,
+               SUM(observed) OVER (PARTITION BY c_mktsegment) AS col_total,
+               SUM(observed) OVER () AS grand
+        FROM cell
+    )
+    SELECT CAST(SUM(observed) AS BIGINT) AS n_obs,
+           COUNT(*) AS n_cells,
+           ROUND(SUM(
+               (observed - row_total * col_total / CAST(grand AS DOUBLE))
+               * (observed - row_total * col_total / CAST(grand AS DOUBLE))
+               / (row_total * col_total / CAST(grand AS DOUBLE))
+           ), 4) AS chi2
+    FROM margins
+    """,
+    doc="Chi-square test of independence (nation x market segment): build "
+    "the contingency table with one aggregation, derive row/column/"
+    "grand margins with windows OVER THE CELL TABLE (125 rows -- never "
+    "a second scan of the data), and sum (O-E)^2/E. The standard "
+    "'is this categorical drifting by region' data-quality check; at "
+    "100 TB the only input-sized work is the map-side-combined cell "
+    "count. Note: absent cells contribute 0 here, matching the oracle; "
+    "a dense E-matrix variant would cross-join the margins.",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    cell = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("observed"))
+    )
+    margins = cell.select(
+        "observed",
+        F.sum("observed").over(Window.partitionBy("n_name")).alias("row_total"),
+        F.sum("observed")
+        .over(Window.partitionBy("c_mktsegment"))
+        .alias("col_total"),
+        F.sum("observed").over(Window.partitionBy()).alias("grand"),
+    )
+    expected = F.col("row_total") * F.col("col_total") / F.col("grand").cast(
+        "double"
+    )
+    return margins.agg(
+        F.sum("observed").alias("n_obs"),
+        F.count("*").alias("n_cells"),
+        F.round(
+            F.sum(
+                (F.col("observed") - expected) * (F.col("observed") - expected)
+                / expected
+            ),
+            4,
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution divergence across sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_lang_kl_divergence",
+    oracle="""
+    WITH cell AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    probs AS (
+        SELECT source, lang,
+               n / SUM(n) OVER (PARTITION BY source) AS p,
+               SUM(n) OVER (PARTITION BY lang) / SUM(n) OVER () AS q
+        FROM cell
+    )
+    SELECT source,
+           ROUND(SUM(p * ln(p / q)), 6) AS kl_vs_global,
+           COUNT(*) AS n_langs
+    FROM probs GROUP BY source
+    """,
+    doc="Per-source KL divergence of the language distribution against "
+    "the corpus-wide distribution -- the drift metric a training-data "
+    "pipeline tracks per ingestion source (a source whose KL spikes "
+    "changed its language mix). One aggregation to the source x lang "
+    "cell table; the per-source and global marginals are windows over "
+    "those ~dozens of cells. KL's absent-category convention (p=0 "
+    "contributes 0) holds automatically because absent cells produce "
+    "no row on either engine.",
+)
+def source_lang_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    probs = cell.select(
+        "source",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("source"))).alias("p"),
+        (
+            F.sum("n").over(Window.partitionBy("lang"))
+            / F.sum("n").over(Window.partitionBy())
+        ).alias("q"),
+    )
+    return probs.groupBy("source").agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "kl_vs_global"
+        ),
+        F.count("*").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning (small-files bin packing)
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 64 * 1024  # target output "file" size for the plan
+
+
+@register(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+               ) AS cum
+        FROM documents
+    ),
+    binned AS (
+        SELECT source,
+               CAST(FLOOR((cum - 1) / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin,
+               doc_id, n_chars
+        FROM sized
+    )
+    SELECT source, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM binned GROUP BY 1, 2
+    """,
+    doc="Compaction planner (the OPTIMIZE/bin-packing step of a lakehouse "
+    "table service): within each source, order fragments by key, take "
+    "the running byte total, and cut output files at every "
+    "TARGET_BYTES boundary -- floor((cum-1)/target) assigns each "
+    "fragment to a bin so every bin except the last is >= target once "
+    "closed. Emits the plan (bin -> fragment range + bytes), which is "
+    "what the rewrite job would execute. The running sum is a per-"
+    "source window -- at 100 TB that is one shuffle on the partition "
+    "column, the same key the files are already clustered by.",
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+    )
+    return (
+        sized.withColumn(
+            "bin", F.floor((F.col("cum") - 1) / COMPACT_TARGET_BYTES)
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("bin_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

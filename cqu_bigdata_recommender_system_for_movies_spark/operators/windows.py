@@ -780,3 +780,59 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Markov event-transition model
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_probs",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt
+    """,
+    doc="First-order Markov transition model over per-user event "
+    "sequences: LEAD within each user's time-ordered stream pairs every "
+    "event with its successor, one aggregation counts (from, to) edges, "
+    "and row-normalizing per from-state yields the transition matrix -- "
+    "the classic next-action baseline and the sanity check run against "
+    "any sequence model's training data. One shuffle on user_id for the "
+    "window (bounded per-user state), one on the 5x5 edge key; the "
+    "output is vocabulary-squared, independent of input size.",
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    cnt = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
+    )

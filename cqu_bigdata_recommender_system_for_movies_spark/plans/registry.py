@@ -84,7 +84,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # arrow_vector_norms, streaming_upsert_merge, two_phase_topk,
 # next_item_training_pairs, ann_ivf_multiprobe_topk,
 # mixture_rebalance_weights, rank_normalize_features,
-# referential_integrity_audit.
+# referential_integrity_audit, bloom_semi_join_prune,
+# histogram_quantile_sketch, weighted_reservoir_sample,
+# target_encoding_oof, record_linkage_blocked, event_transition_probs,
+# ab_test_zscore, chi_square_independence, source_lang_kl_divergence,
+# compaction_bin_packing.
 # Those, plus als_recommend_topk (ceded above),
 # plus the three entries whose co-occurrence base changed in round 5
 # (item_cooccurrence_topk, item_cooccurrence_jaccard,
@@ -222,5 +226,6 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.operators.itemcf  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.sketches  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.graph  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.operators.stattests  # noqa: F401
 
     _LOADED = True

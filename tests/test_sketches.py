@@ -15,6 +15,8 @@ from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import (
     approx_topk_parts,
     hll_distinct_rollup,
 )
+from pyspark.sql import functions as F
+
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
 
@@ -45,3 +47,108 @@ def test_topk_sketch_stays_exact(spark, sf_dir):
     # the boundary count
     assert len(out) < 20
     assert len({r.item for r in out}) == len(out)
+
+
+def test_bloom_prune_has_no_false_negatives(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import (
+        bloom_semi_join_prune,
+    )
+
+    rows = bloom_semi_join_prune(spark, sf_dir).collect()
+    assert rows, "bloom prune produced no groups"
+    for r in rows:
+        # A Bloom filter may only over-approximate the build-key set:
+        # every true match must pass, and the pass count decomposes into
+        # true matches + (deterministic) false positives.
+        assert r.n_pass_bloom >= r.n_true_match, r
+        assert r.n_pass_bloom == r.n_true_match + r.n_false_pos, r
+        assert r.n_pass_bloom <= r.n_probe, r
+
+
+def test_bloom_prune_probe_side_is_scan_side(spark, sf_dir):
+    """The membership test must run in the probe scan stage: the ONLY
+    joins in the plan are the broadcast true-match flag join — the bloom
+    bitmap itself ships as an array literal, never a join."""
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import (
+        bloom_semi_join_prune,
+    )
+
+    plan = (
+        bloom_semi_join_prune(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Join") <= 1, plan  # broadcast flag join only
+
+
+def test_histogram_quantiles_within_bin_width(spark, sf_dir):
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import (
+        HIST_BINS,
+        histogram_quantile_sketch,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    lo, hi = orders.selectExpr(
+        "min(o_totalprice)", "max(o_totalprice)"
+    ).first()
+    width = (hi - lo) / HIST_BINS
+    exact = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    out = histogram_quantile_sketch(spark, sf_dir).collect()
+    assert {r.o_orderpriority for r in out} == set(exact) | {"ALL"}
+    for r in out:
+        if r.o_orderpriority == "ALL":
+            continue
+        e50, e90 = exact[r.o_orderpriority]
+        # the sketch reports the left edge of the covering bin: error is
+        # bounded by one bin width on either side
+        assert abs(r.approx_p50 - e50) <= width + 1e-6, r
+        assert abs(r.approx_p90 - e90) <= width + 1e-6, r
+
+
+def test_compaction_bins_reach_target(spark, sf_dir):
+    """Every closed bin (all but the last per source) must have crossed the
+    target size — the defining property of cumulative-sum bin packing."""
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.stattests import (
+        COMPACT_TARGET_BYTES,
+        compaction_bin_packing,
+    )
+
+    rows = compaction_bin_packing(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, bins in by_source.items():
+        bins.sort(key=lambda r: r.bin)
+        assert [b.bin for b in bins] == list(range(len(bins))), source
+        # cumulative property: bin b closes once cum passes (b+1)*target,
+        # so every non-final bin's running total covers its boundary
+        cum = 0
+        for b in bins[:-1]:
+            cum += b.bin_bytes
+            assert cum >= (b.bin + 1) * COMPACT_TARGET_BYTES, (source, b)
+
+
+def test_ab_test_zscore_is_finite_and_balanced(spark, sf_dir):
+    import math
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.stattests import (
+        ab_test_zscore,
+    )
+
+    rows = ab_test_zscore(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_c > 0 and r.n_t > 0, r
+        assert math.isfinite(r.z_score), r
+        # hash assignment should be near 50/50 per metric
+        assert 0.3 < r.n_c / (r.n_c + r.n_t) < 0.7, r
