@@ -108,6 +108,18 @@ HEADLINE = [
     "mixture_rebalance_weights",
     "rank_normalize_features",
     "referential_integrity_audit",
+    "bloom_semi_join_prune",
+    "histogram_quantile_sketch",
+    "weighted_reservoir_sample",
+    "target_encoding_oof",
+    "record_linkage_blocked",
+    "event_transition_probs",
+    "ab_test_zscore",
+    "compaction_bin_packing",
+    "source_shingle_containment",
+    "frequent_event_paths",
+    "variant_json_extract",
+    "rec_diversity_metrics",
 ]
 
 

@@ -1126,3 +1126,101 @@ def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_survivors", F.col("n_docs") - F.col("n_near_dup_removed")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source corpus overlap (containment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_shingle_containment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(array_to_string(
+                   t[i:i+{SHINGLE_N - 1}], '_')), 1, 8)) AS BIGINT) AS hv
+        FROM toks, LATERAL (
+            SELECT unnest(range(1, greatest(len(t) - {SHINGLE_N - 1}, 0) + 1)) AS i
+        )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.hv = b.hv AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           ROUND(n_common / CAST(sa.n AS DOUBLE), 6) AS containment_a,
+           ROUND(n_common / CAST(sb.n AS DOUBLE), 6) AS containment_b
+    FROM common
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+    doc="Cross-source corpus overlap: distinct 5-token shingle sets per "
+    "ingestion source, pairwise intersected to containment scores "
+    "|A∩B|/|A| -- the 'how much of source B is already in source A' "
+    "audit run before adding a new crawl to the training mix. The "
+    "self-join key is the 8-byte shingle hash whose per-key fan-out is "
+    "bounded by the SOURCE COUNT (each hv appears once per source "
+    "after the distinct), so pair generation is sources-squared per "
+    "shingle, never corpus-squared; the size/containment joins touch "
+    "only the sources-sized aggregate. Same shingle definition as the "
+    "MinHash family (dedup.py:73), so estimates there cross-check "
+    "these exact numbers.",
+)
+def source_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_sh = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
+    shingles = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws("_", F.slice(toks, i, SHINGLE_N)),
+        ),
+    ).otherwise(F.array())
+    sh = (
+        docs.select("source", F.explode(shingles).alias("s"))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("hv"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # probed from both join sides + sizes
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.hv") == F.col("b.hv"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("na").cast("double"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_common") / F.col("nb").cast("double"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )

@@ -299,3 +299,56 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series anomaly flagging
+# ---------------------------------------------------------------------------
+
+SPIKE_SIGMAS = 2.0
+
+
+@register(
+    "event_spike_detection",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, hour, cnt,
+               AVG(cnt) OVER (PARTITION BY event_type) AS mu,
+               stddev_pop(cnt) OVER (PARTITION BY event_type) AS sigma
+        FROM hourly
+    )
+    SELECT event_type, hour, cnt,
+           ROUND((cnt - mu) / NULLIF(sigma, 0), 4) AS z,
+           COALESCE((cnt - mu) / NULLIF(sigma, 0) > {SPIKE_SIGMAS}, FALSE)
+               AS is_spike
+    FROM stats
+    """,
+    doc="Volume-spike detection over the event stream: hourly counts per "
+    "event type, z-scored against that type's own hourly mean/stddev, "
+    "flagged above 2 sigma -- the standing data-quality monitor that "
+    "catches an ingestion replay or a broken client doubling a metric. "
+    "One map-side-combined aggregation to the type x hour grain; the "
+    "mean/sigma windows run over that tiny aggregate, never the raw "
+    "events. A constant series (sigma=0) yields null z and no flag on "
+    "both engines.",
+)
+def event_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("cnt") - F.avg("cnt").over(w)) / F.nullif(
+        F.stddev_pop("cnt").over(w), F.lit(0.0)
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.round(z, 4).alias("z"),
+        F.coalesce(z > SPIKE_SIGMAS, F.lit(False)).alias("is_spike"),
+    )

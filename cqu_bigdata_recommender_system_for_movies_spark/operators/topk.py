@@ -441,3 +441,108 @@ def next_item_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_item",
         F.datediff("next_ts", "ts").cast("long").alias("gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommendation-list diversity metrics
+# ---------------------------------------------------------------------------
+
+DIVERSITY_CAND_N = 30  # global popularity candidate pool
+DIVERSITY_REC_K = 10  # recommendations per user
+
+
+@register(
+    "rec_diversity_metrics",
+    oracle=f"""
+    WITH ratings AS ({RATINGS_SQL}),
+    pop AS (
+        SELECT item_id, COUNT(*) AS pop
+        FROM ratings GROUP BY item_id
+        ORDER BY pop DESC, item_id
+        LIMIT {DIVERSITY_CAND_N}
+    ),
+    users AS (SELECT DISTINCT user_id FROM ratings),
+    cand AS (
+        SELECT u.user_id, p.item_id, p.pop
+        FROM users u CROSS JOIN pop p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ratings r
+            WHERE r.user_id = u.user_id AND r.item_id = p.item_id
+        )
+    ),
+    recs AS (
+        SELECT user_id, item_id FROM (
+            SELECT user_id, item_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY pop DESC, item_id
+                   ) AS rk
+            FROM cand
+        ) WHERE rk <= {DIVERSITY_REC_K}
+    ),
+    exposure AS (
+        SELECT item_id, COUNT(*) AS x FROM recs GROUP BY item_id
+    ),
+    ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, item_id) AS r,
+               COUNT(*) OVER () AS n, SUM(x) OVER () AS total
+        FROM exposure
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_rec_items,
+           (SELECT COUNT(*) FROM part) AS catalog_n,
+           ROUND(any_value(n) / CAST((SELECT COUNT(*) FROM part) AS DOUBLE),
+                 6) AS coverage,
+           ROUND(2.0 * SUM(CAST(r AS DOUBLE) * x) / (any_value(n) * any_value(total))
+                 - (any_value(n) + 1.0) / any_value(n), 6) AS exposure_gini
+    FROM ranked
+    """,
+    doc="Recommendation-list health metrics -- catalog coverage and "
+    "exposure Gini -- over the deterministic popularity recommender "
+    "(top-{k} unseen items from a {c}-item global candidate pool per "
+    "user, the cold-start policy's list form). Exposure counts how many "
+    "users each item is shown to; the Gini over those counts is the "
+    "standard popularity-bias alarm (1.0 = all exposure on one item), "
+    "coverage the share of catalog ever recommended. The candidate "
+    "pool is a top-k aggregate broadcast against users, seen-item "
+    "removal is one anti-join shuffle, and both metrics reduce over an "
+    "item-count-sized table -- list materialization never leaves the "
+    "cluster.".format(k=DIVERSITY_REC_K, c=DIVERSITY_CAND_N),
+)
+def rec_diversity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings(spark, sf_dir).localCheckpoint(eager=False)  # 3 consumers
+    pop = (
+        r.groupBy("item_id")
+        .agg(F.count("*").alias("pop"))
+        .orderBy(F.col("pop").desc(), "item_id")
+        .limit(DIVERSITY_CAND_N)
+    )
+    users = r.select("user_id").distinct()
+    cand = users.crossJoin(F.broadcast(pop))
+    unseen = cand.join(
+        r.select("user_id", "item_id").distinct(),
+        ["user_id", "item_id"],
+        "left_anti",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("pop").desc(), "item_id")
+    recs = unseen.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= DIVERSITY_REC_K
+    )
+    exposure = recs.groupBy("item_id").agg(F.count("*").alias("x"))
+    ranked = exposure.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "item_id")).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("x").over(Window.partitionBy()).alias("total"),
+    )
+    catalog_n = load(spark, sf_dir, "part").count()
+    return ranked.agg(
+        F.any_value("n").alias("n_rec_items"),
+        F.lit(catalog_n).alias("catalog_n"),
+        F.round(F.any_value("n") / F.lit(float(catalog_n)), 6).alias("coverage"),
+        F.round(
+            2.0
+            * F.sum(F.col("r").cast("double") * F.col("x"))
+            / (F.any_value("n") * F.any_value("total"))
+            - (F.any_value("n") + 1.0) / F.any_value("n"),
+            6,
+        ).alias("exposure_gini"),
+    )

@@ -836,3 +836,53 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
     )
+
+
+FREQUENT_PATH_K = 20
+
+
+@register(
+    "frequent_event_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n
+    FROM paths
+    ORDER BY n DESC, path
+    LIMIT {FREQUENT_PATH_K}
+    """,
+    doc="Frequent 3-step behavior paths: two LEADs over each user's "
+    "time-ordered stream emit every consecutive event-type trigram, one "
+    "aggregation counts them, top-k survives -- sequential pattern "
+    "mining's workhorse query (the length-3 special case of GSP) and "
+    "the qualitative companion to event_transition_probs' matrix. The "
+    "path vocabulary is |types|^3, so the count shuffle and the top-k "
+    "are both tiny regardless of input; the user window is the same "
+    "single user_id shuffle every sequence feature here shares.",
+)
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(FREQUENT_PATH_K)
+    )

@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # ivf_pq_topk, nearest_centroid_classify, boolean_retrieval_and,
 # hll_distinct_rollup, approx_topk_parts, hll_sliding_distinct,
 # pagerank_bipartite, random_walk_training_paths, lpa_communities,
-# kcore_membership, plus eight added after this count:
+# kcore_membership, plus those added after this count:
 # arrow_vector_norms, streaming_upsert_merge, two_phase_topk,
 # next_item_training_pairs, ann_ivf_multiprobe_topk,
 # mixture_rebalance_weights, rank_normalize_features,
@@ -88,15 +88,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # histogram_quantile_sketch, weighted_reservoir_sample,
 # target_encoding_oof, record_linkage_blocked, event_transition_probs,
 # ab_test_zscore, chi_square_independence, source_lang_kl_divergence,
-# compaction_bin_packing.
-# Those, plus als_recommend_topk (ceded above),
+# compaction_bin_packing, source_shingle_containment,
+# event_spike_detection, frequent_event_paths, variant_json_extract,
+# rec_diversity_metrics, streaming_stream_stream_left_join.
+# Those (51 never-checked), plus als_recommend_topk (ceded above),
 # plus the three entries whose co-occurrence base changed in round 5
 # (item_cooccurrence_topk, item_cooccurrence_jaccard,
 # graph_triangle_count — outputs hash-identical locally, still must
-# re-verify) = 42 priority names. The remaining 8 slots go to the
-# oldest r3-latest greens (they age to 3 at r6), ordered
-# oldest-evidence-first; the rest of the r3 block rotates in r7 —
-# every never-checked name outranks every re-confirmation.
+# re-verify) = 58 priority names for 50 slots: the r6 window takes the
+# 50 in the order listed above (never-checked first, oldest additions
+# first), the overflow leads r7 together with the oldest r3-latest
+# greens — every never-checked name outranks every re-confirmation.
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (

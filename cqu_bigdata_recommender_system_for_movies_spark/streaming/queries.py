@@ -868,3 +868,86 @@ def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
 
     return spark.read.parquet(f"{snap_root}/v{state['version']}")
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    oracle="""
+    WITH wm AS (
+        -- Spark's global watermark on termination: min over both inputs of
+        -- (max observed event time - 2 days). An unmatched purchase emits
+        -- its null row only once provably unmatchable, i.e. p_ts < wm.
+        SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+        ) - INTERVAL 2 DAY AS cutoff
+    )
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    UNION ALL
+    -- click_id -1 = "no click" sentinel: the hash compare sorts column
+    -- tuples, and a mixed NULL/BIGINT column is unorderable there
+    SELECT p.user_id, p.event_id AS purchase_id,
+           CAST(-1 AS BIGINT) AS click_id,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events p CROSS JOIN wm
+    WHERE p.event_type = 'purchase'
+      AND p.ts < wm.cutoff
+      AND NOT EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+      )
+    """,
+    doc="Stream-stream LEFT OUTER join with watermark-driven null "
+    "emission: purchases that saw no same-user click in the preceding "
+    "day surface with a NULL click_id — but only once the global "
+    "watermark (min over both inputs of max-event-time minus the 2-day "
+    "delay) proves no future click can match, which is when the state "
+    "store evicts them. The oracle reproduces that semantics exactly: "
+    "batch inner join UNION the unmatched purchases older than the "
+    "final watermark — so the driver hash-checks not just the join "
+    "but Spark's outer-row eviction contract. State stays bounded at "
+    "100 TB/day: both sides drop buffered rows as the watermark "
+    "passes, identical to the inner form.",
+)
+def streaming_stream_stream_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 days")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 days")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        F.coalesce("click_id", F.lit(-1).cast("long")).alias("click_id"),
+        F.round("p_value", 4).alias("purchase_value"),
+    )
+    return _run_to_memory(joined, "append")
