@@ -120,6 +120,13 @@ HEADLINE = [
     "frequent_event_paths",
     "variant_json_extract",
     "rec_diversity_metrics",
+    "streaming_stream_stream_left_join",
+    "ppr_seeded_items",
+    "decayed_popularity_topk",
+    "phrase_retrieval_topdocs",
+    "embedding_label_drift",
+    "ks_test_source_drift",
+    "bootstrap_mean_ci",
 ]
 
 
@@ -177,7 +184,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calibration_sec": calibration,
-                "regressions": _regressions(timings, sf),
+                "regressions": _regressions(timings, sf, calibration),
             }
         )
     )
@@ -206,12 +213,20 @@ REGRESSION_MIN_DELTA_SEC = 0.5
 # entry with no code diff is noise, not regression.
 
 
-def _regressions(timings: dict[str, float], sf: float) -> dict[str, dict[str, float]]:
+def _regressions(
+    timings: dict[str, float], sf: float, calibration: float = 0.0
+) -> dict[str, dict[str, float]]:
     """Per-query slowdowns vs the latest prior-round BENCH_r{N}.json —
     surfaced in the output so a >1.25x regression (like round 3's
     contamination_check) is visible without manually diffing rounds.
     Only compares runs at the SAME scale factor: a local sf0.01 smoke vs
-    the driver's sf0.1 record is apples-to-oranges."""
+    the driver's sf0.1 record is apples-to-oranges.
+
+    When the prior round also recorded calibration_sec, ratios are
+    machine-normalized by the calibration ratio first: a shared-host
+    slow window inflates every query AND the calibration probe by the
+    same factor (measured 1.6x swing across three same-code round-5
+    runs), while a real regression moves only its query."""
     import glob
     import re
 
@@ -234,20 +249,27 @@ def _regressions(timings: dict[str, float], sf: float) -> dict[str, dict[str, fl
         return {}
     if prev_sf is not None and sf > 0 and abs(prev_sf - sf) > 1e-9:
         return {}
+    prev_calib = inner.get("calibration_sec")
+    scale = (
+        calibration / prev_calib
+        if calibration and prev_calib and prev_calib > 0
+        else 1.0
+    )
     out = {}
     for name, now in timings.items():
         before = prev.get(name)
-        if (
-            before
-            and before > 0
-            and now / before > REGRESSION_RATIO
-            and now - before > REGRESSION_MIN_DELTA_SEC
-        ):
-            out[name] = {
+        if not before or before <= 0:
+            continue
+        adj_ratio = (now / before) / scale
+        if adj_ratio > REGRESSION_RATIO and now - before * scale > REGRESSION_MIN_DELTA_SEC:
+            entry = {
                 "prev": before,
                 "now": now,
-                "ratio": round(now / before, 3),
+                "ratio": round(adj_ratio, 3),
             }
+            if scale != 1.0:
+                entry["calib_scale"] = round(scale, 3)
+            out[name] = entry
     return out
 
 

@@ -304,3 +304,101 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("item").alias("node_type"), F.col("i").alias("node_id"), "degree"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seeded restart)
+# ---------------------------------------------------------------------------
+
+PPR_ALPHA = 0.85  # continuation probability; 1-alpha restarts at the seeds
+PPR_SEED_MOD = 20  # seed set: users with md5-bucket % 20 == 0 (~5%)
+
+_PPR_SEED_SQL = (
+    "CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8)) AS BIGINT) "
+    f"% {PPR_SEED_MOD} = 0"
+)
+
+
+@register(
+    "ppr_seeded_items",
+    oracle=f"""
+    {_EDGES_SQL},
+    du AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    di AS (SELECT i, COUNT(*) AS d FROM edges GROUP BY i),
+    seeds AS (SELECT DISTINCT u FROM edges WHERE {_PPR_SEED_SQL}),
+    -- iteration 1 (item side): user mass starts as the seed indicator
+    pi1 AS (
+        SELECT e.i AS i, {1 - PPR_ALPHA:.2f} * 0 + {PPR_ALPHA} * SUM(1.0 / du.d) AS pr
+        FROM edges e JOIN du ON e.u = du.u
+        WHERE e.u IN (SELECT u FROM seeds)
+        GROUP BY e.i
+    ),
+    -- iteration 2 (user side): restart mass re-injected at the seeds
+    pu2 AS (
+        SELECT e.u AS u,
+               CASE WHEN {_PPR_SEED_SQL} THEN {1 - PPR_ALPHA:.2f} ELSE 0 END
+                   + {PPR_ALPHA} * SUM(pi1.pr / di.d) AS pr
+        FROM edges e JOIN pi1 ON e.i = pi1.i JOIN di ON e.i = di.i
+        GROUP BY e.u
+    ),
+    -- iteration 3 (item side)
+    pi3 AS (
+        SELECT e.i AS i, {PPR_ALPHA} * SUM(pu2.pr / du.d) AS pr
+        FROM edges e JOIN pu2 ON e.u = pu2.u JOIN du ON e.u = du.u
+        GROUP BY e.i
+    )
+    SELECT i AS item_id, ROUND(pr, 6) AS ppr FROM pi3
+    """,
+    doc="Personalized PageRank from a seed user cohort (the md5-bucketed "
+    "~5% — in production, 'users who bought X' or a single user): "
+    "random-walk-with-restart mass spreads over the bipartite graph for "
+    "3 half-iterations, with the (1-alpha) restart re-injected at the "
+    "seeds each user-side pass — the classic graph recommender "
+    "(Pixie/item-rank shape) whose scores rank items BY RELEVANCE TO "
+    "THE COHORT rather than globally like pagerank_bipartite. Identical "
+    "plan shape: one edge-list join + map-side-combined SUM per "
+    "half-iteration, seeds evaluated scan-side from the key hash (no "
+    "seed table shipped). Items unreachable in 3 hops are absent, "
+    "matching the oracle.",
+)
+def ppr_seeded_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    du = edges.groupBy("u").agg(F.count("*").alias("du"))
+    di = edges.groupBy("i").agg(F.count("*").alias("di"))
+    is_seed = (
+        F.conv(F.substring(F.md5(F.col("u").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % PPR_SEED_MOD
+        == 0
+    )
+    restart = F.lit(1 - PPR_ALPHA)
+
+    # iteration 1, item side: only seed users carry mass (indicator = 1)
+    pi1 = (
+        edges.filter(is_seed)
+        .join(du, "u")
+        .groupBy("i")
+        .agg((F.lit(PPR_ALPHA) * F.sum(F.lit(1.0) / F.col("du"))).alias("pr"))
+    )
+    # iteration 2, user side: alpha * neighbor mass + restart at seeds
+    qi = pi1.join(di, "i").select("i", (F.col("pr") / F.col("di")).alias("w"))
+    pu2 = (
+        edges.join(qi, "i")
+        .groupBy("u")
+        .agg(F.sum("w").alias("s"))
+        .select(
+            "u",
+            (
+                F.when(is_seed, restart).otherwise(F.lit(0.0))
+                + F.lit(PPR_ALPHA) * F.col("s")
+            ).alias("pr"),
+        )
+    )
+    # iteration 3, item side
+    qu = pu2.join(du, "u").select("u", (F.col("pr") / F.col("du")).alias("w"))
+    pi3 = (
+        edges.join(qu, "u")
+        .groupBy("i")
+        .agg((F.lit(PPR_ALPHA) * F.sum("w")).alias("pr"))
+    )
+    return pi3.select(F.col("i").alias("item_id"), F.round("pr", 6).alias("ppr"))

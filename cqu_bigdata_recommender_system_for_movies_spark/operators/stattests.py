@@ -352,3 +352,207 @@ def event_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         F.coalesce(z > SPIKE_SIGMAS, F.lit(False)).alias("is_spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks_test_source_drift",
+    oracle="""
+    WITH spine AS (SELECT DISTINCT n_chars AS v FROM documents),
+    srcs AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+    cell AS (
+        SELECT source, n_chars AS v, COUNT(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.source, s.n_s, sp.v, COALESCE(c.cnt, 0) AS cnt
+        FROM srcs s CROSS JOIN spine sp
+        LEFT JOIN cell c ON c.source = s.source AND c.v = sp.v
+    ),
+    ecdf AS (
+        SELECT source, v,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY v)
+                   / CAST(n_s AS DOUBLE) AS f_s
+        FROM grid
+    ),
+    gecdf AS (
+        SELECT v, SUM(cnt) OVER (ORDER BY v)
+                      / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS f_g
+        FROM (SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1)
+    )
+    SELECT e.source,
+           CAST(s.n_s AS BIGINT) AS n_docs,
+           ROUND(MAX(ABS(e.f_s - g.f_g)), 6) AS ks_stat
+    FROM ecdf e JOIN gecdf g USING (v) JOIN srcs s USING (source)
+    GROUP BY e.source, s.n_s
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift per ingestion source: each "
+    "source's document-length ECDF against the corpus ECDF, KS = max "
+    "|F_s - F_g| over the merged value spine -- the distribution-shape "
+    "companion to source_lang_kl_divergence's categorical drift (a "
+    "source whose crawler started truncating pages moves its KS before "
+    "any mean shifts). One aggregation to (source, value) cells, then "
+    "windows over the sources x values grid -- at 100 TB the spine is "
+    "bucketized (this engine's histogram_quantile_sketch bins) so the "
+    "grid stays sketch-sized rather than distinct-value-sized.",
+)
+def ks_test_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    spine = docs.select(F.col("n_chars").alias("v")).distinct()
+    srcs = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    cell = docs.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count("*").alias("cnt"))
+    grid = (
+        srcs.crossJoin(F.broadcast(spine))
+        .join(cell, ["source", "v"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    )
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = grid.select(
+        "source",
+        "n_s",
+        "v",
+        (F.sum("cnt").over(w_s) / F.col("n_s").cast("double")).alias("f_s"),
+    )
+    n_total = docs.count()
+    w_g = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    gecdf = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "v", (F.sum("cnt").over(w_g) / F.lit(float(n_total))).alias("f_g")
+        )
+    )
+    return (
+        ecdf.join(F.broadcast(gecdf), "v")
+        .groupBy("source", "n_s")
+        .agg(F.round(F.max(F.abs(F.col("f_s") - F.col("f_g"))), 6).alias("ks_stat"))
+        .select("source", F.col("n_s").alias("n_docs"), "ks_stat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+BOOT_REPLICAS = 20
+# Poisson(1) CDF thresholds: P(N<=k) for k = 0..4; u above the last -> 5.
+_POIS_CDF = (0.367879441, 0.735758882, 0.919698603, 0.981011843, 0.996340153)
+
+
+def _pois_weight_sql(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT o_orderpriority, o_totalprice, b.b,
+               {_pois_weight_sql(
+                   "((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' "
+                   "|| b.b), 1, 8)) AS BIGINT) + 1) / 4294967296.0)"
+               )} AS w
+        FROM orders CROSS JOIN (
+            SELECT unnest(range({BOOT_REPLICAS})) AS b
+        ) b
+    ),
+    rep_means AS (
+        SELECT o_orderpriority, b, SUM(w * o_totalprice) / SUM(w) AS m
+        FROM reps GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT o_orderpriority, AVG(o_totalprice) AS mean, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT base.o_orderpriority,
+           CAST(base.n AS BIGINT) AS n,
+           ROUND(base.mean, 4) AS mean,
+           ROUND(stddev_pop(rep_means.m), 4) AS boot_se,
+           ROUND(base.mean - 1.96 * stddev_pop(rep_means.m), 4) AS ci_lo,
+           ROUND(base.mean + 1.96 * stddev_pop(rep_means.m), 4) AS ci_hi
+    FROM rep_means JOIN base USING (o_orderpriority)
+    GROUP BY base.o_orderpriority, base.mean, base.n
+    """,
+    doc="Poisson bootstrap confidence intervals for per-group means -- "
+    "THE bootstrap for distributed engines (Chamandy et al., Google): "
+    "instead of resampling n rows with replacement (impossible without "
+    "a global index), each row draws an independent Poisson(1) "
+    f"multiplicity per replica. {BOOT_REPLICAS} replicas are generated "
+    "scan-side by a constant-width explode and collapse map-side into "
+    "group x replica cells, so the shuffle carries "
+    f"{BOOT_REPLICAS}x|groups| partial sums, not resampled data. The "
+    "multiplicities come from md5-derived uniforms through the exact "
+    "Poisson CDF thresholds, so both engines draw the SAME bootstrap "
+    "and the oracle matches bit-for-bit after rounding.",
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(1 << 32))
+    reps = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1))).alias("b"),
+    ).select(
+        "o_orderpriority",
+        "o_totalprice",
+        "b",
+        _pois_weight(u).alias("w"),
+    )
+    rep_means = reps.groupBy("o_orderpriority", "b").agg(
+        (F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m")
+    )
+    base = orders.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mean"), F.count("*").alias("n")
+    )
+    return (
+        rep_means.join(F.broadcast(base), "o_orderpriority")
+        .groupBy("o_orderpriority", "mean", "n")
+        .agg(F.stddev_pop("m").alias("se"))
+        .select(
+            "o_orderpriority",
+            "n",
+            F.round("mean", 4).alias("mean"),
+            F.round("se", 4).alias("boot_se"),
+            F.round(F.col("mean") - 1.96 * F.col("se"), 4).alias("ci_lo"),
+            F.round(F.col("mean") + 1.96 * F.col("se"), 4).alias("ci_hi"),
+        )
+    )
+
+
+def _pois_weight(u):
+    """Inverse-CDF Poisson(1) multiplicity from a uniform column."""
+    expr = F.lit(5)
+    for k, t in reversed(list(enumerate(_POIS_CDF))):
+        expr = F.when(u < t, F.lit(k)).otherwise(expr)
+    return expr

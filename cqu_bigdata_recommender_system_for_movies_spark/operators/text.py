@@ -1131,3 +1131,69 @@ def boolean_retrieval_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_terms") == len(BM25_QUERY_TERMS))
         .select("doc_id", "total_tf", "min_term_tf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase (adjacency) retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "phrase_retrieval_topdocs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+                                   w -> w <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, array_to_string(t[i:i+1], ' ') AS phrase
+        FROM toks, LATERAL (
+            SELECT unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+        )
+    ),
+    top1 AS (
+        SELECT phrase FROM bg
+        GROUP BY phrase ORDER BY COUNT(*) DESC, phrase LIMIT 1
+    )
+    SELECT b.doc_id, b.phrase, COUNT(*) AS n_occurrences
+    FROM bg b JOIN top1 USING (phrase)
+    GROUP BY 1, 2
+    """,
+    doc="Phrase (exact-adjacency) retrieval: docs containing the corpus's "
+    "most frequent word bigram, with per-doc occurrence counts -- the "
+    "positional step beyond bag-of-words retrieval (boolean_retrieval_"
+    "and intersects postings; this additionally requires the terms "
+    "ADJACENT, the n=2 case of positional-index phrase search). "
+    "Bigrams are generated scan-side by the same slice-over-token-array "
+    "trick as the shingle family (no positional self-join of the token "
+    "stream -- adjacency is resolved in-row before the explode), the "
+    "query phrase is a 1-row broadcast, and the only corpus-sized "
+    "shuffle is the per-doc count. Query-by-constant swaps the top1 "
+    "CTE for a literal.",
+)
+def phrase_retrieval_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_bg = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.when(
+        n_bg > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_bg),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array())
+    bg = docs.select("doc_id", F.explode(bigrams).alias("phrase"))
+    bg = bg.localCheckpoint(eager=False)  # scanned by top1 AND the hit count
+    top1 = (
+        bg.groupBy("phrase")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "phrase")
+        .limit(1)
+        .select("phrase")
+    )
+    return (
+        bg.join(F.broadcast(top1), "phrase")
+        .groupBy("doc_id", "phrase")
+        .agg(F.count("*").alias("n_occurrences"))
+    )

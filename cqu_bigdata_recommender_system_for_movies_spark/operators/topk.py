@@ -546,3 +546,63 @@ def rec_diversity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exposure_gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed popularity
+# ---------------------------------------------------------------------------
+
+DECAY_LAMBDA_PER_DAY = 0.05
+DECAY_TOP_N = 50
+
+
+@register(
+    "decayed_popularity_topk",
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    mx AS (SELECT MAX(ts) AS max_ts FROM r),
+    scored AS (
+        SELECT item_id,
+               SUM(exp(-{DECAY_LAMBDA_PER_DAY} *
+                       (epoch(max_ts) - epoch(ts)) / 86400.0)) AS decayed,
+               COUNT(*) AS n_ratings
+        FROM r CROSS JOIN mx
+        GROUP BY item_id
+    )
+    SELECT item_id, ROUND(decayed, 4) AS decayed_score, n_ratings
+    FROM scored
+    ORDER BY decayed DESC, item_id
+    LIMIT {DECAY_TOP_N}
+    """,
+    doc="Exponentially time-decayed popularity (half-life ~14 days at "
+    "lambda=0.05/day): each interaction contributes exp(-lambda*age), "
+    "so trending items outrank stale blockbusters — the recency-aware "
+    "upgrade of the cold-start popularity ranker, and the scoring rule "
+    "behind 'trending now' shelves. The anchor timestamp is a 1-row "
+    "broadcast MAX, the decay evaluates scan-side inside the map-side-"
+    "combined SUM, and the top-k is over the item-count-sized "
+    "aggregate. (The same decayed sums maintain INCREMENTALLY: "
+    "yesterday's score x exp(-lambda) + today's partial — the "
+    "incremental_agg_merge algebra.)",
+)
+def decayed_popularity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = ratings(spark, sf_dir)
+    mx = r.agg(F.max("ts").alias("max_ts"))
+    age_days = (
+        F.unix_timestamp("max_ts") - F.unix_timestamp("ts")
+    ) / F.lit(86400.0)
+    return (
+        r.crossJoin(F.broadcast(mx))
+        .groupBy("item_id")
+        .agg(
+            F.sum(F.exp(-DECAY_LAMBDA_PER_DAY * age_days)).alias("decayed"),
+            F.count("*").alias("n_ratings"),
+        )
+        .orderBy(F.col("decayed").desc(), "item_id")
+        .limit(DECAY_TOP_N)
+        .select(
+            "item_id",
+            F.round("decayed", 4).alias("decayed_score"),
+            "n_ratings",
+        )
+    )

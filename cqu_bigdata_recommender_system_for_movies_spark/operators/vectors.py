@@ -1263,3 +1263,72 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("vec_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding distribution drift by label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_drift",
+    oracle="""
+    WITH x AS (
+        SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    per AS (
+        SELECT label, pos, SUM(v) AS s, COUNT(*) AS n
+        FROM x GROUP BY 1, 2
+    ),
+    gcent AS (
+        SELECT pos, SUM(s) / SUM(n) AS g FROM per GROUP BY pos
+    ),
+    cent AS (
+        SELECT label, pos, s / n AS c, n FROM per
+    )
+    SELECT label,
+           CAST(any_value(n) AS BIGINT) AS n_vectors,
+           ROUND(SUM(c * g) / (sqrt(SUM(c * c)) * sqrt(SUM(g * g))), 6)
+               AS cosine_to_global
+    FROM cent JOIN gcent USING (pos)
+    GROUP BY label
+    """,
+    doc="Embedding-space drift audit: cosine of each label's centroid "
+    "against the global centroid -- the check a feature platform runs "
+    "when a new embedding-model version or data slice lands (a label "
+    "whose centroid swings away from global signals distribution "
+    "shift). ONE posexplode scan produces per-(label, dim) sums; the "
+    "global centroid derives from those same sums (no second scan), "
+    "and the cosine reduces over label x 64 rows. The centroid table "
+    "IS the broadcast side of nearest_centroid_classify -- this query "
+    "monitors what that one consumes.",
+)
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label", "pos", F.col("v").cast("double").alias("v")
+    )
+    per = (
+        x.groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # feeds both the global and per-label sides
+    )
+    glob = per.groupBy("pos").agg((F.sum("s") / F.sum("n")).alias("g"))
+    cent = per.select("label", "pos", (F.col("s") / F.col("n")).alias("c"), "n")
+    return (
+        cent.join(F.broadcast(glob), "pos")
+        .groupBy("label")
+        .agg(
+            F.any_value("n").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("c") * F.col("g"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("g") * F.col("g")))
+                ),
+                6,
+            ).alias("cosine_to_global"),
+        )
+    )
