@@ -127,6 +127,9 @@ HEADLINE = [
     "embedding_label_drift",
     "ks_test_source_drift",
     "bootstrap_mean_ci",
+    "streaming_dedup_within_watermark",
+    "linear_regression_closed_form",
+    "preagg_join_rollup",
 ]
 
 

@@ -553,3 +553,60 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").alias("best_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pre-aggregation below a join (partial-aggregation pushdown)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "preagg_join_rollup",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT n.n_name,
+           CAST(SUM(ps.n_items) AS BIGINT) AS n_items,
+           ROUND(SUM(ps.revenue), 2) AS revenue
+    FROM per_supp ps
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Aggregation pushed BELOW the join: revenue per nation computed by "
+    "first collapsing lineitem to per-supplier partials (the fact "
+    "table's one shuffle, map-side combined), then joining the "
+    "supplier-count-sized aggregate to the dimensions and re-"
+    "aggregating -- the eager-aggregation rewrite (Yan & Larson) that "
+    "Catalyst does NOT apply automatically. The naive join-then-agg "
+    "plan shuffles every fact ROW into the join; this one shuffles "
+    "per-key PARTIALS, cutting exchange volume by the fact:supplier "
+    "ratio (~60x here, unbounded at 100 TB). Correct because revenue "
+    "is algebraic and the join is N:1 along the supplier FK -- the "
+    "re-aggregation over nations merges disjoint supplier partials.",
+)
+def preagg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+    return (
+        per_supp.join(
+            F.broadcast(supplier), per_supp.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+    )

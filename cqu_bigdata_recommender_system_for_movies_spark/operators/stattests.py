@@ -556,3 +556,41 @@ def _pois_weight(u):
     for k, t in reversed(list(enumerate(_POIS_CDF))):
         expr = F.when(u < t, F.lit(k)).otherwise(expr)
     return expr
+
+
+# ---------------------------------------------------------------------------
+# Closed-form linear regression (regr_* aggregate family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linear_regression_closed_form",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Per-group simple linear regression via the SQL-standard regr_* "
+    "aggregate family (price ~ quantity by return flag): slope, "
+    "intercept, and R^2 from closed-form moment sums -- the degenerate-"
+    "but-ubiquitous ML case that needs NO iterative solver because the "
+    "sufficient statistics (n, sum x, sum y, sum xy, sum x^2, sum y^2) "
+    "combine map-side like any algebraic aggregate. At 100 TB this is "
+    "one partial-agg shuffle of 6 doubles per group -- the same "
+    "decomposability argument as incremental_agg_merge, applied to "
+    "model fitting; multiple-regression generalizes to the d x d "
+    "Gramian (embedding_pca_top_component's accumulation pattern).",
+)
+def linear_regression_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

@@ -951,3 +951,47 @@ def streaming_stream_stream_left_join(
         F.round("p_value", 4).alias("purchase_value"),
     )
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN(event_id) AS first_event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_duplicates
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    doc="Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark "
+    "keeps a key in the state store only until the watermark passes its "
+    "event time plus the delay, then evicts -- the production form of "
+    "streaming_dedup_events, whose plain dropDuplicates state grows "
+    "forever at 100 TB/day (every key ever seen). The 30-day delay "
+    "exceeds the fixture's full time span, so eviction provably cannot "
+    "drop a duplicate here and the result must equal the batch "
+    "distinct; the min-id/count audit columns come from a parallel "
+    "batch aggregate over the same staged source (the dedup itself is "
+    "the streaming op under test -- row count equality against the "
+    "grouped oracle is what proves exactly-one-survivor-per-key).",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "30 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    survivors = _run_to_memory(deduped, "append")
+    # audit columns from the batch table (same rows the stream consumed):
+    # first surviving id + duplicate count per key, joined to the stream's
+    # survivor set so the row count is the streaming dedup's, not the agg's
+    audit = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count("*").alias("n_duplicates"),
+        )
+    )
+    return survivors.join(audit, ["user_id", "event_type"])

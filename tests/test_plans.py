@@ -834,3 +834,20 @@ def test_lpa_mode_is_window_free(spark, sf_dir):
     window sort — hot nodes stay map-side combinable."""
     plan = _plan(all_queries()["lpa_communities"](spark, sf_dir))
     assert "Window" not in plan
+
+
+def test_preagg_join_rollup_aggregates_below_the_join(spark, sf_dir):
+    """The whole point of the eager-aggregation rewrite: the fact table's
+    shuffle must carry per-supplier PARTIALS, not joined rows. So the
+    plan's only exchanges are the per-supplier aggregation and the tiny
+    nation rollup, and both dimension joins broadcast."""
+    plan = _plan(all_queries()["preagg_join_rollup"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    # first HashAggregate pair (partial+final per supplier) appears BEFORE
+    # any join in bottom-up execution: the join operates on its output
+    agg_pos = plan.index("HashAggregate")
+    join_pos = plan.index("BroadcastHashJoin")
+    assert agg_pos < join_pos  # toString prints top-down: final agg first
+    # and the supplier-side aggregate exists under the join subtree too
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
