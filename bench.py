@@ -130,6 +130,8 @@ HEADLINE = [
     "streaming_dedup_within_watermark",
     "linear_regression_closed_form",
     "preagg_join_rollup",
+    "dynamic_partition_pruning_join",
+    "parquet_agg_pushdown_stats",
 ]
 
 

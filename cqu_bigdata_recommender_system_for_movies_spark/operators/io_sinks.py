@@ -351,3 +351,112 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("balance_cents"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dynamic_partition_pruning_join",
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (
+        SELECT DISTINCT event_type FROM events WHERE value > 95
+    ) hot ON e.event_type = hot.event_type
+    GROUP BY e.event_type
+    """,
+    doc="DYNAMIC partition pruning: the fact table is partitioned on "
+    "event_type, but the partitions to keep are only known at RUNTIME "
+    "-- they come from the join's dimension side (types that ever saw "
+    "value > 95), not from a literal predicate. Catalyst plans a "
+    "dynamicpruning subquery on the fact scan: the dim side executes "
+    "first, its keys are broadcast, and whole partition directories "
+    "that cannot match are never listed or read (plan-test asserted). "
+    "Static pruning (partitioned_write_pruned_read) needs the literal; "
+    "DPP is what makes star-schema joins over partitioned 100 TB facts "
+    "scan only matching partitions.",
+)
+def dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("events_dpp")
+    events = load(spark, sf_dir, "events")
+    (
+        events.select("event_id", "value", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    hot = (
+        events.filter(F.col("value") > 95)
+        .select(F.col("event_type").alias("ht"))
+        .distinct()
+    )
+    return (
+        fact.join(hot, fact.event_type == F.col("ht"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parquet aggregate pushdown (metadata-only scan)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parquet_agg_pushdown_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+    doc="Parquet AGGREGATE pushdown: COUNT/MIN/MAX answered from footer "
+    "statistics without materializing a single row -- the DSv2 scan "
+    "reports PushedAggregation and each row group contributes its "
+    "metadata entry (plan-test asserted). Requires the v2 parquet "
+    "source, enabled ONLY for this query's reads and restored after. "
+    "At 100 TB this is the difference between a full-table scan and "
+    "reading a few KB of footers per file -- the same trick DuckDB "
+    "itself uses for these aggregates. Numeric columns only: a "
+    "timestamp MIN/MAX (or any filter/grouping) blocks the pushdown "
+    "and silently falls back to the normal scan, so the plan test "
+    "pins PushedAggregation non-empty.",
+)
+def parquet_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")  # parquet via DSv2
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = li.agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        # Execute UNDER the scoped confs: a returned lazy DataFrame would
+        # re-plan at the caller's collect, after the finally restores v1,
+        # and silently lose the pushdown. The result is ONE row of table
+        # stats — parallelizing it back preserves schema and keeps the
+        # driver contract (callers still get a DataFrame).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if prev_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)

@@ -851,3 +851,37 @@ def test_preagg_join_rollup_aggregates_below_the_join(spark, sf_dir):
     assert agg_pos < join_pos  # toString prints top-down: final agg first
     # and the supplier-side aggregate exists under the join subtree too
     assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_dpp_join_plans_dynamic_pruning(spark, sf_dir):
+    plan = _plan(all_queries()["dynamic_partition_pruning_join"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan[:800]
+
+
+def test_parquet_agg_pushdown_engages(spark, sf_dir):
+    """The stats aggregate must be answered from footer metadata: build the
+    plan under the same scoped confs the operator uses and require a
+    non-empty PushedAggregation (a silent fallback to a row scan would
+    still be hash-green, which is exactly why the plan is pinned here)."""
+    from pyspark.sql import functions as F
+
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        out = li.agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        plan = _plan(out)
+    finally:
+        if prev_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    assert "PushedAggregation: [COUNT(*)" in plan, plan[:800]
