@@ -132,6 +132,13 @@ HEADLINE = [
     "preagg_join_rollup",
     "dynamic_partition_pruning_join",
     "parquet_agg_pushdown_stats",
+    "null_semantics_suite",
+    "collation_case_insensitive_group",
+    "sql_udf_revenue",
+    "lateral_join_top_orders",
+    "observed_metrics_audit",
+    "file_metadata_columns",
+    "ansi_try_functions_suite",
 ]
 
 

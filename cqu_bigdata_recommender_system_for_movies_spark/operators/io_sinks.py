@@ -460,3 +460,94 @@ def parquet_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+
+
+# ---------------------------------------------------------------------------
+# Dataset observation metrics (df.observe)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "observed_metrics_audit",
+    oracle="""
+    SELECT COUNT(*) AS n_scanned,
+           CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN value > 50 THEN value END), 2) AS kept_sum
+    FROM events
+    """,
+    doc="Pipeline observability via Dataset.observe(): named aggregate "
+    "metrics attach to a POINT in the plan and are collected as a side "
+    "effect of the one normal execution -- no second scan, no separate "
+    "audit query drifting out of sync with the pipeline it audits. "
+    "Here the observation rides a filter pipeline and reports scanned "
+    "count, kept count, and kept sum; production streams surface the "
+    "same metrics per micro-batch through the listener. The oracle "
+    "recomputes the metrics relationally -- observation must equal "
+    "recomputation exactly.",
+)
+def observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    events = load(spark, sf_dir, "events")
+    obs = Observation()
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.count_if(F.col("value") > 50).alias("n_kept"),
+        F.round(F.sum(F.when(F.col("value") > 50, F.col("value"))), 2).alias(
+            "kept_sum"
+        ),
+    )
+    # the action that powers the metrics IS the pipeline's own execution
+    observed.filter(F.col("value") > 50).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    got = obs.get
+    return spark.createDataFrame(
+        [(got["n_scanned"], got["n_kept"], got["kept_sum"])],
+        "n_scanned LONG, n_kept LONG, kept_sum DOUBLE",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hidden file-metadata columns (_metadata)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "file_metadata_columns",
+    oracle="""
+    SELECT 'event_type=' || event_type AS partition_dir,
+           COUNT(*) AS n_rows,
+           MIN(event_id) AS min_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Hidden _metadata columns on file sources: after a partitioned "
+    "write, each row's _metadata.file_path reveals which physical file "
+    "produced it -- the per-file audit every ingestion debugger needs "
+    "(skewed files, partition mix-ups, compaction targets) without any "
+    "bookkeeping column in the data. Rows are grouped by the partition "
+    "directory parsed from the file path; the oracle derives the same "
+    "grouping from the logical column, so the row proves the physical "
+    "layout matches the logical partitioning exactly.",
+)
+def file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("events_meta")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).select(
+        "event_id",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"(event_type=[^/]+)", 1
+        ).alias("partition_dir"),
+    )
+    return df.groupBy("partition_dir").agg(
+        F.count("*").alias("n_rows"),
+        F.min("event_id").alias("min_event_id"),
+    )

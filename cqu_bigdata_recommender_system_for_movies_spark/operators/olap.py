@@ -1128,3 +1128,231 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.count_distinct("k").alias("n_distinct_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-semantics suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_semantics_suite",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN value < 5 THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(v) AS n_not_null,
+           COUNT(*) - COUNT(v) AS n_null,
+           ROUND(AVG(v), 4) AS avg_ignoring_null,
+           ROUND(AVG(COALESCE(v, 0)), 4) AS avg_null_as_zero,
+           CAST(COUNT(*) FILTER (WHERE v IS NOT DISTINCT FROM NULL) AS BIGINT)
+               AS null_safe_eq_null,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_non_null
+    FROM e GROUP BY event_type
+    """,
+    doc="SQL null-semantics suite over a synthesized nullable measure "
+    "(value < 5 -> NULL): COUNT(*) vs COUNT(col), AVG's null-skipping "
+    "vs COALESCE-to-zero (the two give DIFFERENT answers -- the classic "
+    "silent-bug pair), the null-safe comparator (<=> / IS NOT DISTINCT "
+    "FROM, the only equality that matches NULL), and DISTINCT's "
+    "null-exclusion under aggregation. Engines disagree on null "
+    "semantics more than on anything else; this row pins Spark to the "
+    "standard on every behavior at once.",
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 5, F.lit(None)).otherwise(F.col("value"))
+    e = events.select("event_id", "event_type", v.alias("v"))
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_not_null"),
+        (F.count("*") - F.count("v")).alias("n_null"),
+        F.round(F.avg("v"), 4).alias("avg_ignoring_null"),
+        F.round(F.avg(F.coalesce("v", F.lit(0))), 4).alias("avg_null_as_zero"),
+        F.count_if(F.col("v").eqNullSafe(F.lit(None))).alias("null_safe_eq_null"),
+        F.count_distinct("v").alias("n_distinct_non_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware grouping (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "collation_case_insensitive_group",
+    oracle="""
+    WITH mixed AS (
+        SELECT event_type AS t, value FROM events
+        UNION ALL
+        SELECT UPPER(event_type) AS t, value FROM events
+    )
+    SELECT LOWER(t) AS event_type_ci,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM mixed GROUP BY LOWER(t)
+    """,
+    doc="Collation-aware grouping through Spark 4's COLLATE expression: "
+    "the stream is unioned with an upper-cased copy and grouped under "
+    "UTF8_LCASE collation, which folds case DURING comparison -- no "
+    "lower() rewrite of the data, and the same collation drives "
+    "equality in joins and ORDER BY once declared on the column. The "
+    "oracle is the classic LOWER() workaround; the collation form wins "
+    "at 100 TB because the fold happens inside the hash/compare "
+    "(engine-native, expression-free grouping keys) and, on real "
+    "tables, because it is declared once in the schema instead of "
+    "rewritten into every query.",
+)
+def collation_case_insensitive_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select("event_type", "value")
+    mixed = events.unionByName(
+        events.select(F.upper("event_type").alias("event_type"), "value")
+    )
+    ci = F.collate(F.col("event_type"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("t"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            # normalize the representative casing for the hash compare: a
+            # UTF8_LCASE group may surface either variant as its key
+            F.lower(F.col("t")).cast("string").alias("event_type_ci"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDF (CREATE FUNCTION ... RETURN, Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_udf_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS charged
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN): "
+    "the charge formula is declared ONCE as a catalog-level SQL UDF and "
+    "reused by name -- unlike a Python UDF it is INLINED into the plan "
+    "at analysis time, so it whole-stage-codegens like the raw "
+    "expression (zero serialization boundary, full pushdown through "
+    "it). This completes the §2.11 UDF family's fourth surface: "
+    "vectorized pandas UDF, grouped UDAF, table UDTF, and now the "
+    "catalog SQL UDF -- the right tool whenever the 'UDF' is just an "
+    "expression the team wants named and shared.",
+)
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_amount("
+        "price DOUBLE, discount DOUBLE, tax DOUBLE) RETURNS DOUBLE "
+        "RETURN price * (1 - discount) * (1 + tax)"
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               ROUND(SUM(charged_amount(l_extendedprice, l_discount, l_tax)), 2)
+                   AS charged
+        FROM lineitem_v
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated-subquery join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lateral_join_top_orders",
+    oracle="""
+    SELECT n.n_name, t.o_orderkey, ROUND(t.o_totalprice, 2) AS o_totalprice
+    FROM nation n,
+    LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 2
+    ) t
+    """,
+    doc="LATERAL correlated-subquery join (Spark 3.5+/4 SQL surface): for "
+    "each nation, the top-2 orders of its customers -- the per-row "
+    "subquery form of top-k-per-group, which reads naturally when the "
+    "outer side is small and the inner query is complex. Catalyst "
+    "DECORRELATES it into the same window/join shape as "
+    "topk_per_user_window rather than executing per-outer-row (25 "
+    "nations here, but the rewrite is what makes the construct legal "
+    "at ANY outer cardinality). Same oracle text runs on DuckDB, which "
+    "supports LATERAL natively -- this row checks the decorrelation "
+    "preserves semantics exactly.",
+)
+def lateral_join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("nation", "orders", "customer"):
+        load(spark, sf_dir, name).createOrReplaceTempView(f"{name}_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, ROUND(t.o_totalprice, 2) AS o_totalprice
+        FROM nation_v n,
+        LATERAL (
+            SELECT o.o_orderkey, o.o_totalprice
+            FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe try_* functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ansi_try_functions_suite",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE user_id % 3 = 0) AS BIGINT)
+               AS n_div_by_zero,
+           ROUND(SUM(CASE WHEN user_id % 3 = 0 THEN NULL
+                          ELSE value / (user_id % 3) END), 4) AS sum_safe_div,
+           CAST(COUNT(*) FILTER (
+               WHERE TRY_CAST(substr(props, 7, 2) AS BIGINT) IS NULL
+           ) AS BIGINT) AS n_bad_casts
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="ANSI-mode-safe arithmetic via the try_* family: try_divide "
+    "returns NULL where strict ANSI division would raise (the x/0 rows "
+    "are counted, not crashed on), and try_cast turns malformed "
+    "strings into NULL instead of failing the job -- the difference "
+    "between a 100 TB pipeline that quarantines bad rows and one that "
+    "dies at hour nine on the first dirty record. Under ANSI mode "
+    "(Spark 4's default) the try_ forms are the ONLY way to get the "
+    "permissive behavior query-locally while the session stays "
+    "strict.",
+)
+def ansi_try_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    d = F.col("user_id") % 3
+    return events.groupBy("event_type").agg(
+        F.count_if(d == 0).alias("n_div_by_zero"),
+        F.round(F.sum(F.try_divide(F.col("value"), d)), 4).alias("sum_safe_div"),
+        F.count_if(
+            F.substring("props", 7, 2).try_cast("bigint").isNull()
+        ).alias("n_bad_casts"),
+    )

@@ -95,12 +95,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # embedding_label_drift, ks_test_source_drift, bootstrap_mean_ci,
 # streaming_dedup_within_watermark, linear_regression_closed_form,
 # preagg_join_rollup, dynamic_partition_pruning_join,
-# parquet_agg_pushdown_stats.
+# parquet_agg_pushdown_stats, null_semantics_suite,
+# collation_case_insensitive_group, sql_udf_revenue,
+# lateral_join_top_orders, observed_metrics_audit,
+# file_metadata_columns, ansi_try_functions_suite.
 # Those (51 never-checked), plus als_recommend_topk (ceded above),
 # plus the three entries whose co-occurrence base changed in round 5
 # (item_cooccurrence_topk, item_cooccurrence_jaccard,
 # graph_triangle_count — outputs hash-identical locally, still must
-# re-verify) = 69 priority names for 50 slots: the r6 window takes the
+# re-verify) = 76 priority names for 50 slots: the r6 window takes the
 # 50 in the order listed above (never-checked first, oldest additions
 # first), the overflow leads r7 together with the oldest r3-latest
 # greens — every never-checked name outranks every re-confirmation.
