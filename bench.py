@@ -139,6 +139,8 @@ HEADLINE = [
     "observed_metrics_audit",
     "file_metadata_columns",
     "ansi_try_functions_suite",
+    "scd2_point_in_time_join",
+    "join_size_estimation_audit",
 ]
 
 

@@ -610,3 +610,57 @@ def preagg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("revenue"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_size_estimation_audit",
+    oracle="""
+    WITH ce AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    co AS (SELECT o_custkey AS user_id, COUNT(*) AS n
+           FROM orders GROUP BY o_custkey),
+    est AS (
+        SELECT CAST(SUM(ce.n * co.n) AS BIGINT) AS estimated
+        FROM ce JOIN co USING (user_id)
+    ),
+    act AS (
+        SELECT COUNT(*) AS actual
+        FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT estimated, actual, estimated = actual AS exact_match
+    FROM est CROSS JOIN act
+    """,
+    doc="Join-cardinality estimation from per-key frequency statistics: "
+    "|A join B| on an equi key is EXACTLY sum over keys of "
+    "cnt_A(k) * cnt_B(k) -- the identity every cost-based optimizer "
+    "approximates with histograms/sketches, computed here both ways "
+    "(the key-count product from two tiny aggregates, and the real "
+    "join count) with equality asserted in the output. At 100 TB the "
+    "left form costs two map-side-combined aggregates over key-count "
+    "tables instead of materializing the join -- which is why ANALYZE "
+    "collects exactly these statistics, and what AQE's runtime "
+    "estimates converge to. A planner eats the estimate; this row "
+    "proves it honest.",
+)
+def join_size_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    ce = events.groupBy("user_id").agg(F.count("*").alias("ne"))
+    co = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count("*").alias("no")
+    )
+    est = ce.join(co, "user_id").agg(
+        F.sum(F.col("ne") * F.col("no")).alias("estimated")
+    )
+    act = events.join(orders, events.user_id == orders.o_custkey).agg(
+        F.count("*").alias("actual")
+    )
+    return est.crossJoin(act).select(
+        "estimated",
+        "actual",
+        (F.col("estimated") == F.col("actual")).alias("exact_match"),
+    )

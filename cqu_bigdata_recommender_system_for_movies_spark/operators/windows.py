@@ -886,3 +886,101 @@ def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(FREQUENT_PATH_K)
     )
+
+
+_SCD2_SQL = """
+    runs AS (
+        SELECT o_custkey AS user_id, o_orderpriority AS priority,
+               o_orderdate, o_orderkey,
+               CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+                    THEN 1 ELSE 0 END AS is_start
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    grouped AS (
+        SELECT user_id, priority, o_orderdate,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY o_orderdate, o_orderkey) AS grp
+        FROM runs
+    ),
+    islands AS (
+        SELECT user_id, priority, grp, MIN(o_orderdate) AS valid_from
+        FROM grouped GROUP BY user_id, priority, grp
+    ),
+    scd2 AS (
+        SELECT user_id, priority, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+                   AS valid_to,
+               CAST(grp AS INTEGER) AS version
+        FROM islands
+    )
+"""
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    WITH {_SCD2_SQL}
+    SELECT s.version, s.priority,
+           COUNT(*) AS n_events,
+           MIN(e.event_id) AS first_event_id
+    FROM events e
+    JOIN scd2 s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    GROUP BY s.version, s.priority
+    """,
+    doc="Point-in-time (AS OF event time) join against the SCD Type-2 "
+    "dimension built by scd2_priority_history: each event matches the "
+    "version whose [valid_from, valid_to) interval covers its "
+    "timestamp -- THE correctness-critical warehouse join (training "
+    "labels must see the dimension AS IT WAS, not as it is; joining "
+    "the current row leaks the future). The interval predicate rides "
+    "an EQUI join on user_id, so the shuffle is the ordinary user "
+    "keyed exchange and the inequality only filters within each "
+    "user's handful of versions -- never a cross product. Rolled up "
+    "per version for the oracle hash.",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebuild the SCD2 intervals (same plan as scd2_priority_history)
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("user_id").orderBy("o_orderdate", "o_orderkey")
+    runs = orders.select(
+        "user_id",
+        "priority",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(~F.lag("priority").over(w).eqNullSafe(F.col("priority")), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    grouped = runs.withColumn("grp", F.sum("is_start").over(w))
+    islands = grouped.groupBy("user_id", "priority", "grp").agg(
+        F.min("o_orderdate").alias("valid_from")
+    )
+    scd2 = islands.select(
+        "user_id",
+        "priority",
+        "valid_from",
+        F.lead("valid_from")
+        .over(Window.partitionBy("user_id").orderBy("grp"))
+        .alias("valid_to"),
+        F.col("grp").cast("int").alias("version"),
+    )
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    joined = events.join(
+        scd2,
+        (events.user_id == scd2.user_id)
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy("version", "priority").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+    )
