@@ -141,6 +141,9 @@ HEADLINE = [
     "ansi_try_functions_suite",
     "scd2_point_in_time_join",
     "join_size_estimation_audit",
+    "asof_join_next_order",
+    "schema_evolution_merge_read",
+    "csv_corrupt_record_audit",
 ]
 
 

@@ -551,3 +551,128 @@ def file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.min("event_id").alias("min_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (mergeSchema read across file generations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "schema_evolution_merge_read",
+    oracle="""
+    SELECT gen, event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(v2_score) AS BIGINT) AS n_with_v2,
+           ROUND(SUM(v2_score), 4) AS sum_v2
+    FROM (
+        SELECT 'v1' AS gen, event_type, CAST(NULL AS DOUBLE) AS v2_score
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT 'v2' AS gen, event_type, ROUND(value / 100, 4) AS v2_score
+        FROM events WHERE event_id % 2 = 1
+    )
+    GROUP BY gen, event_type
+    """,
+    doc="Schema evolution across parquet file generations: generation v1 "
+    "is written WITHOUT the v2_score column, generation v2 adds it; a "
+    "mergeSchema read unifies both into one table where pre-evolution "
+    "rows surface NULL -- the append-only column-add every long-lived "
+    "100 TB dataset goes through (and the only evolution parquet "
+    "supports without rewrite: adds, never type changes). The audit "
+    "counts per generation how many rows carry the new column; the "
+    "oracle reproduces the union-with-null semantics relationally. "
+    "Footer-schema merging costs one extra listing pass at read "
+    "time -- pin the merged schema in a catalog for production reads.",
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("events_evolved")
+    events = load(spark, sf_dir, "events")
+    v1 = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", F.lit("v1").alias("gen")
+    )
+    v2 = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "event_type",
+        F.lit("v2").alias("gen"),
+        F.round(F.col("value") / 100, 4).alias("v2_score"),
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return merged.groupBy("gen", "event_type").agg(
+        F.count("*").alias("n"),
+        F.count("v2_score").alias("n_with_v2"),
+        F.round(F.sum("v2_score"), 4).alias("sum_v2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record quarantine (PERMISSIVE CSV read)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "csv_corrupt_record_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT)
+               AS n_good,
+           CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT)
+               AS n_quarantined,
+           ROUND(SUM(CASE WHEN event_id % 97 <> 0 THEN value END), 2)
+               AS good_value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Malformed-input quarantine: events staged as CSV with every "
+    "97th record deliberately corrupted (a non-numeric value field), "
+    "read back PERMISSIVE with columnNameOfCorruptRecord -- bad rows "
+    "land intact in the quarantine column instead of killing the job "
+    "or silently vanishing (DROPMALFORMED's failure mode), and the "
+    "audit proves conservation: good + quarantined = staged. The "
+    "event_type of a corrupt row is recovered FROM the quarantined "
+    "raw line, exactly how a production ingest triages its dead-letter "
+    "rows. Scale shape: parse + quarantine are scan-side; only the "
+    "audit aggregate shuffles.",
+)
+def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("events_csv_corrupt")
+    events = load(spark, sf_dir, "events")
+    # stage: corrupt the value field of every 97th record (id % 97 == 0)
+    staged = events.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.when(F.col("event_id") % 97 == 0, F.lit("NOT_A_NUMBER")).otherwise(
+                F.col("value").cast("string")
+            ),
+        ).alias("line")
+    )
+    staged.write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            "event_id LONG, event_type STRING, value DOUBLE, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    triaged = parsed.select(
+        # corrupt rows: whole raw line is in _corrupt; recover the type
+        F.coalesce(
+            F.col("event_type"), F.split(F.col("_corrupt"), ",").getItem(1)
+        ).alias("event_type"),
+        F.col("_corrupt").isNull().alias("is_good"),
+        "value",
+    )
+    return triaged.groupBy("event_type").agg(
+        F.count_if("is_good").alias("n_good"),
+        F.count_if(~F.col("is_good")).alias("n_quarantined"),
+        F.round(F.sum(F.when(F.col("is_good"), F.col("value"))), 2).alias(
+            "good_value_sum"
+        ),
+    )

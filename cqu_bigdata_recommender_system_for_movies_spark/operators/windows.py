@@ -984,3 +984,81 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("event_id").alias("first_event_id"),
     )
+
+
+@register(
+    "asof_join_next_order",
+    oracle="""
+    WITH o1 AS (  -- one order per (custkey, date): keep the min orderkey
+        SELECT o_custkey, o_orderdate, o_totalprice
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey
+            ) AS rn FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS next_order_date,
+           o.o_totalprice AS next_order_price
+    FROM events e
+    ASOF LEFT JOIN o1 o
+      ON e.user_id = o.o_custkey AND e.ts < o.o_orderdate
+    """,
+    doc="FORWARD as-of join: each event enriched with the user's next "
+    "order STRICTLY AFTER the event time -- the label-generation "
+    "direction ('did a purchase follow this click, and for how much'), "
+    "complementing asof_join_last_order's backward feature direction. "
+    "Same tagged-union plan, mirrored: orders sort BEFORE events at "
+    "equal timestamps (strict inequality excludes same-instant "
+    "orders) and first_value(ignore nulls) scans the FOLLOWING frame. "
+    "Still one user-keyed shuffle, no range cross-product; the DuckDB "
+    "oracle uses native ASOF with the '<' comparator.",
+)
+def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        "o_orderkey"
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+    )
+    left = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("o_date"),
+        F.lit(None).cast("double").alias("o_price"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("o_date"),
+        F.col("o_totalprice").alias("o_price"),
+    )
+    # orders sort BEFORE events at identical t (is_event asc), so the
+    # strictly-following frame of an event row skips same-instant orders
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tagged = left.unionByName(right)
+    filled = tagged.select(
+        "*",
+        F.first("o_date", ignorenulls=True).over(w).alias("next_date"),
+        F.first("o_price", ignorenulls=True).over(w).alias("next_price"),
+    )
+    return (
+        filled.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("uid").alias("user_id"),
+            F.col("next_date").cast("string").alias("next_order_date"),
+            F.col("next_price").alias("next_order_price"),
+        )
+    )

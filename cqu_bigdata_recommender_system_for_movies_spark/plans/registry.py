@@ -99,12 +99,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # collation_case_insensitive_group, sql_udf_revenue,
 # lateral_join_top_orders, observed_metrics_audit,
 # file_metadata_columns, ansi_try_functions_suite,
-# scd2_point_in_time_join, join_size_estimation_audit.
+# scd2_point_in_time_join, join_size_estimation_audit,
+# asof_join_next_order, schema_evolution_merge_read,
+# csv_corrupt_record_audit.
 # Those (51 never-checked), plus als_recommend_topk (ceded above),
 # plus the three entries whose co-occurrence base changed in round 5
 # (item_cooccurrence_topk, item_cooccurrence_jaccard,
 # graph_triangle_count — outputs hash-identical locally, still must
-# re-verify) = 78 priority names for 50 slots: the r6 window takes the
+# re-verify) = 81 priority names for 50 slots: the r6 window takes the
 # 50 in the order listed above (never-checked first, oldest additions
 # first), the overflow leads r7 together with the oldest r3-latest
 # greens — every never-checked name outranks every re-confirmation.
