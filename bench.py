@@ -144,6 +144,10 @@ HEADLINE = [
     "asof_join_next_order",
     "schema_evolution_merge_read",
     "csv_corrupt_record_audit",
+    "zipf_law_fit",
+    "mutual_information_type_hour",
+    "benford_law_audit",
+    "theil_sen_slope_robust",
 ]
 
 

@@ -594,3 +594,194 @@ def linear_regression_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categoricals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mutual_information_type_hour",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type AS x, CAST(hour(ts) AS INTEGER) AS y,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT x, y,
+               n / SUM(n) OVER () AS pxy,
+               SUM(n) OVER (PARTITION BY x) / SUM(n) OVER () AS px,
+               SUM(n) OVER (PARTITION BY y) / SUM(n) OVER () AS py
+        FROM cell
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM(pxy * ln(pxy / (px * py))), 6) AS mutual_info_nats
+    FROM p
+    """,
+    doc="Mutual information between event type and hour-of-day: "
+    "I(X;Y) = sum p(x,y) ln(p(x,y)/(p(x)p(y))) over the contingency "
+    "cells -- the model-free dependence measure feature selection "
+    "ranks candidates by (chi-square tests independence; MI MEASURES "
+    "the dependence in nats, comparable across feature pairs). One "
+    "map-side-combined cell count; all three marginals are windows "
+    "over the typesxhours cell table. Absent cells contribute 0 on "
+    "both engines by construction.",
+)
+def mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    cell = events.groupBy(
+        F.col("event_type").alias("x"),
+        F.hour("ts").cast("int").alias("y"),
+    ).agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    p = cell.select(
+        (F.col("n") / F.sum("n").over(total)).alias("pxy"),
+        (
+            F.sum("n").over(Window.partitionBy("x")) / F.sum("n").over(total)
+        ).alias("px"),
+        (
+            F.sum("n").over(Window.partitionBy("y")) / F.sum("n").over(total)
+        ).alias("py"),
+    )
+    return p.agg(
+        F.count("*").alias("n_cells"),
+        F.round(
+            F.sum(F.col("pxy") * F.log(F.col("pxy") / (F.col("px") * F.col("py")))),
+            6,
+        ).alias("mutual_info_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_law_audit",
+    oracle="""
+    WITH digits AS (
+        -- FLOOR first: CAST(double AS BIGINT) truncates in Spark but
+        -- ROUNDS in DuckDB; floor makes both engines agree on boundaries
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INTEGER) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT d,
+           CAST(n AS BIGINT) AS observed,
+           ROUND(n / CAST(t AS DOUBLE), 6) AS observed_share,
+           ROUND(ln(1.0 + 1.0 / d) / ln(10), 6) AS benford_share
+    FROM obs CROSS JOIN tot
+    """,
+    doc="Benford's-law first-digit audit of order totals: natural "
+    "multi-scale amounts follow P(d) = log10(1 + 1/d); fabricated or "
+    "clamped values don't -- the forensic data-quality screen auditors "
+    "run on financial facts, here as one scan-side digit extraction "
+    "plus a 9-row aggregate. Both the observed share and the Benford "
+    "expectation are emitted so the deviation is inspectable per "
+    "digit. (TPC-H prices are uniform-ish, NOT Benford -- the audit's "
+    "value is the comparison columns, and the test asserts the "
+    "mechanics, not conformance.)",
+)
+def benford_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    d = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .groupBy(d.alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    t = Window.partitionBy()
+    return obs.select(
+        "d",
+        F.col("n").alias("observed"),
+        F.round(F.col("n") / F.sum("n").over(t), 6).alias("observed_share"),
+        F.round(F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)), 6).alias(
+            "benford_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope (deterministic paired form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_sen_slope_robust",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   -- (l_orderkey, l_linenumber) is NOT unique in the
+                   -- testdata; x, y complete the total order (residual
+                   -- ties are identical points, slope-invariant)
+                   ORDER BY l_orderkey, l_linenumber, l_quantity,
+                            l_extendedprice
+               ) - 1 AS i
+        FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.g, (b.y - a.y) / (b.x - a.x) AS slope
+        FROM pts a JOIN pts b
+          ON a.g = b.g AND b.i = a.i + 1 AND a.i % 2 = 0
+        WHERE b.x <> a.x
+    )
+    SELECT g AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(median(slope), 4) AS theil_sen_slope
+    FROM pairs GROUP BY g
+    """,
+    doc="Theil-Sen robust slope (price ~ quantity per return flag), "
+    "DISTRIBUTED PAIRED FORM: the classical estimator medians all "
+    "O(n^2) pairwise slopes, which cannot scale; the paired variant "
+    "medians the slopes of disjoint consecutive pairs (rows 0-1, 2-3, "
+    "...) in a stable key order -- n/2 slopes, one window for the "
+    "pairing index, one self-equi-join on (group, i+1) that matches "
+    "exactly one row per pair, and a median over the slope table. "
+    "Deterministic pairing means the DuckDB oracle reproduces the "
+    "estimate exactly; robustness to outliers is inherited because "
+    "the median, not the mean, aggregates the slopes (compare "
+    "linear_regression_closed_form's least-squares slope on the same "
+    "data).",
+)
+def theil_sen_slope_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    pts = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        (F.row_number().over(w) - 1).alias("i"),
+    )
+    a = pts.filter(F.col("i") % 2 == 0).select(
+        "g", F.col("i").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = pts.select(
+        F.col("g").alias("gb"),
+        F.col("i").alias("ib"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(
+        b, (F.col("g") == F.col("gb")) & (F.col("ib") == F.col("ia") + 1)
+    ).filter(F.col("xb") != F.col("xa"))
+    slopes = pairs.select(
+        "g",
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("slope"),
+    )
+    return slopes.groupBy("g").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.median("slope"), 4).alias("theil_sen_slope"),
+    ).select(
+        F.col("g").alias("l_returnflag"), "n_pairs", "theil_sen_slope"
+    )

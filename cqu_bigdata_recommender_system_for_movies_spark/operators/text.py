@@ -1197,3 +1197,59 @@ def phrase_retrieval_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "phrase")
         .agg(F.count("*").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the corpus frequency table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zipf_law_fit",
+    oracle="""
+    WITH wc AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank
+        FROM wc
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+           ROUND(regr_r2(ln(freq), ln(rank)), 4) AS fit_r2
+    FROM ranked
+    """,
+    doc="Zipf's-law fit: regress log frequency on log rank over the "
+    "corpus word-frequency table -- natural text yields a slope near "
+    "-1, and a corpus whose slope drifts (template spam flattens it, "
+    "boilerplate dedup failures steepen it) fails this health check "
+    "before any downstream model does. Rank assignment is the only "
+    "ordered step and runs over the VOCABULARY (already aggregated), "
+    "not the token stream; the fit is the same closed-form regr_* "
+    "moment aggregate as linear_regression_closed_form.",
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = wc.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "word"))
+        .alias("rank"),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("fit_r2"),
+    )
