@@ -148,6 +148,8 @@ HEADLINE = [
     "mutual_information_type_hour",
     "benford_law_audit",
     "theil_sen_slope_robust",
+    "data_expectations_audit",
+    "column_entropy_profile",
 ]
 
 

@@ -1356,3 +1356,165 @@ def ansi_try_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("props", 7, 2).try_cast("bigint").isNull()
         ).alias("n_bad_casts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-expectations audit (data contract checks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "data_expectations_audit",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               COUNT(o_custkey) AS custkey_nn,
+               COUNT(DISTINCT o_orderkey) AS orderkey_distinct,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 0) AS BIGINT)
+                   AS price_positive,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus IN ('F','O','P'))
+                    AS BIGINT) AS status_in_domain,
+               CAST(COUNT(*) FILTER (
+                   WHERE o_orderdate BETWEEN TIMESTAMP '1990-01-01'
+                                         AND TIMESTAMP '2030-01-01'
+               ) AS BIGINT) AS date_in_range
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'row_count_positive' AS check_name,
+               n > 0 AS passed, CAST(n AS BIGINT) AS metric FROM m
+        UNION ALL
+        SELECT 'custkey_not_null', custkey_nn = n, CAST(custkey_nn AS BIGINT)
+        FROM m
+        UNION ALL
+        SELECT 'orderkey_unique', orderkey_distinct = n,
+               CAST(orderkey_distinct AS BIGINT) FROM m
+        UNION ALL
+        SELECT 'price_positive', price_positive = n, price_positive FROM m
+        UNION ALL
+        SELECT 'status_in_domain', status_in_domain = n, status_in_domain
+        FROM m
+        UNION ALL
+        SELECT 'orderdate_in_range', date_in_range = n, date_in_range FROM m
+    )
+    """,
+    doc="Declarative data-contract audit (the great-expectations shape): "
+    "six expectations -- non-empty, not-null, key-unique, value-"
+    "positive, domain-membership, date-range -- ALL evaluated in one "
+    "scan as conditional-count aggregates, then unpivoted to one row "
+    "per check with its pass verdict and supporting metric. This is "
+    "how a 100 TB contract gate must run: N checks share one pass "
+    "(adding a check costs one aggregate expression, not one scan), "
+    "the verdict table is what lands in the data-quality dashboard, "
+    "and a failed row carries the count needed for triage.",
+)
+def data_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("custkey_nn"),
+        F.count_distinct("o_orderkey").alias("orderkey_distinct"),
+        F.count_if(F.col("o_totalprice") > 0).alias("price_positive"),
+        F.count_if(F.col("o_orderstatus").isin("F", "O", "P")).alias(
+            "status_in_domain"
+        ),
+        F.count_if(
+            F.col("o_orderdate").between("1990-01-01", "2030-01-01")
+        ).alias("date_in_range"),
+    )
+    checks = [
+        ("row_count_positive", F.col("n") > 0, F.col("n")),
+        ("custkey_not_null", F.col("custkey_nn") == F.col("n"), F.col("custkey_nn")),
+        (
+            "orderkey_unique",
+            F.col("orderkey_distinct") == F.col("n"),
+            F.col("orderkey_distinct"),
+        ),
+        (
+            "price_positive",
+            F.col("price_positive") == F.col("n"),
+            F.col("price_positive"),
+        ),
+        (
+            "status_in_domain",
+            F.col("status_in_domain") == F.col("n"),
+            F.col("status_in_domain"),
+        ),
+        (
+            "orderdate_in_range",
+            F.col("date_in_range") == F.col("n"),
+            F.col("date_in_range"),
+        ),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                cond.alias("passed"),
+                metric.cast("long").alias("metric"),
+            )
+            for name, cond, metric in checks
+        ]
+    )
+    return m.select(F.explode(rows).alias("c")).select("c.*")
+
+
+# ---------------------------------------------------------------------------
+# Per-column entropy profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "column_entropy_profile",
+    oracle="""
+    WITH stacked AS (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    cell AS (SELECT col, val, COUNT(*) AS n FROM stacked GROUP BY 1, 2),
+    p AS (
+        SELECT col, n / SUM(n) OVER (PARTITION BY col) AS prob FROM cell
+    )
+    SELECT col,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(-SUM(prob * ln(prob)) / ln(2), 6) AS entropy_bits,
+           ROUND(-SUM(prob * ln(prob)) / ln(2)
+                 / NULLIF(ln(COUNT(*)) / ln(2), 0), 6) AS normalized
+    FROM p GROUP BY col
+    """,
+    doc="Per-column Shannon entropy profile: each categorical's "
+    "information content in bits plus the 0-1 normalized form (entropy "
+    "over log2 of its cardinality) -- low normalized entropy flags "
+    "near-constant columns a model can drop, 1.0 flags uniform codes. "
+    "Columns unpivot via stack BEFORE aggregation, so profiling k "
+    "columns is one scan and one (col, val) cell aggregation "
+    "regardless of k -- the same Expand-planned single pass as "
+    "data_profile_summary, extended to a distribution statistic. A "
+    "1-value column yields normalized NULL (0/0), identically on both "
+    "engines.",
+)
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    stacked = orders.select(
+        F.expr(
+            "stack(2, 'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority) AS (col, val)"
+        )
+    )
+    cell = stacked.groupBy("col", "val").agg(F.count("*").alias("n"))
+    p = cell.select(
+        "col",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("col"))).alias("prob"),
+    )
+    ent = -F.sum(F.col("prob") * F.log("prob")) / F.log(F.lit(2.0))
+    return p.groupBy("col").agg(
+        F.count("*").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy_bits"),
+        F.round(
+            ent / F.nullif(F.log(F.count("*")) / F.log(F.lit(2.0)), F.lit(0.0)),
+            6,
+        ).alias("normalized"),
+    )

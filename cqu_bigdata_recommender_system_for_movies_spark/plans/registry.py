@@ -103,12 +103,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # asof_join_next_order, schema_evolution_merge_read,
 # csv_corrupt_record_audit, zipf_law_fit,
 # mutual_information_type_hour, benford_law_audit,
-# theil_sen_slope_robust.
+# theil_sen_slope_robust, data_expectations_audit,
+# column_entropy_profile.
 # Those (51 never-checked), plus als_recommend_topk (ceded above),
 # plus the three entries whose co-occurrence base changed in round 5
 # (item_cooccurrence_topk, item_cooccurrence_jaccard,
 # graph_triangle_count — outputs hash-identical locally, still must
-# re-verify) = 85 priority names for 50 slots: the r6 window takes the
+# re-verify) = 87 priority names for 50 slots: the r6 window takes the
 # 50 in the order listed above (never-checked first, oldest additions
 # first), the overflow leads r7 together with the oldest r3-latest
 # greens — every never-checked name outranks every re-confirmation.
