@@ -543,6 +543,39 @@ def test_driver_window_is_fully_pinned():
     assert names[:DRIVER_WINDOW] == list(DRIVER_CHECK_FIRST)
 
 
+def test_next_window_plan_comment_is_exact():
+    """VERDICT r4 #1 was caused by the next-window plan comment omitting a
+    new query. Make the accounting self-maintaining: every registered query
+    that (a) has no row in any CORRECTNESS_r*.json and (b) is not in the
+    current pinned window MUST be named in the registry's r6-fill comment,
+    so nothing silently falls out of the verification rotation."""
+    import glob
+    import json
+    import os
+
+    import cqu_bigdata_recommender_system_for_movies_spark.plans.registry as reg
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        QUERIES,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            checked |= set(json.load(f))
+    all_queries()  # populate the registry
+    never = [n for n in QUERIES if n not in checked and n not in set(DRIVER_CHECK_FIRST)]
+    with open(reg.__file__) as f:
+        src = f.read()
+    comment = src[src.index("# r6 fill") : src.index("DRIVER_WINDOW = ")]
+    missing = [n for n in never if n not in comment]
+    assert not missing, (
+        f"registry's r6-fill plan comment omits never-driver-checked queries: "
+        f"{missing} — add them so the rotation stays exact"
+    )
+
+
 def test_lss_components_matches_propagation(spark, sf_dir):
     """Two independent CC implementations (min-label propagation and
     large-star/small-star) over the same edge set must produce the
