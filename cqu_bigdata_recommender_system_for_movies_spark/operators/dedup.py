@@ -1224,3 +1224,111 @@ def source_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- AllPairs / PPJoin prefix filtering ------------------------------------
+
+PREFIX_JACCARD_T = 0.8  # near-dup threshold; prefix length = sz - ceil(t*sz) + 1
+
+
+@register(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+    WITH {{shingles}},
+    szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT hv, COUNT(*) AS df FROM sh GROUP BY hv),
+    ranked AS (
+        SELECT p.doc_id, p.hv, s.sz,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.doc_id ORDER BY d.df, p.hv
+               ) AS rn
+        FROM sh p JOIN dfreq d USING (hv) JOIN szs s USING (doc_id)
+    ),
+    pref AS (
+        SELECT doc_id, hv FROM ranked
+        WHERE rn <= sz - CEIL({PREFIX_JACCARD_T} * sz) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b ON a.hv = b.hv AND a.doc_id < b.doc_id
+    ),
+    arrs AS (SELECT doc_id, list(hv) AS hvs FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(aa.hvs, ab.hvs)) * 1.0 /
+                 (len(aa.hvs) + len(ab.hvs)
+                  - len(list_intersect(aa.hvs, ab.hvs))), 6) AS jaccard
+    FROM cand
+    JOIN arrs aa ON doc_a = aa.doc_id
+    JOIN arrs ab ON doc_b = ab.doc_id
+    WHERE len(list_intersect(aa.hvs, ab.hvs)) * 1.0 /
+          (len(aa.hvs) + len(ab.hvs) - len(list_intersect(aa.hvs, ab.hvs)))
+          >= {PREFIX_JACCARD_T}
+    """.replace("{shingles}", _SHINGLES_SQL),
+    doc="EXACT set-similarity self-join via AllPairs prefix filtering "
+    "(Bayardo/Ma/Srikant WWW'07; PPJoin adds position filters on top): "
+    "unlike the df-capped inverted index (ngram_jaccard_pairs, bounded "
+    "recall) or MinHash-LSH (probabilistic recall), this finds EVERY pair "
+    "with Jaccard >= t with no false negatives — only tokens in a doc's "
+    "prefix (the sz - ceil(t*sz) + 1 globally-RAREST tokens, ordered by "
+    "ascending document frequency) generate candidate postings, because "
+    "two sets meeting the threshold must share at least one prefix token "
+    "under any shared total order. At t=0.8 the prefix is ~20% of each "
+    "doc, and because prefixes are built from rare-first tokens the "
+    "posting lists are short by construction — the quadratic boilerplate "
+    "token never enters candidate generation, so no df cap is needed for "
+    "the plan to survive 100 TB. Candidates sharing a prefix token get a "
+    "size filter (min >= t*max, necessary for Jaccard >= t) applied "
+    "in-array at the posting bucket, then the exact array_intersect "
+    "verify probes the shared checkpointed hash-array table from both "
+    "sides, same as the ngram path.",
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = PREFIX_JACCARD_T
+    arrays = _doc_hash_arrays(spark, sf_dir)
+    posts = arrays.select(
+        "doc_id", F.size("hvs").alias("sz"), F.explode("hvs").alias("hv")
+    )
+    dfreq = posts.groupBy("hv").agg(F.count("*").alias("df"))
+    # rank each doc's tokens rarest-first; the window partitions by doc_id
+    # (high cardinality -> even spread) and the df join shuffles on the
+    # 8-byte hv — AQE sizes both.
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("hv"))
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    pref = (
+        posts.join(dfreq, "hv")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "sz", "hv")
+    )
+    # candidate pairs map-side inside each (short, rare-first) posting list,
+    # with the Jaccard length filter applied before the pair is ever emitted
+    pairs_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "filter(transform(slice(ds, i + 2, size(ds)), y -> struct("
+        "least(x.doc_id, y.doc_id) AS doc_a, "
+        "greatest(x.doc_id, y.doc_id) AS doc_b, "
+        "least(x.sz, y.sz) AS min_sz, greatest(x.sz, y.sz) AS max_sz)), "
+        f"p -> p.min_sz >= {t} * p.max_sz)))"
+    )
+    cand = (
+        pref.groupBy("hv")
+        .agg(F.collect_set(F.struct("doc_id", "sz")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(pairs_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("hvs").alias("hvs_a"))
+    ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("hvs").alias("hvs_b"))
+    common = F.size(F.array_intersect("hvs_a", "hvs_b"))
+    jac = common * 1.0 / (F.size("hvs_a") + F.size("hvs_b") - common)
+    return (
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .filter(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -576,6 +576,28 @@ def test_next_window_plan_comment_is_exact():
     )
 
 
+def test_prefix_filter_recall_dominates_capped_index(spark, sf_dir):
+    """The AllPairs prefix filter is EXACT (no false negatives), while the
+    df-capped inverted index bounds recall: at the same threshold, every
+    pair the capped index finds must also be found by the prefix join —
+    two independent candidate-generation strategies cross-checking each
+    other beyond the shared DuckDB oracle."""
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["prefix_filter_jaccard_join"](spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["ngram_jaccard_pairs"](spark, sf_dir).collect()
+        if r.jaccard >= PREFIX_JACCARD_T
+    }
+    assert capped <= exact
+
+
 def test_lss_components_matches_propagation(spark, sf_dir):
     """Two independent CC implementations (min-label propagation and
     large-star/small-star) over the same edge set must produce the
