@@ -469,3 +469,104 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo") + F.col("b50") * F.col("width"), 4).alias("approx_p50"),
         F.round(F.col("lo") + F.col("b90") * F.col("width"), 4).alias("approx_p90"),
     )
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+CMS_P = 2147483647  # 2^31 - 1, same Mersenne prime as the MinHash hashes
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+# fixed affine coefficients (a odd < 2^20) — deterministic in both engines
+CMS_AB = ((387461, 817504), (552581, 193937), (721589, 664817), (117191, 412889))
+CMS_QUERY_K = 20
+
+_CMS_HASH_SQL = "((({a} * user_id + {b}) % {p}) % {w})"
+
+
+def _cms_counters_sql() -> str:
+    rows = "\n            UNION ALL\n".join(
+        f"SELECT {r} AS r, "
+        + _CMS_HASH_SQL.format(a=a, b=b, p=CMS_P, w=CMS_WIDTH)
+        + " AS bucket, n FROM counts"
+        for r, (a, b) in enumerate(CMS_AB)
+    )
+    return f"counters AS (SELECT r, bucket, SUM(n) AS c FROM ({rows}) GROUP BY r, bucket)"
+
+
+@register(
+    "cms_user_frequency",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    {_cms_counters_sql()},
+    queried AS (
+        SELECT user_id, n FROM counts
+        ORDER BY n DESC, user_id LIMIT {CMS_QUERY_K}
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT user_id, n, {r} AS r, "
+            + _CMS_HASH_SQL.format(a=a, b=b, p=CMS_P, w=CMS_WIDTH)
+            + " AS bucket FROM queried"
+            for r, (a, b) in enumerate(CMS_AB)
+        )}
+    )
+    SELECT p.user_id,
+           CAST(MIN(p.n) AS BIGINT) AS exact_n,
+           CAST(MIN(c.c) AS BIGINT) AS cms_est
+    FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.user_id
+    """,
+    doc="Count-Min sketch (Cormode & Muthukrishnan '05) point-frequency "
+    "estimates: a depth-4 x width-512 counter matrix built in ONE "
+    "aggregation pass — each key adds its count to one bucket per hash "
+    "row, map-side combine collapses the shuffle to <= depth*width "
+    "groups regardless of input size, and two sketches MERGE by cell-wise "
+    "addition (the property that lets 1000 executors each build a local "
+    "sketch and tree-reduce 8 KB matrices instead of shuffling keys). "
+    "The estimate min_r(counter[r][h_r(x)]) NEVER underestimates; the "
+    "overestimate is bounded by 2n/width per row w.h.p. Here the top-20 "
+    "users by exact count are probed and both numbers returned side by "
+    "side; the oracle replays the identical affine hashes so the sketch "
+    "matrix — collisions included — is bit-identical in DuckDB. The "
+    "pre-aggregation by key before the explode x depth is a pure "
+    "optimization: CMS counters are additive, so folding a key's count "
+    "in one update equals n unit updates.",
+)
+def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=False
+    )
+
+    def bucket(r: int):
+        a, b = CMS_AB[r]
+        return (F.lit(a) * F.col("user_id") + F.lit(b)) % CMS_P % CMS_WIDTH
+
+    rows = [
+        counts.select(F.lit(r).alias("r"), bucket(r).alias("bucket"), "n")
+        for r in range(CMS_DEPTH)
+    ]
+    stacked = rows[0]
+    for df in rows[1:]:
+        stacked = stacked.unionByName(df)
+    counters = stacked.groupBy("r", "bucket").agg(F.sum("n").alias("c"))
+
+    queried = counts.orderBy(F.desc("n"), F.asc("user_id")).limit(CMS_QUERY_K)
+    probes = [
+        queried.select("user_id", "n", F.lit(r).alias("r"), bucket(r).alias("bucket"))
+        for r in range(CMS_DEPTH)
+    ]
+    probe = probes[0]
+    for df in probes[1:]:
+        probe = probe.unionByName(df)
+    # the counter matrix is <= depth*width rows (8 KB) — always broadcast
+    return (
+        probe.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.min("n").cast("long").alias("exact_n"),
+            F.min("c").cast("long").alias("cms_est"),
+        )
+    )

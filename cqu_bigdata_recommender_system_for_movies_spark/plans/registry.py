@@ -104,7 +104,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # csv_corrupt_record_audit, zipf_law_fit,
 # mutual_information_type_hour, benford_law_audit,
 # theil_sen_slope_robust, data_expectations_audit,
-# column_entropy_profile, prefix_filter_jaccard_join.
+# column_entropy_profile, prefix_filter_jaccard_join,
+# cms_user_frequency.
 # Those (51 never-checked), plus als_recommend_topk (ceded above),
 # plus the three entries whose co-occurrence base changed in round 5
 # (item_cooccurrence_topk, item_cooccurrence_jaccard,

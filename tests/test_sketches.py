@@ -152,3 +152,21 @@ def test_ab_test_zscore_is_finite_and_balanced(spark, sf_dir):
         assert math.isfinite(r.z_score), r
         # hash assignment should be near 50/50 per metric
         assert 0.3 < r.n_c / (r.n_c + r.n_t) < 0.7, r
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """The Count-Min invariant: for every probed key, the sketch estimate
+    is >= the exact count (hash collisions only ADD mass), and the
+    overestimate is bounded by the total stream length (trivial bound
+    that catches sign/overflow bugs)."""
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import (
+        cms_user_frequency,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+    rows = cms_user_frequency(spark, sf_dir).collect()
+    assert rows
+    total = load(spark, sf_dir, "events").count()
+    for r in rows:
+        assert r.cms_est >= r.exact_n, r
+        assert r.cms_est <= total, r
