@@ -150,6 +150,9 @@ HEADLINE = [
     "theil_sen_slope_robust",
     "data_expectations_audit",
     "column_entropy_profile",
+    "prefix_filter_jaccard_join",
+    "cms_user_frequency",
+    "item_adamic_adar_topk",
 ]
 
 

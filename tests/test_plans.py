@@ -940,3 +940,21 @@ def test_parquet_agg_pushdown_engages(spark, sf_dir):
             spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
     assert "PushedAggregation: [COUNT(*)" in plan, plan[:800]
+
+
+def test_cms_counters_join_is_broadcast(spark, sf_dir):
+    """The CMS counter matrix is <= depth*width rows regardless of input
+    size — probing it must never sort-merge."""
+    plan = _plan(all_queries()["cms_user_frequency"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_adamic_adar_is_take_ordered(spark, sf_dir):
+    """Top-pairs cut must be TakeOrderedAndProject (per-partition top-k +
+    merge), not a global sort, and pair generation must be map-side (no
+    basket self-join)."""
+    plan = _plan(all_queries()["item_adamic_adar_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3  # basket groupBy, pair agg, final cut
