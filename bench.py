@@ -153,6 +153,7 @@ HEADLINE = [
     "prefix_filter_jaccard_join",
     "cms_user_frequency",
     "item_adamic_adar_topk",
+    "item_knn_graph",
 ]
 
 

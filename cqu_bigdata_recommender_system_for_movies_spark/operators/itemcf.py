@@ -269,3 +269,101 @@ def item_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adamic_adar"), "item_a", "item_b")
         .limit(TOP_PAIRS)
     )
+
+
+KNN_K = 5
+
+
+@register(
+    "item_knn_graph",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    freq AS (SELECT pk, COUNT(*) AS n FROM basket GROUP BY pk),
+    co AS (
+        SELECT a.pk AS item_a, b.pk AS item_b, COUNT(*) AS n_ab
+        FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING COUNT(*) >= {MIN_SUPPORT}
+    ),
+    sym AS (
+        SELECT item_a AS item_id, item_b AS neighbor_id, n_ab FROM co
+        UNION ALL
+        SELECT item_b AS item_id, item_a AS neighbor_id, n_ab FROM co
+    ),
+    scored AS (
+        SELECT s.item_id, s.neighbor_id,
+               s.n_ab / sqrt(fa.n * fb.n) AS cos_raw
+        FROM sym s
+        JOIN freq fa ON fa.pk = s.item_id
+        JOIN freq fb ON fb.pk = s.neighbor_id
+    )
+    SELECT item_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(cos_raw, 6) AS cosine
+    FROM (
+        SELECT item_id, neighbor_id, cos_raw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY item_id
+                   ORDER BY cos_raw DESC, neighbor_id
+               ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {KNN_K}
+    """,
+    doc="Item-KNN serving index: the top-{k} cosine neighbors PER ITEM "
+    "(not the global top pairs item_cooccurrence_topk returns) — the "
+    "precomputed similarity lists an item-CF recommender looks up at "
+    "serving time (reference streaming_rec.py scores online instead; "
+    "Sarwar et al. WWW'01 is the offline form). Pairs symmetrize by a "
+    "map-side union of the triangular co-occurrence table (each "
+    "undirected pair feeds both endpoints' lists), frequencies attach "
+    "via AQE-broadcast item-dim joins, and the per-item cut is a "
+    "row_number window over item_id — partition cardinality = catalog "
+    "size, per-partition rows bounded by an item's co-occurring "
+    "neighbors, so no global sort and no skew melt. Ranking uses the "
+    "raw IEEE cosine (bit-identical in both engines on exact integer "
+    "inputs) with neighbor_id tie-break; the rounded score is display "
+    "only.",
+)
+def item_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    arrs = _basket_arrays(spark, sf_dir)
+    # both union branches read the triangular pair table; without the
+    # checkpoint each branch re-runs the basket scan + pair aggregation
+    co = _co_counts(arrs).localCheckpoint(eager=False)
+    sym = co.select(
+        F.col("item_a").alias("item_id"),
+        F.col("item_b").alias("neighbor_id"),
+        "n_ab",
+    ).unionByName(
+        co.select(
+            F.col("item_b").alias("item_id"),
+            F.col("item_a").alias("neighbor_id"),
+            "n_ab",
+        )
+    )
+    freq = _item_freq(arrs)
+    fa = freq.select(F.col("pk").alias("item_id"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("pk").alias("neighbor_id"), F.col("n").alias("n_b"))
+    scored = (
+        sym.join(fa, "item_id")
+        .join(fb, "neighbor_id")
+        .select(
+            "item_id",
+            "neighbor_id",
+            (F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b"))).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select(
+            "item_id",
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
