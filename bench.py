@@ -154,6 +154,7 @@ HEADLINE = [
     "cms_user_frequency",
     "item_adamic_adar_topk",
     "item_knn_graph",
+    "bigram_logprob_score",
 ]
 
 

@@ -1253,3 +1253,95 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("fit_r2"),
     )
+
+
+# --- Bigram language-model scoring -----------------------------------------
+
+BIGRAM_INTERP_LAMBDA = 0.7  # weight on the bigram MLE; 0.3 backs off to unigram
+
+
+@register(
+    "bigram_logprob_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    c1 AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM c1),
+    bg AS (
+        SELECT doc_id,
+               string_split(u.s, chr(1))[1] AS w1,
+               string_split(u.s, chr(1))[2] AS w2
+        FROM t, unnest([
+            toks[i] || chr(1) || toks[i + 1] for i in range(1, len(toks))
+        ]) u(s)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln(
+               {BIGRAM_INTERP_LAMBDA} * c2.c * 1.0 / p.c
+               + {1 - BIGRAM_INTERP_LAMBDA:.1f} * q.c * 1.0 / tot.n
+           )), 4) AS mean_logprob
+    FROM bg
+    JOIN c2 USING (w1, w2)
+    JOIN c1 p ON p.w = bg.w1
+    JOIN c1 q ON q.w = bg.w2
+    CROSS JOIN tot
+    GROUP BY bg.doc_id
+    """,
+    doc="Interpolated bigram LM scoring — the next rung above "
+    "unigram_logprob_score toward the KenLM 5-gram CCNet actually ranks "
+    "with: P(w2|w1) = lambda * c(w1,w2)/c(w1) + (1-lambda) * c(w2)/N, "
+    "per-doc mean log-probability. The interpolation means unseen-in-"
+    "context bigrams back off to the unigram floor instead of -inf, so "
+    "every bigram in the corpus scores finitely. Scale shape: the "
+    "bigram stream (built in-row by a sequence/transform over each "
+    "doc's token array — no self-join, no window) joins the vocab²-"
+    "bounded bigram count table on the 2-word key and the vocab-sized "
+    "unigram table twice (both tiny relative to the corpus — AQE "
+    "broadcasts); document text never shuffles. Repetitive docs score "
+    "HIGH here (their bigrams are self-reinforcing) — this signal cuts "
+    "gibberish, repetition_stats cuts loops; pipelines apply both.",
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    t = docs.select("doc_id", toks.alias("toks"))
+    tok = t.select("doc_id", F.explode("toks").alias("w"))
+    c1 = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = c1.agg(F.sum("c").alias("n"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bg = t.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cp = c1.select(F.col("w").alias("w1"), F.col("c").alias("c_prev"))
+    cq = c1.select(F.col("w").alias("w2"), F.col("c").alias("c_cur"))
+    lam = BIGRAM_INTERP_LAMBDA
+    prob = (
+        F.lit(lam) * F.col("c2") * 1.0 / F.col("c_prev")
+        + F.lit(1 - lam) * F.col("c_cur") * 1.0 / F.col("n")
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(cp, "w1")
+        .join(cq, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(prob)), 4).alias("mean_logprob"),
+        )
+    )

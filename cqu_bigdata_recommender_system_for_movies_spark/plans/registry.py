@@ -105,7 +105,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # mutual_information_type_hour, benford_law_audit,
 # theil_sen_slope_robust, data_expectations_audit,
 # column_entropy_profile, prefix_filter_jaccard_join,
-# cms_user_frequency, item_adamic_adar_topk, item_knn_graph.
+# cms_user_frequency, item_adamic_adar_topk, item_knn_graph,
+# bigram_logprob_score.
 # Those (51 never-checked), plus als_recommend_topk (ceded above),
 # plus the three entries whose co-occurrence base changed in round 5
 # (item_cooccurrence_topk, item_cooccurrence_jaccard,
