@@ -107,14 +107,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # column_entropy_profile, prefix_filter_jaccard_join,
 # cms_user_frequency, item_adamic_adar_topk, item_knn_graph,
 # bigram_logprob_score.
-# Those (51 never-checked), plus als_recommend_topk (ceded above),
-# plus the three entries whose co-occurrence base changed in round 5
-# (item_cooccurrence_topk, item_cooccurrence_jaccard,
-# graph_triangle_count — outputs hash-identical locally, still must
-# re-verify) = 87 priority names for 50 slots: the r6 window takes the
-# 50 in the order listed above (never-checked first, oldest additions
-# first), the overflow leads r7 together with the oldest r3-latest
-# greens — every never-checked name outranks every re-confirmation.
+# Those (88 never-checked as of end of round 5 — the exactness of this
+# list vs CORRECTNESS_r*.json is asserted by
+# tests/test_plans.py::test_next_window_plan_comment_is_exact), plus
+# als_recommend_topk (ceded above), plus the three entries whose
+# co-occurrence base changed in round 5 (item_cooccurrence_topk,
+# item_cooccurrence_jaccard, graph_triangle_count — outputs
+# hash-identical locally, still must re-verify) = 92 priority names for
+# 50 slots: the r6 window takes the 50 in the order listed above
+# (never-checked first, oldest additions first), the overflow leads r7
+# together with the oldest r3-latest greens — every never-checked name
+# outranks every re-confirmation.
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (
