@@ -231,6 +231,12 @@ REGRESSION_MIN_DELTA_SEC = 0.5
 # drifts on short queries are within that noise band; real regressions on
 # the expensive queries clear both gates.
 #
+# Round-5 close-out isolation run for the same-code wordcount_documents
+# 2.5x flag (0.42 -> 1.07 s): fresh session, 4 reps at sf0.1 measured
+# 4.80 s cold then 0.58 / 0.45 / 0.42 s — the warm floor equals the r4
+# record exactly, so the flag is warm-up-position variance of a
+# sub-second query, not a regression.
+#
 # Streaming micro-batch loops have the same first-run effect at larger
 # magnitude: a round-5 isolation run (fresh session, 3 reps, sf0.1, zero
 # streaming-code change since round 4) measured streaming_window_counts
