@@ -155,6 +155,7 @@ HEADLINE = [
     "item_adamic_adar_topk",
     "item_knn_graph",
     "bigram_logprob_score",
+    "kmv_intersection_estimate",
 ]
 
 

@@ -570,3 +570,126 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c").cast("long").alias("cms_est"),
         )
     )
+
+
+# --- KMV (bottom-k) set-intersection sketch --------------------------------
+
+KMV_K = 256
+
+# portable 32-bit md5 hash -> uniform in (0, 1]; distinct on the hash value
+# merges 32-bit collisions identically in both engines (same contract as the
+# hashed-shingle family)
+_KMV_HASH_SQL = (
+    "(CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT) + 1)"
+    " / 4294967296.0"
+)
+
+
+@register(
+    "kmv_intersection_estimate",
+    oracle=f"""
+    WITH ha AS (
+        SELECT DISTINCT {_KMV_HASH_SQL.format(col="user_id")} AS u
+        FROM events
+    ),
+    hb AS (
+        SELECT DISTINCT {_KMV_HASH_SQL.format(col="o_custkey")} AS u
+        FROM orders
+    ),
+    l AS (
+        SELECT u FROM (SELECT u FROM ha UNION SELECT u FROM hb)
+        ORDER BY u LIMIT {KMV_K}
+    ),
+    marked AS (
+        SELECT l.u,
+               CASE WHEN ha.u IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN hb.u IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        FROM l LEFT JOIN ha ON l.u = ha.u LEFT JOIN hb ON l.u = hb.u
+    ),
+    sk AS (
+        SELECT COUNT(*) AS n_l, MAX(u) AS u_k,
+               SUM(in_a * in_b) AS n_both
+        FROM marked
+    ),
+    exact AS (
+        SELECT (SELECT COUNT(*) FROM ha) AS exact_a,
+               (SELECT COUNT(*) FROM hb) AS exact_b,
+               (SELECT COUNT(*) FROM ha JOIN hb USING (u)) AS exact_inter
+    )
+    SELECT CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_inter AS BIGINT) AS exact_intersection,
+           ROUND(CASE WHEN n_l < {KMV_K} THEN n_l
+                      ELSE ({KMV_K} - 1) / u_k END, 4) AS est_union,
+           ROUND((n_both * 1.0 / n_l)
+                 * CASE WHEN n_l < {KMV_K} THEN n_l
+                        ELSE ({KMV_K} - 1) / u_k END, 4) AS est_intersection
+    FROM sk CROSS JOIN exact
+    """,
+    doc="KMV (k-minimum-values / bottom-k) set-intersection sketch "
+    "(Beyer et al. SIGMOD'07 — the open-source theta-sketch family's "
+    "core): each side keeps only its k smallest hash values; the union "
+    "sketch is the bottom-k of the merged minima (mergeable, fixed "
+    "2 KB); distinct-union is estimated by (k-1)/u_k and the "
+    "intersection by the fraction of union-sketch members present in "
+    "BOTH sides times that union estimate. This is how engines estimate "
+    "join cardinalities and audience overlaps WITHOUT co-shuffling the "
+    "sets — the sketch answer beside join_size_estimation_audit's exact "
+    "identity. Plan shape: two distinct aggregates, two TakeOrdered "
+    "bottom-k cuts (per-partition top-k then a k-sized merge — never a "
+    "global sort), membership marking by joining the k-row sketch "
+    "(broadcast) back to the hash sets, and the exact twin columns "
+    "computed alongside so the estimate error is auditable in the "
+    "result row itself. When a set has fewer than k members the sketch "
+    "IS the set and the estimator degrades to exact, branch included "
+    "in both engines.",
+)
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+
+    def hashed(df: DataFrame, col: str) -> DataFrame:
+        u = (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            + 1
+        ) / F.lit(float(1 << 32))
+        return df.select(u.alias("u")).distinct().localCheckpoint(eager=False)
+
+    ha = hashed(events, "user_id")
+    hb = hashed(orders, "o_custkey")
+    l = ha.unionByName(hb).distinct().orderBy("u").limit(KMV_K)
+    marked = (
+        l.join(ha.withColumn("in_a", F.lit(1)), "u", "left")
+        .join(hb.withColumn("in_b", F.lit(1)), "u", "left")
+        .select(
+            "u",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    sk = marked.agg(
+        F.count("*").alias("n_l"),
+        F.max("u").alias("u_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    est_union = F.when(F.col("n_l") < KMV_K, F.col("n_l")).otherwise(
+        (KMV_K - 1) / F.col("u_k")
+    )
+    exact = (
+        ha.agg(F.count("*").alias("exact_a"))
+        .crossJoin(hb.agg(F.count("*").alias("exact_b")))
+        .crossJoin(ha.join(hb, "u").agg(F.count("*").alias("exact_intersection")))
+    )
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_intersection",
+            F.round(est_union, 4).alias("est_union"),
+            F.round((F.col("n_both") * 1.0 / F.col("n_l")) * est_union, 4).alias(
+                "est_intersection"
+            ),
+        )
+    )

@@ -170,3 +170,25 @@ def test_cms_never_underestimates(spark, sf_dir):
     for r in rows:
         assert r.cms_est >= r.exact_n, r
         assert r.cms_est <= total, r
+
+
+def test_kmv_estimate_error_bounds(spark, sf_dir):
+    """KMV estimator sanity: the union/intersection estimates must land
+    within the theoretical relative-error band ~2.5/sqrt(k) of the exact
+    values computed in the same row (loose CI — catches estimator-formula
+    and branch bugs, not statistical noise)."""
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import (
+        KMV_K,
+        kmv_intersection_estimate,
+    )
+
+    row = kmv_intersection_estimate(spark, sf_dir).collect()[0]
+    exact_union = row.exact_a + row.exact_b - row.exact_intersection
+    tol = 2.5 / (KMV_K ** 0.5)
+    if exact_union <= KMV_K:
+        assert row.est_union == exact_union  # sketch IS the set
+    else:
+        assert abs(row.est_union - exact_union) <= tol * exact_union, row
+    assert abs(row.est_intersection - row.exact_intersection) <= max(
+        tol * max(row.exact_intersection, 1), tol * exact_union
+    ), row
