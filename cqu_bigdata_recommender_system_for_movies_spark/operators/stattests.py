@@ -460,14 +460,15 @@ def _pois_weight_sql(u_expr: str) -> str:
     "bootstrap_mean_ci",
     oracle=f"""
     WITH reps AS (
-        SELECT o_orderpriority, o_totalprice, b.b,
+        SELECT o_orderpriority, o_totalprice, g.g * 4 + s.s AS b,
                {_pois_weight_sql(
                    "((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' "
-                   "|| b.b), 1, 8)) AS BIGINT) + 1) / 4294967296.0)"
+                   "|| g.g), s.s * 8 + 1, 8)) AS BIGINT) + 1) / 4294967296.0)"
                )} AS w
-        FROM orders CROSS JOIN (
-            SELECT unnest(range({BOOT_REPLICAS})) AS b
-        ) b
+        FROM orders
+        CROSS JOIN (SELECT unnest(range({(BOOT_REPLICAS + 3) // 4})) AS g) g
+        CROSS JOIN (SELECT unnest(range(4)) AS s) s
+        WHERE g.g * 4 + s.s < {BOOT_REPLICAS}
     ),
     rep_means AS (
         SELECT o_orderpriority, b, SUM(w * o_totalprice) / SUM(w) AS m
@@ -496,38 +497,54 @@ def _pois_weight_sql(u_expr: str) -> str:
     f"{BOOT_REPLICAS}x|groups| partial sums, not resampled data. The "
     "multiplicities come from md5-derived uniforms through the exact "
     "Poisson CDF thresholds, so both engines draw the SAME bootstrap "
-    "and the oracle matches bit-for-bit after rounding.",
+    "and the oracle matches bit-for-bit after rounding. The hashing is "
+    "AMORTIZED: one 128-bit md5 per (row, replica-group) yields FOUR "
+    "independent 32-bit uniforms (hex slices 1-8/9-16/17-24/25-32), so "
+    f"a row pays {(BOOT_REPLICAS + 3) // 4} hashes for {BOOT_REPLICAS} "
+    "replicas — profiled 4x cheaper than hashing per replica, and at "
+    "100 TB the hash IS the dominant scan-side cost of this operator.",
 )
 def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("o_orderkey").cast("string"),
-                        F.lit("|"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ) / F.lit(float(1 << 32))
-    reps = orders.select(
-        "o_orderkey",
+    n_groups = (BOOT_REPLICAS + 3) // 4
+    # one md5 per (row, group) — materialized as a column BEFORE the slice
+    # explode so the four uniforms it feeds never re-hash
+    grouped = orders.select(
         "o_orderpriority",
         "o_totalprice",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_groups - 1))).alias("g"),
+        "o_orderkey",
     ).select(
         "o_orderpriority",
         "o_totalprice",
-        "b",
-        _pois_weight(u).alias("w"),
+        "g",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("g").cast("string"),
+            )
+        ).alias("h"),
+    )
+    u = (
+        F.conv(F.col("h").substr(F.col("s") * 8 + 1, F.lit(8)), 16, 10).cast("long")
+        + 1
+    ) / F.lit(float(1 << 32))
+    reps = (
+        grouped.select(
+            "o_orderpriority",
+            "o_totalprice",
+            "g",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"),
+        )
+        .filter(F.col("g") * 4 + F.col("s") < BOOT_REPLICAS)
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            (F.col("g") * 4 + F.col("s")).alias("b"),
+            _pois_weight(u).alias("w"),
+        )
     )
     rep_means = reps.groupBy("o_orderpriority", "b").agg(
         (F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m")
