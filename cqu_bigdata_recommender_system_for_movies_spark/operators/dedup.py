@@ -1175,22 +1175,17 @@ def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "these exact numbers.",
 )
 def source_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Derive (source, hv) from the session-cached per-doc hash-array table
+    # instead of re-scanning and re-hashing the corpus: the arrays hold the
+    # SAME distinct hashed 5-gram shingles (definition shared with the
+    # MinHash/ngram family), so this query only pays a doc-dim broadcast
+    # join + explode + distinct — the signature-table-reuse story at scale.
     docs = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda w: w != "")
-    n_sh = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
-    shingles = F.when(
-        n_sh > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.concat_ws("_", F.slice(toks, i, SHINGLE_N)),
-        ),
-    ).otherwise(F.array())
+    arrays = _doc_hash_arrays(spark, sf_dir)
+    src = docs.select("doc_id", "source")
     sh = (
-        docs.select("source", F.explode(shingles).alias("s"))
-        .select(
-            "source",
-            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("hv"),
-        )
+        arrays.join(F.broadcast(src), "doc_id")
+        .select("source", F.explode("hvs").alias("hv"))
         .distinct()
         .localCheckpoint(eager=False)  # probed from both join sides + sizes
     )
