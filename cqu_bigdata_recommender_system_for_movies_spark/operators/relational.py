@@ -543,14 +543,18 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("c_name", 10, 100), F.substring("s_name", 10, 100)
         ).alias("dist"),
     )
-    w = Window.partitionBy("c_custkey").orderBy("dist", "s_suppkey")
+    # best match per entity as a MIN over (dist, suppkey) structs — the
+    # aggregate partial-combines map-side inside each block, so the shuffle
+    # carries one candidate per (partition, custkey) instead of sorting the
+    # full blocked pair set like the row_number formulation would; the
+    # struct's lexicographic order IS the oracle's (dist, s_suppkey) rank.
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        pairs.groupBy("c_custkey")
+        .agg(F.min(F.struct("dist", "s_suppkey")).alias("m"))
         .select(
             "c_custkey",
-            F.col("s_suppkey").alias("best_suppkey"),
-            F.col("dist").alias("best_dist"),
+            F.col("m.s_suppkey").alias("best_suppkey"),
+            F.col("m.dist").alias("best_dist"),
         )
     )
 
