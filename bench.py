@@ -156,6 +156,7 @@ HEADLINE = [
     "item_knn_graph",
     "bigram_logprob_score",
     "kmv_intersection_estimate",
+    "covisitation_matrix",
 ]
 
 

@@ -367,3 +367,79 @@ def item_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+COVISIT_WINDOW_S = 3600  # a click "co-visits" items seen in the NEXT hour
+COVISIT_TOP = 50
+
+
+@register(
+    "covisitation_matrix",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(epoch(ts) AS BIGINT) AS t,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    ),
+    p AS (
+        SELECT a.k AS ka, b.k AS kb
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id
+         AND b.t > a.t AND b.t <= a.t + {COVISIT_WINDOW_S}
+         AND a.k <> b.k
+    )
+    SELECT ka, kb, COUNT(*) AS n_covisit
+    FROM p GROUP BY ka, kb
+    ORDER BY n_covisit DESC, ka, kb
+    LIMIT {COVISIT_TOP}
+    """,
+    doc="Time-windowed DIRECTIONAL co-visitation matrix (the candidate-"
+    "generation workhorse of modern session recommenders, e.g. the "
+    "OTTO-style covisit matrices): item a co-visits item b when the same "
+    "user touches b within the hour AFTER touching a — unlike basket "
+    "co-occurrence (unordered, per-order) this is ordered in time, so "
+    "click->buy asymmetries survive. Scale shape: the (0, 1h] band "
+    "inequality join decomposes into an EQUI join on (user, hour-bucket) "
+    "— each left row probes its own bucket and the next one (a 2-wide "
+    "scan-side explode), the exact window re-checked post-join — the "
+    "same bucketed-band decomposition as range_join_events_orders, so "
+    "fan-out is bounded by per-user-per-hour activity, never a per-user "
+    "cross join. The final cut is TakeOrdered on (count, ka, kb).",
+)
+def covisitation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import load as _load
+
+    events = _load(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    hb = (F.col("t") / COVISIT_WINDOW_S).cast("long")
+    a = ev.select(
+        "user_id",
+        F.col("t").alias("t_a"),
+        F.col("k").alias("ka"),
+        F.explode(F.array(hb, hb + 1)).alias("probe_hb"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("user_b"),
+        F.col("t").alias("t_b"),
+        F.col("k").alias("kb"),
+        hb.alias("hb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b")) & (F.col("probe_hb") == F.col("hb")),
+    ).filter(
+        (F.col("t_b") > F.col("t_a"))
+        & (F.col("t_b") <= F.col("t_a") + COVISIT_WINDOW_S)
+        & (F.col("ka") != F.col("kb"))
+    )
+    return (
+        pairs.groupBy("ka", "kb")
+        .agg(F.count("*").alias("n_covisit"))
+        .orderBy(F.desc("n_covisit"), "ka", "kb")
+        .limit(COVISIT_TOP)
+    )

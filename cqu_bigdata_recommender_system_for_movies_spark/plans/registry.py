@@ -106,7 +106,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # theil_sen_slope_robust, data_expectations_audit,
 # column_entropy_profile, prefix_filter_jaccard_join,
 # cms_user_frequency, item_adamic_adar_topk, item_knn_graph,
-# bigram_logprob_score, kmv_intersection_estimate.
+# bigram_logprob_score, kmv_intersection_estimate,
+# covisitation_matrix.
 # Those (88 never-checked as of end of round 5 — the exactness of this
 # list vs CORRECTNESS_r*.json is asserted by
 # tests/test_plans.py::test_next_window_plan_comment_is_exact), plus

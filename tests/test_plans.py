@@ -958,3 +958,12 @@ def test_adamic_adar_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 3  # basket groupBy, pair agg, final cut
+
+
+def test_covisitation_band_join_is_equi(spark, sf_dir):
+    """The (0, 1h] covisitation band must decompose to an equi-join on
+    (user, hour bucket) — a nested-loop inequality join melts at scale."""
+    plan = _plan(all_queries()["covisitation_matrix"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
