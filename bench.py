@@ -157,6 +157,7 @@ HEADLINE = [
     "bigram_logprob_score",
     "kmv_intersection_estimate",
     "covisitation_matrix",
+    "class_tfidf_top_terms",
 ]
 
 

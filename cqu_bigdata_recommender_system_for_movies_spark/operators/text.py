@@ -1345,3 +1345,91 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(prob)), 4).alias("mean_logprob"),
         )
     )
+
+
+# --- Class-based TF-IDF (c-TF-IDF) -----------------------------------------
+
+CTFIDF_TOP = 5
+
+
+@register(
+    "class_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          w -> w <> '')) AS w
+        FROM documents
+    ),
+    cls AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+    tot AS (SELECT source, SUM(c) AS t FROM cls GROUP BY source),
+    dfc AS (SELECT w, COUNT(*) AS dfc FROM cls GROUP BY w),
+    ncls AS (SELECT COUNT(DISTINCT source) AS n FROM tok),
+    scored AS (
+        SELECT cls.source, cls.w,
+               (cls.c * 1.0 / tot.t) * ln(ncls.n * 1.0 / dfc.dfc) AS s
+        FROM cls JOIN tot USING (source) JOIN dfc USING (w) CROSS JOIN ncls
+    )
+    SELECT source, w AS term, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(s, 6) AS ctfidf
+    FROM (
+        SELECT source, w, s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY s DESC, w
+               ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {CTFIDF_TOP}
+    """,
+    doc="Class-based TF-IDF (the c-TF-IDF of BERTopic-style topic "
+    "labeling, Grootendorst '22): treat each class (here: ingestion "
+    "source) as ONE concatenated document — term score = class-relative "
+    "tf x ln(n_classes / class-df), so a term appearing in every class "
+    "scores ln(1) = 0 and stopwords self-eliminate without a stopword "
+    "list. The top terms per class are its human-readable label — the "
+    "standard readout over cluster assignments in curation pipelines. "
+    "Scale shape: one token aggregate to class x term counts (map-side "
+    "combined; the shuffle carries (class, term) partials, never "
+    "positions), class totals and class-df derived FROM that table "
+    "(classes-sized and vocab-sized — AQE broadcasts), and the per-class "
+    "top-5 is a window over n_classes partitions of vocab-bounded rows. "
+    "Ranking uses the raw IEEE score with term tie-break; the rounded "
+    "score is display only.",
+)
+def class_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    tok = docs.select("source", F.explode(toks).alias("w"))
+    cls = tok.groupBy("source", "w").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )  # three derived tables read it: totals, class-df, and the scores
+    tot = cls.groupBy("source").agg(F.sum("c").alias("t"))
+    dfc = cls.groupBy("w").agg(F.count("*").alias("dfc"))
+    ncls = cls.select("source").distinct().agg(F.count("*").alias("n"))
+    scored = (
+        cls.join(F.broadcast(tot), "source")
+        .join(dfc, "w")
+        .crossJoin(F.broadcast(ncls))
+        .select(
+            "source",
+            "w",
+            (
+                (F.col("c") * 1.0 / F.col("t"))
+                * F.log(F.col("n") * 1.0 / F.col("dfc"))
+            ).alias("s"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("s"), F.asc("w"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= CTFIDF_TOP)
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("s", 6).alias("ctfidf"),
+        )
+    )

@@ -107,7 +107,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # column_entropy_profile, prefix_filter_jaccard_join,
 # cms_user_frequency, item_adamic_adar_topk, item_knn_graph,
 # bigram_logprob_score, kmv_intersection_estimate,
-# covisitation_matrix.
+# covisitation_matrix, class_tfidf_top_terms.
 # Those (88 never-checked as of end of round 5 — the exactness of this
 # list vs CORRECTNESS_r*.json is asserted by
 # tests/test_plans.py::test_next_window_plan_comment_is_exact), plus
