@@ -158,6 +158,10 @@ HEADLINE = [
     "kmv_intersection_estimate",
     "covisitation_matrix",
     "class_tfidf_top_terms",
+    # round-6 additions — APPENDED (both re-worked this round: the NTILE
+    # re-plan and the newly oracle'd stateful fold)
+    "quality_quartile_stats",
+    "streaming_interest_fold",
 ]
 
 
@@ -206,19 +210,48 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calibration_sec": calibration,
-                "regressions": _regressions(timings, sf, calibration),
-            }
-        )
-    )
+    regressions = _regressions(timings, sf, calibration)
+
+    # The driver keeps only a ~2000-char tail of stdout and parses the JSON
+    # line out of THAT (BENCH_r05 shipped `parsed: null` because the full
+    # 133-query line ran ~6 KB and its head fell off the capture window;
+    # r1-r4's ~1.5 KB lines parsed fine). So: the FULL per-query map goes to
+    # bench_full.json next to this script, the regressions block prints on
+    # an EARLIER line, and the final line — the one the driver parses — is
+    # capped to the slowest queries under a hard byte budget. Nothing is
+    # lost for regression detection: the 0.5 s delta floor means sub-0.5 s
+    # queries can never flag anyway.
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_doc = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration_sec": calibration,
+        "regressions": regressions,
+    }
+    with open(os.path.join(here, "bench_full.json"), "w") as f:
+        json.dump(full_doc, f)
+    if regressions:
+        print(json.dumps({"regressions": regressions}))
+
+    compact = dict(full_doc)
+    compact["queries_full_file"] = "bench_full.json"
+    compact["queries_n"] = len(timings)
+    del compact["regressions"]
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    keep = len(by_cost)
+    line = ""
+    while keep > 0:
+        compact["queries"] = {
+            n: timings[n] for n in HEADLINE if n in set(by_cost[:keep])
+        }
+        line = json.dumps(compact)
+        if len(line) <= 1600:
+            break
+        keep -= 5
+    print(line)
 
 
 REGRESSION_RATIO = 1.25
@@ -285,8 +318,22 @@ def _regressions(
             doc = json.load(f)
         # the driver wraps bench stdout under "parsed"; accept both layouts
         inner = doc if "queries" in doc else (doc.get("parsed") or {})
-        prev = inner.get("queries") or {}
+        prev = dict(inner.get("queries") or {})
         prev_sf = inner.get("sf")
+        # the driver-parsed map is capped to the slowest queries (stdout
+        # budget); the previous run's bench_full.json carries the complete
+        # map — use it as the base layer when it matches the same bench
+        if inner.get("queries_full_file"):
+            try:
+                with open(os.path.join(here, "bench_full.json")) as f:
+                    full = json.load(f)
+                if (
+                    full.get("sf") == prev_sf
+                    and full.get("value") == inner.get("value")
+                ):
+                    prev = {**(full.get("queries") or {}), **prev}
+            except (OSError, json.JSONDecodeError):
+                pass
     except (OSError, json.JSONDecodeError, AttributeError):
         return {}
     if prev_sf is not None and sf > 0 and abs(prev_sf - sf) > 1e-9:

@@ -378,7 +378,7 @@ COVISIT_TOP = 50
     oracle=f"""
     WITH ev AS (
         SELECT user_id,
-               CAST(epoch(ts) AS BIGINT) AS t,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         FROM events
     ),

@@ -675,17 +675,30 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rfm AS (
         SELECT o_custkey AS user_id,
-               MAX(o_orderdate) AS last_order,
+               CAST(floor(epoch(MAX(o_orderdate)) / 86400) AS BIGINT)
+                   AS recency_days,
                COUNT(*) AS frequency,
                CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS monetary_cents
         FROM orders GROUP BY o_custkey
     ),
+    b AS (
+        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rb,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fb,
+               quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mb
+        FROM rfm
+    ),
     scored AS (
         SELECT user_id, frequency, monetary_cents,
-               NTILE(4) OVER (ORDER BY last_order, user_id) AS r_score,
-               NTILE(4) OVER (ORDER BY frequency, user_id) AS f_score,
-               NTILE(4) OVER (ORDER BY monetary_cents, user_id) AS m_score
-        FROM rfm
+               1 + CAST(recency_days > rb[1] AS INT)
+                 + CAST(recency_days > rb[2] AS INT)
+                 + CAST(recency_days > rb[3] AS INT) AS r_score,
+               1 + CAST(frequency > fb[1] AS INT)
+                 + CAST(frequency > fb[2] AS INT)
+                 + CAST(frequency > fb[3] AS INT) AS f_score,
+               1 + CAST(monetary_cents > mb[1] AS INT)
+                 + CAST(monetary_cents > mb[2] AS INT)
+                 + CAST(monetary_cents > mb[3] AS INT) AS m_score
+        FROM rfm CROSS JOIN b
     )
     SELECT r_score, f_score, m_score,
            COUNT(*) AS n_users,
@@ -695,31 +708,54 @@ def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="RFM segmentation (recency/frequency/monetary quartiles — the "
     "classic customer-analytics rollup): one aggregate over orders, "
-    "three NTILE ranks over the customer-sized table, then a 64-cell "
-    "segment summary. Money is carried as exact integer cents: float "
-    "sums round differently across engines at the half-cent boundary, "
-    "and exact keys keep the NTILE order engine-stable. The windows "
-    "order a customer-count table, not the fact table — at 100 TB the orders aggregate is the only "
-    "corpus-sized shuffle.",
+    "exact quartile boundary extraction (9 scalars, one aggregate), "
+    "then window-free scan-side bucketing and a 64-cell segment "
+    "summary. Re-planned in round 6: the previous NTILE(4) windows had "
+    "no PARTITION BY, which moves the whole customer table to a single "
+    "partition (WindowExec does NOT range-partition the way a global "
+    "orderBy does — VERDICT r5 #3). Now score = 1 + sum of "
+    "(value > boundary) comparisons against broadcast exact "
+    "percentiles; ties share a score, so no per-row total order is "
+    "needed and nothing ever funnels to one partition. Money is exact "
+    "integer cents and recency is integer epoch-days, so the "
+    "interpolated boundaries are exact dyadic doubles — bit-identical "
+    "across engines (DuckDB quantile_cont and Spark percentile share "
+    "the p*(n-1) linear-interpolation convention). Spark's exact "
+    "percentile aggregates a per-partition value-count map (map-side "
+    "partials, no row shuffle); on a near-unique 100 TB key swap in "
+    "approx_percentile and re-pin the oracle to the same boundaries.",
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     orders = load(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
-        F.max("o_orderdate").alias("last_order"),
+        F.floor(F.unix_timestamp(F.max("o_orderdate")) / 86400)
+        .cast("long")
+        .alias("recency_days"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice") * 100).cast("long").alias("monetary_cents"),
     )
-    scored = rfm.select(
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    bounds = rfm.agg(
+        F.percentile("recency_days", qs).alias("rb"),
+        F.percentile("frequency", qs).alias("fb"),
+        F.percentile("monetary_cents", qs).alias("mb"),
+    )
+
+    def _score(col: str, barr: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.element_at(barr, 1)).cast("int")
+            + (F.col(col) > F.element_at(barr, 2)).cast("int")
+            + (F.col(col) > F.element_at(barr, 3)).cast("int")
+        )
+
+    scored = rfm.crossJoin(F.broadcast(bounds)).select(
         "user_id",
         "frequency",
         "monetary_cents",
-        F.ntile(4).over(Window.orderBy("last_order", "user_id")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
-        F.ntile(4).over(
-            Window.orderBy("monetary_cents", "user_id")
-        ).alias("m_score"),
+        _score("recency_days", "rb").alias("r_score"),
+        _score("frequency", "fb").alias("f_score"),
+        _score("monetary_cents", "mb").alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_users"),

@@ -25,16 +25,42 @@ SEED = 42
 
 @register(
     "random_split_counts",
-    oracle=None,  # engine RNG — invariants asserted in tests
-    doc="P8 randomSplit (spark_als.py:151): seeded 80/20 split; returns the "
-    "per-side row counts plus the total for invariant checking.",
+    # Engine RNG, so the split sides can't be value-matched — but the
+    # INVARIANTS can (VERDICT r5 stretch): the engine emits the exact total
+    # plus band booleans, and the oracle confirms the total and pins the
+    # booleans TRUE. A broken split (lost/duplicated rows, or a fraction
+    # drifting outside 4-sigma of 0.8) now hash-FAILS on the driver instead
+    # of recording an uncheckable row count.
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS conserved,
+           TRUE AS train_frac_in_band
+    FROM ({RATINGS_SQL})
+    """,
+    doc="P8 randomSplit (spark_als.py:151): seeded 80/20 split; emits the "
+    "exact total plus engine-computed invariant booleans — row "
+    "conservation (train + test == total) and the train fraction within "
+    "4 sigma of 0.8 — which the oracle pins TRUE, so the driver "
+    "hash-checks the invariants even though the RNG draw itself is "
+    "engine-specific. Exact per-side counts stay pytest-gated.",
 )
 def random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     r = ratings(spark, sf_dir)
     train, test = r.randomSplit([0.8, 0.2], seed=SEED)
+    n_train, n_test, n_total = train.count(), test.count(), r.count()
+    # Bernoulli(0.8) 4-sigma band; floor of 5 rows for tiny fixtures
+    tol = max(4 * math.sqrt(0.8 * 0.2 * n_total), 5.0)
     return spark.createDataFrame(
-        [(train.count(), test.count(), r.count())],
-        "n_train long, n_test long, n_total long",
+        [
+            (
+                n_total,
+                n_train + n_test == n_total,
+                abs(n_train - 0.8 * n_total) <= tol,
+            )
+        ],
+        "n_total long, conserved boolean, train_frac_in_band boolean",
     )
 
 
@@ -64,17 +90,48 @@ def shuffle_tokens_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_aggregates",
-    oracle=None,  # sketch-based — error bounds asserted in tests
-    doc="Approximate aggregates: approx_count_distinct (HLL++) and "
-    "percentile_approx over the events stream — the sketches a 100 TB "
-    "profile pass uses instead of exact distinct/sort.",
+    # Sketch outputs are engine-specific, but their ERROR BOUNDS are the
+    # spec (VERDICT r5 stretch): the engine emits exact anchors (n,
+    # exact_users) plus in-band booleans for each sketch, and the oracle
+    # confirms the anchors and pins the booleans TRUE — an out-of-contract
+    # sketch now hash-fails on the driver.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_in_band,
+           TRUE AS median_in_band
+    FROM events
+    """,
+    doc="Approximate aggregates: approx_count_distinct (HLL++, default "
+    "rsd 0.05) and percentile_approx over the events stream — the "
+    "sketches a 100 TB profile pass uses instead of exact distinct/sort. "
+    "Emits exact anchors plus band booleans: HLL estimate within 15% "
+    "(3x rsd) of the exact distinct count, approx median inside the "
+    "exact [p40, p60] value band. The booleans are computed in the SAME "
+    "single aggregate as the sketches (exact percentile/distinct run "
+    "alongside for the check; at 100 TB the anchors would be dropped "
+    "and the bands pytest-audited on samples).",
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "events").agg(
+    agg = load(spark, sf_dir, "events").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.round(F.percentile_approx("value", 0.5), 2).alias("approx_median_value"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.percentile("value", F.lit(0.4)).alias("p40"),
+        F.percentile("value", F.lit(0.6)).alias("p60"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "n",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("hll_in_band"),
+        (
+            (F.col("approx_median") >= F.col("p40"))
+            & (F.col("approx_median") <= F.col("p60"))
+        ).alias("median_in_band"),
     )
 
 
@@ -222,20 +279,46 @@ STRATA_FRACTIONS = {
 
 @register(
     "stratified_sample_counts",
-    oracle=None,  # engine RNG — invariants asserted in tests
+    # Same invariant-band conversion as random_split_counts: exact
+    # per-stratum populations anchor the hash; the Bernoulli draw itself
+    # is engine RNG, checked as a 4-sigma band boolean the oracle pins
+    # TRUE (full-keep strata additionally require exact equality).
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS sample_in_band
+    FROM events GROUP BY event_type
+    """,
     doc="Stratified sampling (training-data rebalancing): sampleBy over "
     "event_type with per-stratum fractions (keep all rare "
     "purchase/signup, downsample clicks/views, near-drop errors) — the "
     "standard class-rebalance step before model training, executed as a "
-    "per-row Bernoulli filter with NO shuffle. Returns per-stratum "
-    "population and sample counts.",
+    "per-row Bernoulli filter with NO shuffle. Emits per-stratum "
+    "population plus a band boolean: the sample count within 4 sigma of "
+    "fraction*n (exactly n for fraction-1.0 strata), pinned TRUE by the "
+    "oracle; exact sample counts stay pytest-gated.",
 )
 def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     sample = events.sampleBy("event_type", STRATA_FRACTIONS, seed=SEED)
     pop = events.groupBy("event_type").agg(F.count("*").alias("n_total"))
     got = sample.groupBy("event_type").agg(F.count("*").alias("n_sample"))
-    return pop.join(got, "event_type", "left").na.fill(0, ["n_sample"])
+    frac = F.coalesce(
+        *[
+            F.when(F.col("event_type") == t, F.lit(f))
+            for t, f in sorted(STRATA_FRACTIONS.items())
+        ]
+    )
+    tol = F.greatest(
+        4 * F.sqrt(frac * (1 - frac) * F.col("n_total")), F.lit(5.0)
+    )
+    joined = pop.join(got, "event_type", "left").na.fill(0, ["n_sample"])
+    in_band = F.when(
+        frac >= 1.0, F.col("n_sample") == F.col("n_total")
+    ).otherwise(F.abs(F.col("n_sample") - frac * F.col("n_total")) <= tol)
+    return joined.select(
+        "event_type", "n_total", in_band.alias("sample_in_band")
+    )
 
 
 HOLDOUT_FRACTION = 0.2  # last 20% of each user's interactions -> test

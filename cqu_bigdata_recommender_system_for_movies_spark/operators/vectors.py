@@ -728,9 +728,10 @@ QUANT_LEVELS = 127  # symmetric int8: [-127, 127]
     )
     SELECT vec_id,
            ROUND(scale, 6) AS scale_r,
-           list_transform(embedding,
-                          x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS INTEGER))
-               AS q,
+           array_to_string(list_transform(embedding,
+                   x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale) AS INTEGER)
+                             AS VARCHAR)), ',')
+               AS q_csv,
            ROUND(list_reduce(list_transform(embedding,
                    x -> pow(CAST(x AS DOUBLE)
                             - floor(CAST(x AS DOUBLE) * scale) / scale, 2)),
@@ -743,8 +744,10 @@ QUANT_LEVELS = 127  # symmetric int8: [-127, 127]
     "SIMD-friendly). Per-vector scale = 127/max|x|; floor (not round) "
     "quantization so the IEEE double arithmetic is bit-identical across "
     "engines (round() straddles the .5 boundary differently). Reports "
-    "per-vector reconstruction MSE. Pure map over the vectors: no "
-    "shuffle at any scale.",
+    "per-vector reconstruction MSE. The int8 codes ship as a CSV string "
+    "(q_csv) — driver-safe scalar output; nested array columns break the "
+    "driver's pandas lexsort canonicalizer (CORRECTNESS_r05). Pure map "
+    "over the vectors: no shuffle at any scale.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -766,7 +769,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id",
         F.round("scale", 6).alias("scale_r"),
-        q.alias("q"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
         F.round(
             F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
             / F.size("embedding"),

@@ -53,38 +53,31 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 # The driver verifies a fixed window of 50 queries per round, in the order
 # queries() yields them (every completed round truncated at exactly 50).
-# This list pins that window for round 5 — exactly DRIVER_WINDOW names.
-# Priority order: (a) entries whose implementation or oracle changed this
-# round (simhash_near_dup_pairs: fingerprint-collapse rewrite;
-# map_functions_suite: oracle now derives first_key/n_entries from the
-# JSON; embedding_pca_top_component: Gramian re-plan), (b) the round-4
-# additions that have never had a driver row (VERDICT r4 #1), (c) the new
-# round-5 entry (image_decode_pixel_stats — real PNG decode), then (d) the
-# FULL set of queries whose latest green row is round 2 — 44 of them, so
-# no green row ages past 2 rounds (VERDICT r4 #7)... minus one:
-# als_recommend_topk is ceded (51 names for 50 slots). It is the weakest
-# marginal evidence in the set — rows-only (no oracle), costs a full ALS
-# fit, and its semantics are pytest-gated every run — and it goes FIRST
-# into the r6 window.
+# This list pins that window for round 6 — exactly DRIVER_WINDOW names.
+# Round 6 is the consolidation round VERDICT r5 called for: 91 registered
+# queries had never had a driver row at end of round 5, so this window is
+# (a) the entries whose implementation or oracle changed THIS round and
+# must (re-)verify — embedding_quantize_int8 (r5's only driver error:
+# nested array<int> output column now ships as a CSV string),
+# rfm_segmentation + quality_quartile_stats (unpartitioned-NTILE
+# scale-killers re-planned to broadcast-boundary bucketing),
+# streaming_interest_fold + streaming_recommend_emit (rows-only ->
+# real DuckDB list_reduce oracles), covisitation_matrix (oracle
+# epoch-rounding fix, ADVICE r5) and bigram_logprob_score (oracle
+# back-off-constant ULP fix, ADVICE r5 — both also never-checked);
+# (b) the three entries whose co-occurrence base re-planned in round 5
+# (item_cooccurrence_topk, item_cooccurrence_jaccard,
+# graph_triangle_count); (c) als_recommend_topk (ceded from r5's
+# 51-for-50 crunch; oldest evidence in the SURVEY §2 table, r2); and
+# (d) the 39 OLDEST never-checked names, oldest additions first.
+# Expensive streaming entries sit at the window's tail so a failure
+# cannot starve the cheap checks; the full-ALS-fit entry goes last.
 #
-# r6 fill — EXACT math (counted against CORRECTNESS_r01..r04 + this
-# window): round 5 registered 30 queries after this window was pinned,
-# every one driver_sim-green at sf0.01 but with no driver row:
-# ohlc_resample, scd2_priority_history, gap_fill_linear, ewma_by_type,
-# interval_overlap_join, streaming_socket_parse_records,
-# streaming_hll_distinct, streaming_approx_topk, auc_rank_sum,
-# calibration_bins, data_profile_summary, incremental_agg_merge,
-# gdpr_erasure_audit, mad_outlier_counts, correlation_matrix,
-# temporal_holdout_split, eval_candidate_sampling,
-# bucketed_ratings_join, merge_upsert_snapshot, image_resize_stats,
-# ivf_pq_topk, nearest_centroid_classify, boolean_retrieval_and,
-# hll_distinct_rollup, approx_topk_parts, hll_sliding_distinct,
-# pagerank_bipartite, random_walk_training_paths, lpa_communities,
-# kcore_membership, plus those added after this count:
-# arrow_vector_norms, streaming_upsert_merge, two_phase_topk,
-# next_item_training_pairs, ann_ivf_multiprobe_topk,
-# mixture_rebalance_weights, rank_normalize_features,
-# referential_integrity_audit, bloom_semi_join_prune,
+# r7 fill — EXACT remainder (counted against CORRECTNESS_r01..r05 + this
+# window; exactness asserted by
+# tests/test_plans.py::test_next_window_plan_comment_is_exact): the 50
+# never-checked names left after this window, in priority order
+# (oldest additions first — they are the entire r7 window):
 # histogram_quantile_sketch, weighted_reservoir_sample,
 # target_encoding_oof, record_linkage_blocked, event_transition_probs,
 # ab_test_zscore, chi_square_independence, source_lang_kl_divergence,
@@ -106,86 +99,74 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # theil_sen_slope_robust, data_expectations_audit,
 # column_entropy_profile, prefix_filter_jaccard_join,
 # cms_user_frequency, item_adamic_adar_topk, item_knn_graph,
-# bigram_logprob_score, kmv_intersection_estimate,
-# covisitation_matrix, class_tfidf_top_terms.
-# Those (88 never-checked as of end of round 5 — the exactness of this
-# list vs CORRECTNESS_r*.json is asserted by
-# tests/test_plans.py::test_next_window_plan_comment_is_exact), plus
-# als_recommend_topk (ceded above), plus the three entries whose
-# co-occurrence base changed in round 5 (item_cooccurrence_topk,
-# item_cooccurrence_jaccard, graph_triangle_count — outputs
-# hash-identical locally, still must re-verify) = 92 priority names for
-# 50 slots: the r6 window takes the 50 in the order listed above
-# (never-checked first, oldest additions first), the overflow leads r7
-# together with the oldest r3-latest greens — every never-checked name
-# outranks every re-confirmation.
+# kmv_intersection_estimate, class_tfidf_top_terms.
+# 50 names for 50 slots: with zero new registrations the never-checked
+# backlog is fully burned by end of round 7; re-confirmations of old
+# greens resume in round 8 (oldest green row first).
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (
-    # -- changed this round: must re-verify --------------------------------
-    "simhash_near_dup_pairs",  # identical-fingerprint collapse before banding
-    "map_functions_suite",  # never-checked + oracle now data-derived
-    "embedding_pca_top_component",  # never-checked + Gramian re-plan (rows-only)
-    # -- never driver-checked (late round-4 additions) ---------------------
-    "rfm_segmentation",
-    "last_touch_attribution",
-    "embedding_quantize_int8",
-    # -- new this round ----------------------------------------------------
-    "image_decode_pixel_stats",  # S8 real PNG decode, byte-exact vs oracle
-    # -- latest green is round 2: full rotation so max green-row age <= 2 --
-    "anti_join_unseen_items",
-    "asof_join_last_order",
-    "cold_start_new_items",
-    "cold_start_popular_items",
-    "cross_join_scoring",
-    "cube_lang_source",
-    "date_functions_suite",
-    "distinct_user_event_pairs",
-    "filter_notnull_range",
-    "filter_point_lookup",
-    "gap_fill_forward",
-    "global_stats",
-    "group_count_having_events",
-    "join_star_2hop",
-    "json_extract_props",
-    "nested_struct_history",
-    "orderby_limit_topk",
-    "percentile_stats",
-    "pivot_event_type",
-    "project_cast_rename",
-    "rollup_nation_brand",
-    "roundtrip_delimited_parse",
-    "salted_join_segment_counts",
-    "semi_join_active_customers",
-    "sessionize_events",
-    "set_ops_except",
-    "set_ops_intersect",
-    "set_ops_union_distinct",
-    "stats_agg_suite",
-    "stream_static_enrich",
-    "string_functions_suite",
-    "top1_per_user_maxby",
-    "topk_avg_rating_items",
-    "topk_per_user_window",
-    "window_functions_suite",
-    # -- r2-latest streaming re-confirms (file-source twins; cheap first) --
-    "streaming_parse_records",
-    "streaming_wordcount",
-    "streaming_window_counts",
-    "streaming_static_join",
-    "streaming_dedup_events",
-    # -- expensive stateful/streaming tail so a failure can't starve the
-    # -- cheap checks (all three are r2-latest: must re-confirm) -----------
-    "streaming_interest_fold",
-    "streaming_recommend_emit",
-    "streaming_stream_stream_join",
+    # -- changed this round: must (re-)verify ------------------------------
+    "embedding_quantize_int8",  # r5 driver ERROR: q now ships as q_csv
+    "rfm_segmentation",  # NTILE -> broadcast exact-percentile bucketing
+    "quality_quartile_stats",  # NTILE -> histogram-boundary bucketing
+    "covisitation_matrix",  # oracle: floor(epoch(ts)) truncation fix
+    "bigram_logprob_score",  # oracle: exact 1-lambda double on both sides
+    # -- re-planned in round 5, green row predates the re-plan -------------
+    "item_cooccurrence_topk",
+    "item_cooccurrence_jaccard",
+    "graph_triangle_count",
+    # -- never driver-checked: oldest additions first ----------------------
+    "ohlc_resample",
+    "scd2_priority_history",
+    "gap_fill_linear",
+    "ewma_by_type",
+    "interval_overlap_join",
+    "auc_rank_sum",
+    "calibration_bins",
+    "data_profile_summary",
+    "incremental_agg_merge",
+    "gdpr_erasure_audit",
+    "mad_outlier_counts",
+    "correlation_matrix",
+    "temporal_holdout_split",
+    "eval_candidate_sampling",
+    "bucketed_ratings_join",
+    "merge_upsert_snapshot",
+    "image_resize_stats",
+    "ivf_pq_topk",
+    "nearest_centroid_classify",
+    "boolean_retrieval_and",
+    "hll_distinct_rollup",
+    "approx_topk_parts",
+    "hll_sliding_distinct",
+    "pagerank_bipartite",
+    "random_walk_training_paths",
+    "lpa_communities",
+    "kcore_membership",
+    "arrow_vector_norms",
+    "two_phase_topk",
+    "next_item_training_pairs",
+    "ann_ivf_multiprobe_topk",
+    "mixture_rebalance_weights",
+    "rank_normalize_features",
+    "referential_integrity_audit",
+    "bloom_semi_join_prune",
+    # -- streaming tail: micro-batch loops are the expensive checks, so a
+    # -- failure here cannot starve the cheap ones -------------------------
+    "streaming_socket_parse_records",  # S4 live loopback socket (never checked)
+    "streaming_hll_distinct",
+    "streaming_approx_topk",
+    "streaming_upsert_merge",
+    "streaming_interest_fold",  # new list_reduce oracle this round
+    "streaming_recommend_emit",  # new batch-twin oracle this round
+    # -- full ALS fit last (ceded from r5; oldest §2 evidence, r2) ---------
+    "als_recommend_topk",
 )
 
 # Expensive, many-times-verified entries parked at the very end of the
-# registration order. als_recommend_topk leads the r6 window (ceded from
-# r5's 51-for-50 crunch); the rest are r4-green ALS fits.
+# registration order (all r4-green ALS fits; rows-only by design).
 DRIVER_CHECK_LAST: tuple[str, ...] = (
-    "als_recommend_topk",
     "als_rmse",
     "als_precision_recall_at_k",
     "als_cross_validation",

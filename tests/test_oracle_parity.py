@@ -78,7 +78,14 @@ def test_oracle_output_types_driver_safe(name, duck):
     values are equal — the exact round-1 failure mode. Python-level
     comparison masks it (int == int), so assert on the arrow schema: every
     oracle column must resolve to a non-decimal type (CAST ... AS BIGINT
-    at the source)."""
+    at the source).
+
+    Second blind spot (CORRECTNESS_r05, embedding_quantize_int8): the
+    driver canonicalizes via a pandas lexsort, which raises
+    ``TypeError: unhashable type: 'list'`` on nested columns — while the
+    local tuple-sort comparison above handles lists fine. So also forbid
+    list/struct/map output columns registry-wide: serialize nested values
+    (array_to_string / to_json) on BOTH sides before returning."""
     import pyarrow as pa
 
     schema = duck.execute(
@@ -88,4 +95,25 @@ def test_oracle_output_types_driver_safe(name, duck):
         assert not pa.types.is_decimal(field.type), (
             f"{name}.{field.name} is {field.type}: wrap in CAST(... AS "
             "BIGINT) in the oracle SQL or it will hash-fail on the driver"
+        )
+        assert not pa.types.is_nested(field.type), (
+            f"{name}.{field.name} is nested ({field.type}): the driver's "
+            "pandas lexsort cannot sort list/struct/map values — serialize "
+            "to a string (array_to_string / to_json) on both sides"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_spark_output_types_driver_safe(name, spark, sf_dir):
+    """Spark-side twin of the nested-type guard: the driver sorts the SPARK
+    result with the same pandas lexsort, so a nested Spark output column
+    fails even if the oracle serialized its side."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = _QUERIES[name](spark, sf_dir).schema
+    for field in schema.fields:
+        assert not isinstance(field.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}.{field.name} is nested ({field.dataType.simpleString()}): "
+            "serialize to a string before returning — the driver's pandas "
+            "lexsort cannot sort list/struct/map values"
         )

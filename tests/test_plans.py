@@ -568,11 +568,17 @@ def test_next_window_plan_comment_is_exact():
     never = [n for n in QUERIES if n not in checked and n not in set(DRIVER_CHECK_FIRST)]
     with open(reg.__file__) as f:
         src = f.read()
-    comment = src[src.index("# r6 fill") : src.index("DRIVER_WINDOW = ")]
-    missing = [n for n in never if n not in comment]
+    comment = src[src.index("# r7 fill") : src.index("DRIVER_WINDOW = ")]
+    # Tokenize the comment into identifiers rather than substring-matching:
+    # a name that is a substring of another listed name (e.g. "foo" inside
+    # "foo_bar") must NOT count as present (ADVICE r5).
+    import re
+
+    tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", comment))
+    missing = [n for n in never if n not in tokens]
     assert not missing, (
-        f"registry's r6-fill plan comment omits never-driver-checked queries: "
-        f"{missing} — add them so the rotation stays exact"
+        f"registry's next-window plan comment omits never-driver-checked "
+        f"queries: {missing} — add them so the rotation stays exact"
     )
 
 
@@ -967,3 +973,75 @@ def test_covisitation_band_join_is_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# --- Registry-wide unpartitioned-window scan (VERDICT r5 #3) ---------------
+#
+# An ORDER BY window with no PARTITION BY moves every input row to ONE
+# partition (`WARN WindowExec: No Partition Defined ... Moving all data to a
+# single partition`) — it does NOT range-partition the way a global orderBy
+# does. rfm_segmentation and quality_quartile_stats shipped that shape
+# through round 5; both are re-planned to broadcast-boundary bucketing in
+# round 6, and this scan keeps the anti-pattern from recurring. The
+# remaining global windows are whitelisted because their INPUT is bounded
+# by a value domain, not by corpus size:
+GLOBAL_WINDOW_WHITELIST = {
+    # rank over the distinct-item popularity table (item-domain-bounded)
+    "ndcg_at_k_popularity",
+    # exposure table bounded by the broadcast candidate pool (VERDICT r5)
+    "rec_diversity_metrics",
+    # rank over the aggregated vocabulary (vocab-bounded; contiguous
+    # token-id assignment genuinely needs a total order over the vocab)
+    "vocab_build",
+    "zipf_law_fit",
+    # cumulative sum over the distinct-value histogram (value-domain-bounded)
+    "quality_quartile_stats",
+    "ks_test_source_drift",
+}
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    groups, depth, cur = [], 0, ""
+    for ch in s:
+        if ch in "[(":
+            depth += 1
+            cur += ch
+        elif ch in "])":
+            depth -= 1
+            cur += ch
+            if depth == 0 and ch == "]":
+                groups.append(cur)
+                cur = ""
+        elif depth > 0:
+            cur += ch
+    return groups
+
+
+def _unpartitioned_ordered_windows(plan: str) -> list[str]:
+    """Window nodes printed as `Window [exprs], [order ASC]` (two top-level
+    bracket groups, the second an ordering) — vs the partitioned three-group
+    `Window [exprs], [partition], [order]` and the partition-only two-group
+    `Window [exprs], [partition]` (no ASC/DESC) shapes."""
+    import re
+
+    hits = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups = _top_level_bracket_groups(m.group(1))
+        if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
+            hits.append(line.strip()[:120])
+    return hits
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_unpartitioned_ordered_window(name, spark, sf_dir):
+    if name in GLOBAL_WINDOW_WHITELIST:
+        pytest.skip("global window whitelisted as value-domain-bounded")
+    df = all_queries()[name](spark, sf_dir)
+    hits = _unpartitioned_ordered_windows(_plan(df))
+    assert not hits, (
+        f"{name} plans an ORDER BY window with no PARTITION BY — every row "
+        f"funnels to a single partition at scale: {hits}"
+    )

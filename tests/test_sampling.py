@@ -1,46 +1,89 @@
-"""Invariants for RNG/sketch operators (no SQL oracle possible)."""
+"""Invariants for RNG/sketch operators.
+
+Round 6 converted these three registry entries from rows-only to
+invariant-band oracles (exact anchors + booleans the oracle pins TRUE), so
+the driver now hash-checks the invariants; these tests keep the RAW
+engine-side guarantees gated (exact per-side counts, seeded determinism,
+tighter sketch bounds than the registered 3x-rsd band).
+"""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from cqu_bigdata_recommender_system_for_movies_spark.operators.sampling import (
+    SEED,
+    STRATA_FRACTIONS,
     approx_aggregates,
     random_split_counts,
+    stratified_sample_counts,
 )
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load, ratings
 
 
 def test_random_split_fractions_and_determinism(spark, sf_dir):
-    a = random_split_counts(spark, sf_dir).collect()[0]
-    b = random_split_counts(spark, sf_dir).collect()[0]
-    assert (a.n_train, a.n_test) == (b.n_train, b.n_test)  # seeded
-    assert a.n_train + a.n_test == a.n_total  # partition, no loss
-    frac = a.n_train / a.n_total
-    assert 0.75 < frac < 0.85  # ~80/20
+    r = ratings(spark, sf_dir)
+    t1, s1 = r.randomSplit([0.8, 0.2], seed=SEED)
+    t2, s2 = r.randomSplit([0.8, 0.2], seed=SEED)
+    n_train, n_test, n_total = t1.count(), s1.count(), r.count()
+    assert (n_train, n_test) == (t2.count(), s2.count())  # seeded
+    assert n_train + n_test == n_total  # partition, no loss
+    assert 0.75 < n_train / n_total < 0.85  # ~80/20
+
+    row = random_split_counts(spark, sf_dir).collect()[0]
+    assert row.n_total == n_total
+    assert row.conserved and row.train_frac_in_band
 
 
 def test_approx_distinct_within_bounds(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    raw = events.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+    ).collect()[0]
+    # tighter than the registered 15% band: default rsd is 0.05
+    assert abs(raw.approx_users - raw.exact_users) <= max(
+        2, 0.05 * raw.exact_users
+    )
+    assert raw.approx_median > 0
+
     row = approx_aggregates(spark, sf_dir).collect()[0]
-    assert abs(row.approx_users - row.exact_users) <= max(2, 0.05 * row.exact_users)
-    assert row.approx_median_value > 0
+    assert row.exact_users == raw.exact_users
+    assert row.hll_in_band and row.median_in_band
 
 
 def test_stratified_sample_invariants(spark, sf_dir):
-    from cqu_bigdata_recommender_system_for_movies_spark.operators.sampling import (
-        STRATA_FRACTIONS,
-        stratified_sample_counts,
-    )
-
-    rows = {r.event_type: (r.n_total, r.n_sample)
-            for r in stratified_sample_counts(spark, sf_dir).collect()}
-    assert set(rows) == set(STRATA_FRACTIONS)
-    for t, (total, sampled) in rows.items():
+    events = load(spark, sf_dir, "events")
+    sample = events.sampleBy("event_type", STRATA_FRACTIONS, seed=SEED)
+    pop = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r.event_type: r.n
+        for r in sample.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(pop) == set(STRATA_FRACTIONS)
+    for t, total in pop.items():
+        sampled = got.get(t, 0)
         frac = STRATA_FRACTIONS[t]
         assert 0 <= sampled <= total
         if frac == 1.0:
             assert sampled == total  # keep-all strata are exact
         else:  # Bernoulli: within a loose binomial band
-            assert abs(sampled - frac * total) <= 4 * (total ** 0.5) + 1
+            assert abs(sampled - frac * total) <= 4 * (total**0.5) + 1
 
-    # seeded determinism
-    again = {r.event_type: (r.n_total, r.n_sample)
-             for r in stratified_sample_counts(spark, sf_dir).collect()}
+    rows = {
+        r.event_type: (r.n_total, r.sample_in_band)
+        for r in stratified_sample_counts(spark, sf_dir).collect()
+    }
+    assert {t: n for t, (n, _) in rows.items()} == pop
+    assert all(band for _, band in rows.values())
+
+    # seeded determinism of the registered query
+    again = {
+        r.event_type: (r.n_total, r.sample_in_band)
+        for r in stratified_sample_counts(spark, sf_dir).collect()
+    }
     assert again == rows
