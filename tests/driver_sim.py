@@ -67,6 +67,13 @@ for name in queries:  # registration order — same as the driver's check order
             sv = sorted(tuple(norm(r[i]) for i in o) for r in srows)
             dv = sorted(tuple(norm(r[i]) for i in od) for r in drows)
             ok_vals = sv == dv
+            # Driver fidelity: the real driver canonicalizes via a pandas
+            # lexsort, which raises on values Python tuple-sort handles
+            # fine (nested lists — the round-5 embedding_quantize_int8
+            # TypeError). Replicate it so such outputs fail HERE first.
+            import pandas as pd
+            pd.DataFrame(srows, columns=scols).sort_values(by=sorted(scols))
+            pd.DataFrame(drows, columns=dcols).sort_values(by=sorted(dcols))
             if ok_schema and ok_count and ok_vals:
                 n_ok += 1
                 status = "MATCH"

@@ -117,3 +117,69 @@ def test_spark_output_types_driver_safe(name, spark, sf_dir):
             "serialize to a string before returning — the driver's pandas "
             "lexsort cannot sort list/struct/map values"
         )
+
+
+def _spark_type_class(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s == "boolean":
+        return "bool"
+    if s == "string":
+        return "str"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "ts"
+    return s
+
+
+def _arrow_type_class(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    return str(t)
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_output_dtype_classes_match(name, spark, sf_dir, duck):
+    """The driver's value hash is dtype-sensitive (round 1: a DuckDB
+    HUGEINT/decimal128 hash-failed against Spark's int64 on EQUAL values),
+    so a float column on one side paired with an int column on the other
+    (e.g. DuckDB floor() returns DOUBLE while Spark F.floor returns LONG)
+    is a latent driver failure the value comparison above cannot see.
+    Assert every output column resolves to the same type CLASS on both
+    engines; integer widths are allowed to differ (both canonicalize to
+    the same 64-bit value), float-vs-int is not."""
+    sschema = {
+        f.name: _spark_type_class(f.dataType)
+        for f in _QUERIES[name](spark, sf_dir).schema.fields
+    }
+    aschema = {
+        f.name: _arrow_type_class(f.type)
+        for f in duck.execute(f"SELECT * FROM ({_ORACLES[name]}) q LIMIT 0")
+        .fetch_arrow_table()
+        .schema
+    }
+    diffs = [
+        (c, sschema.get(c), aschema.get(c))
+        for c in set(sschema) | set(aschema)
+        if sschema.get(c) != aschema.get(c)
+    ]
+    assert not diffs, (
+        f"{name}: output dtype class mismatch (column, spark, oracle): "
+        f"{diffs} — equal values will still hash-fail on the driver"
+    )
