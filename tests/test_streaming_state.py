@@ -116,3 +116,76 @@ def test_tws_fold_equals_group_state_fold(spark, sf_dir):
         for r in streaming_interest_tws(spark, sf_dir).collect()
     }
     assert tws == legacy
+
+
+def test_stateful_fold_recovers_from_checkpoint(spark, sf_dir):
+    """ST3 fault tolerance: applyInPandasWithState's per-key state must
+    survive a query RESTART. The earlier half of events (by event time)
+    folds under a checkpoint, the query stops, the later half lands in the
+    source directory, and the restarted query must resume from the
+    checkpointed vectors: every user re-updated after the restart must
+    emit the FULL-data fold (n_events counting both halves proves the
+    state came from the checkpoint, not a re-read of slice 1)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.shipping import (
+        ensure_shipped,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+        interest_fold_stream,
+    )
+
+    ensure_shipped(spark)
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cut = events.agg(
+        F.percentile_approx("ts", 0.5).alias("m")
+    ).collect()[0].m
+    base = tempfile.mkdtemp(prefix="spark_graft_state_ckpt_")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    events.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.parquet(src)
+
+    captured: dict[int, tuple[int, list[float]]] = {}
+
+    def sink(batch_df, batch_id):
+        for row in batch_df.collect():  # test-only materialization
+            captured[row.user_id] = (row.n_events, list(row.interest))
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            interest_fold_stream(stream, output_mode="update")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run_once()  # fold slice 1, commit offsets + state to the checkpoint
+    events.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    captured.clear()  # keep only post-restart emissions
+    run_once()  # restart: state must come back from the checkpoint
+
+    events_pd = events.toPandas()
+    expected = _expected_interest(events_pd)
+    late_users = set(
+        events_pd[events_pd.ts > cut].user_id.unique().tolist()
+    )
+    assert late_users  # the split is real
+    assert late_users <= set(captured)
+    for uid in late_users:
+        n_events, vec = captured[uid]
+        assert n_events == (events_pd.user_id == uid).sum()  # both halves
+        assert np.array(vec) == pytest.approx(expected[uid], abs=1e-6)
+    shutil.rmtree(base, ignore_errors=True)
