@@ -523,7 +523,8 @@ WEIGHTED_SAMPLE_K = 10
                ) AS rk
         FROM scored
     )
-    SELECT o_orderpriority, rk, o_orderkey, ROUND(es_key, 6) AS es_key
+    SELECT o_orderpriority, rk, o_orderkey,
+           ROUND(es_key, 6) + 0.0 AS es_key
     FROM ranked WHERE rk <= {WEIGHTED_SAMPLE_K}
     """,
     doc="Weighted sampling WITHOUT replacement via Efraimidis-Spirakis "
@@ -556,5 +557,13 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= WEIGHTED_SAMPLE_K)
-        .select("o_orderpriority", "rk", "o_orderkey", F.round("es_key", 6).alias("es_key"))
+        # + 0.0 collapses IEEE -0.0 to +0.0: DuckDB's ROUND emits -0.0 for
+        # tiny negative keys where Spark's emits +0.0 — equal by == but
+        # different BITS, which a bit-sensitive result hash would fail
+        .select(
+            "o_orderpriority",
+            "rk",
+            "o_orderkey",
+            (F.round("es_key", 6) + F.lit(0.0)).alias("es_key"),
+        )
     )

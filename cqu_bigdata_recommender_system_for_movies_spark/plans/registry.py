@@ -9,7 +9,11 @@ DuckDB, row-count + schema + order-insensitive values — at sf0.001.
 Conventions (required for the driver's value-hash to match):
 - Alias every computed column identically in Spark and SQL.
 - Round non-integer-valued doubles to a fixed scale on BOTH sides
-  (accumulation order differs between engines).
+  (accumulation order differs between engines). Float outputs must be
+  BIT-identical across engines (tests compare hex, not rounded values);
+  if a rounded value can be negative-near-zero, add `+ 0.0` on both
+  sides — DuckDB's ROUND emits -0.0 where Spark's emits +0.0, equal by
+  == but different bits under a bit-sensitive driver hash.
 - Any query with LIMIT must order by a tie-broken (unique) key set.
 - oracle=None → driver does a weaker rows-only check (used for ML /
   streaming ops that ANSI SQL can't express).

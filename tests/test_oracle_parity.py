@@ -35,7 +35,14 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        # BIT-exact comparison (round 6, was round(v, 6)): every float
+        # column in the registry is produced by deliberately engine-stable
+        # arithmetic and verified bit-identical across Spark and DuckDB at
+        # sf0.001/0.01/0.1 — a 6-dp comparison masked a -0.0 vs +0.0 bit
+        # difference in weighted_reservoir_sample that a bit-sensitive
+        # driver hash would have failed. hex() distinguishes exactly the
+        # bit patterns (and -0.0 from +0.0).
+        return v.hex()
     if hasattr(v, "isoformat"):  # datetime/date: compare on the wire format
         return v.isoformat()
     return v
