@@ -1062,3 +1062,56 @@ def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_price").alias("next_order_price"),
         )
     )
+
+
+# --- Distributed global row_number ------------------------------------------
+
+
+def global_row_number(
+    df: DataFrame, order_cols, out_col: str = "rn", num_partitions: int | None = None
+) -> DataFrame:
+    """Scalable `ROW_NUMBER() OVER (ORDER BY ...)` — no single-partition sort.
+
+    An ORDER BY window with no PARTITION BY moves every row to ONE
+    partition (`WARN WindowExec: No Partition Defined`); WindowExec does
+    NOT range-partition the way a global orderBy does. This helper is the
+    distributed twin (the classic "scalable zipWithIndex"):
+
+    1. `repartitionByRange` on the sort keys — the same sampling-based
+       range partitioner a global `orderBy` uses, so partition i's rows
+       all precede partition i+1's in the total order;
+    2. pin the partition assignment with an eager `localCheckpoint` so
+       the counts job and the ranking job see identical placement;
+    3. rank locally per partition (`Window.partitionBy(pid)` — balanced
+       by the range sampler, never a single reducer);
+    4. add each partition's exclusive prefix-sum offset, computed from a
+       partition-count collect (one row per partition — driver work is
+       O(num_partitions), independent of data size).
+
+    Output is identical to the unpartitioned-window formulation: range
+    partitioning preserves the global order across partitions, so
+    `offset[pid] + local_rank` IS the global rank.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pinned = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in pinned.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col("__pid"),
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return pinned.withColumn(
+        out_col, (F.row_number().over(w_local) + off).cast("long")
+    ).drop("__pid")

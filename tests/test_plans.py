@@ -990,10 +990,9 @@ GLOBAL_WINDOW_WHITELIST = {
     "ndcg_at_k_popularity",
     # exposure table bounded by the broadcast candidate pool (VERDICT r5)
     "rec_diversity_metrics",
-    # rank over the aggregated vocabulary (vocab-bounded; contiguous
-    # token-id assignment genuinely needs a total order over the vocab)
-    "vocab_build",
-    "zipf_law_fit",
+    # (vocab_build and zipf_law_fit left this whitelist in round 6: both
+    # now rank via global_row_number — range-partition + per-partition
+    # offsets — so no unpartitioned window remains to excuse)
     # cumulative sum over the distinct-value histogram (value-domain-bounded)
     "quality_quartile_stats",
     "ks_test_source_drift",
@@ -1045,3 +1044,73 @@ def test_no_unpartitioned_ordered_window(name, spark, sf_dir):
         f"{name} plans an ORDER BY window with no PARTITION BY — every row "
         f"funnels to a single partition at scale: {hits}"
     )
+
+
+# --- global_row_number: distributed total order (round 6, VERDICT r5 stretch)
+
+
+def test_global_row_number_uses_range_partitioner():
+    """The helper must ride repartitionByRange (the distributed
+    zipWithIndex); the eager localCheckpoint truncates lineage, so the
+    range exchange is asserted at source level and the executed-plan
+    tests below check what survives the pin."""
+    import inspect
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators import windows
+
+    src = inspect.getsource(windows.global_row_number)
+    assert "repartitionByRange" in src
+    assert "localCheckpoint(eager=True)" in src
+
+
+def test_vocab_build_rank_is_partitioned_window(spark, sf_dir):
+    """vocab_build's id assignment: checkpoint-pinned range layout feeding
+    a window PARTITIONED by the pinned partition id — never an
+    unpartitioned window sort (the registry-wide scan also covers this,
+    now that vocab_build left the whitelist)."""
+    plan = _plan(all_queries()["vocab_build"](spark, sf_dir))
+    assert "__pid" in plan  # ranking window partitioned by pinned layout
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # checkpoint pin
+
+
+def test_zipf_rank_is_partitioned_window(spark, sf_dir):
+    plan = _plan(all_queries()["zipf_law_fit"](spark, sf_dir))
+    assert "__pid" in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_global_row_number_matches_single_window(spark):
+    """Property check on skewed synthetic data: offsets + local ranks
+    reproduce the exact global ROW_NUMBER, ties and all."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.windows import global_row_number
+
+    rows = [(i % 7, f"k{i % 13:02d}") for i in range(500)]  # heavy ties
+    df = spark.createDataFrame(rows, "v int, k string").repartition(11)
+    order = [F.desc("v"), F.asc("k")]
+    got = {
+        (r["v"], r["k"], r["rn"])
+        for r in global_row_number(df, order, out_col="rn", num_partitions=5).collect()
+    }
+    want = {
+        (r["v"], r["k"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    # ties within (v, k) may permute between the two plans, but the multiset
+    # of (v, k) -> rank assignments must be identical
+    assert got == want
+
+
+def test_class_tfidf_topk_is_two_phase(spark, sf_dir):
+    """Per-class top-k must not sort a whole class vocabulary on one
+    reducer: phase 1 ranks within (source, salt) partitions."""
+    plan = _plan(all_queries()["class_tfidf_top_terms"](spark, sf_dir))
+    assert "salt" in plan  # salted local phase present
+    import re
+
+    wins = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert any("salt" in w for w in wins), wins
