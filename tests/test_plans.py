@@ -1114,3 +1114,23 @@ def test_class_tfidf_topk_is_two_phase(spark, sf_dir):
 
     wins = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
     assert any("salt" in w for w in wins), wins
+
+
+def test_global_row_number_edge_shapes(spark):
+    """Empty input, one partition, and more partitions than rows must all
+    produce a dense 1..n ranking (the offset map only covers non-empty
+    partitions; empty ones contribute no rows and no offsets)."""
+    from pyspark.sql import functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.windows import global_row_number
+
+    empty = spark.createDataFrame([], "v int, k string")
+    assert global_row_number(empty, [F.asc("v")], num_partitions=4).count() == 0
+
+    small = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "v int, k string")
+    for n in (1, 8):  # fewer and more partitions than rows
+        got = sorted(
+            (r["v"], r["rn"])
+            for r in global_row_number(small, [F.asc("v")], num_partitions=n).collect()
+        )
+        assert got == [(1, 1), (2, 2), (3, 3)]
