@@ -1034,16 +1034,36 @@ def _unpartitioned_ordered_windows(plan: str) -> list[str]:
     return hits
 
 
+# A true CartesianProduct (both sides partitioned, no broadcast) is an
+# n*m shuffle-read — distinct from BroadcastNestedLoopJoin, which the
+# planner picks when one side IS broadcastable and which the per-query
+# tests above vet individually. Whitelist: plans where the cartesian
+# lives inside Spark MLlib's own blocked factor-scoring (its
+# recommendForAll blockifies both factor sides and cross-scores block
+# pairs — the intended dense top-k shape, not a planning accident).
+CARTESIAN_WHITELIST = {
+    "als_recommend_topk",
+    "als_implicit_topk",
+    "als_precision_recall_at_k",
+}
+
+
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_unpartitioned_ordered_window(name, spark, sf_dir):
-    if name in GLOBAL_WINDOW_WHITELIST:
-        pytest.skip("global window whitelisted as value-domain-bounded")
+    """Registry-wide plan-smell scan: one executedPlan per query, checked
+    for BOTH single-partition ordered windows and true cartesians."""
     df = all_queries()[name](spark, sf_dir)
-    hits = _unpartitioned_ordered_windows(_plan(df))
-    assert not hits, (
-        f"{name} plans an ORDER BY window with no PARTITION BY — every row "
-        f"funnels to a single partition at scale: {hits}"
-    )
+    plan = _plan(df)
+    if name not in GLOBAL_WINDOW_WHITELIST:
+        hits = _unpartitioned_ordered_windows(plan)
+        assert not hits, (
+            f"{name} plans an ORDER BY window with no PARTITION BY — every "
+            f"row funnels to a single partition at scale: {hits}"
+        )
+    if name not in CARTESIAN_WHITELIST:
+        assert "CartesianProduct" not in plan, (
+            f"{name} plans a true CartesianProduct (neither side broadcast)"
+        )
 
 
 # --- global_row_number: distributed total order (round 6, VERDICT r5 stretch)
