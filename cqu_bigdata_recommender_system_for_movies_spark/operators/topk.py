@@ -174,16 +174,21 @@ def ndcg_at_k_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     r = ratings(spark, sf_dir)
+    # top-K first via orderBy+limit — a distributed TakeOrderedAndProject
+    # (map-side partial top-k) — so the position window only ever sees K
+    # rows; ranking the FULL item table in one unpartitioned window was
+    # the round-5 shape, correct but single-reducer at catalog scale
     pop = (
         r.groupBy("item_id")
         .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("item_id"))
+        .limit(NDCG_K)
         .withColumn(
             "pos",
             F.row_number().over(
                 Window.orderBy(F.desc("cnt"), F.asc("item_id"))
             ),
         )
-        .filter(F.col("pos") <= NDCG_K)
         .select("item_id", "pos")
     )
     rel = (

@@ -733,10 +733,13 @@ def test_negative_sampling_deterministic(spark, sf_dir):
 
 
 def test_ndcg_bounds_and_broadcast(spark, sf_dir):
-    """NDCG in [0, 1]; the k-row popularity ranking must broadcast."""
+    """NDCG in [0, 1]; the k-row popularity ranking must broadcast, and
+    the top-K prefilter must plan as TakeOrderedAndProject so the
+    position window never sees the full catalog (round 6)."""
     df = all_queries()["ndcg_at_k_popularity"](spark, sf_dir)
     plan = _plan(df)
     assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
     rows = df.collect()
     assert rows and all(0.0 <= r.ndcg_at_k <= 1.0 for r in rows)
 
@@ -986,7 +989,8 @@ def test_covisitation_band_join_is_equi(spark, sf_dir):
 # remaining global windows are whitelisted because their INPUT is bounded
 # by a value domain, not by corpus size:
 GLOBAL_WINDOW_WHITELIST = {
-    # rank over the distinct-item popularity table (item-domain-bounded)
+    # position window sees only the K rows surviving a TakeOrderedAndProject
+    # prefilter (constant-bounded; round 6 — was a full-catalog rank)
     "ndcg_at_k_popularity",
     # exposure table bounded by the broadcast candidate pool (VERDICT r5)
     "rec_diversity_metrics",
