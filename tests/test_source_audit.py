@@ -1,0 +1,109 @@
+"""Source-level anti-pattern audit over the whole package.
+
+Two conventions every round's verdict has checked by hand are pinned
+here so they cannot silently erode:
+
+1. No driver-side materialization (`collect` / `toPandas` /
+   `toLocalIterator`) outside an explicit whitelist of sites whose
+   result size is bounded by something other than the data volume —
+   scalar convergence checks, partition-count offset maps, fixed-size
+   sketch bitmaps, d x d Gramians, test-fixture staging. A new collect
+   anywhere else fails with the offending function named.
+
+2. No row-at-a-time Python UDFs: the only Python execution surfaces are
+   Arrow-batched (pandas_udf / applyInPandas / mapInPandas / mapInArrow
+   / Python UDTFs / applyInPandasWithState). `F.udf(...)` or `@udf` in
+   the package would put a per-row Python round-trip in the hot path.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "cqu_bigdata_recommender_system_for_movies_spark"
+
+# (module path relative to the package, enclosing function) -> why it is
+# allowed to materialize on the driver. The bound is what matters.
+COLLECT_WHITELIST = {
+    # one int per iteration: label-propagation convergence check
+    ("operators/dedup.py", "dedup_components"),
+    # one row of corpus-level constants for the signature table
+    ("operators/dedup.py", "signature"),
+    # scoped-conf demonstration query materializes its (5-row) answer
+    # inside the conf context so the pushdown actually executes there
+    ("operators/io_sinks.py", "parquet_agg_pushdown_stats"),
+    # the fixed 16 KiB Bloom bitmap IS the runtime-filter payload
+    ("operators/sketches.py", "bloom_semi_join_prune"),
+    # d x d Gramian partials (embedding-dim-squared, data-size-free)
+    ("operators/vectors.py", "embedding_pca_top_component"),
+    # one count per partition: the distributed-rank offset map
+    ("operators/windows.py", "global_row_number"),
+    # test-fixture staging for the binary-file source (not a hot path)
+    ("sources/binary_files.py", "_stage_fixture_dir"),
+    # the records to feed through the live loopback socket (bounded
+    # fixture; the socket SOURCE side is the operator under test)
+    ("streaming/queries.py", "streaming_socket_parse_records"),
+}
+
+DRIVER_SINKS = ("collect", "toPandas", "toLocalIterator")
+
+
+def _call_sites():
+    sites = []
+    for py in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        funcs = [
+            (n.lineno, max(getattr(n, "end_lineno", n.lineno), n.lineno), n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        rel = str(py.relative_to(PKG))
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and node.attr in DRIVER_SINKS:
+                enclosing = [n for s, e, n in funcs if s <= node.lineno <= e]
+                sites.append((rel, enclosing[-1] if enclosing else "<module>", node.lineno))
+    return sites
+
+
+def test_driver_materialization_is_whitelisted():
+    offenders = [
+        f"{rel}:{ln} in {fn}"
+        for rel, fn, ln in _call_sites()
+        if (rel, fn) not in COLLECT_WHITELIST
+    ]
+    assert not offenders, (
+        "driver-side materialization outside the audited whitelist — either "
+        "the operator isn't distributed, or a new bounded site needs a "
+        f"justified whitelist entry: {offenders}"
+    )
+
+
+def test_whitelist_entries_still_exist():
+    """A whitelist entry whose call site disappeared is stale — prune it so
+    the audit stays exact."""
+    live = {(rel, fn) for rel, fn, _ in _call_sites()}
+    stale = COLLECT_WHITELIST - live
+    assert not stale, f"stale whitelist entries: {sorted(stale)}"
+
+
+def test_no_row_at_a_time_python_udfs():
+    offenders = []
+    for py in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            callee = node.func
+            name = (
+                callee.attr
+                if isinstance(callee, ast.Attribute)
+                else callee.id
+                if isinstance(callee, ast.Name)
+                else None
+            )
+            if name == "udf":  # F.udf / sql.functions.udf — NOT pandas_udf
+                offenders.append(f"{py.relative_to(PKG)}:{node.lineno}")
+    assert not offenders, (
+        f"row-at-a-time Python UDF in the package (use Arrow surfaces): {offenders}"
+    )
