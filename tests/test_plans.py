@@ -1158,3 +1158,19 @@ def test_global_row_number_edge_shapes(spark):
             for r in global_row_number(small, [F.asc("v")], num_partitions=n).collect()
         )
         assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_unpartitioned_window_detector_fires(spark):
+    """Mutation check for the scan itself: a deliberately bad plan (ORDER BY
+    window, no PARTITION BY) must be detected, and the partitioned fix for
+    the same expression must not be."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    assert _unpartitioned_ordered_windows(_plan(bad))
+    good = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("v"))
+    )
+    assert not _unpartitioned_ordered_windows(_plan(good))
