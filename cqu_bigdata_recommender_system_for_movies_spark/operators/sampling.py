@@ -303,11 +303,16 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = events.sampleBy("event_type", STRATA_FRACTIONS, seed=SEED)
     pop = events.groupBy("event_type").agg(F.count("*").alias("n_total"))
     got = sample.groupBy("event_type").agg(F.count("*").alias("n_sample"))
+    # strata absent from the fraction map keep NOTHING under sampleBy, so
+    # their fraction is 0.0 — without the otherwise() an unlisted
+    # event_type would make frac NULL and the band boolean NULL, which
+    # the oracle's pinned TRUE would hash-fail on
     frac = F.coalesce(
         *[
             F.when(F.col("event_type") == t, F.lit(f))
             for t, f in sorted(STRATA_FRACTIONS.items())
-        ]
+        ],
+        F.lit(0.0),
     )
     tol = F.greatest(
         4 * F.sqrt(frac * (1 - frac) * F.col("n_total")), F.lit(5.0)

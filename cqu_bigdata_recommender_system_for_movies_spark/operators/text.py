@@ -1031,6 +1031,9 @@ def quality_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    # pinned: scored feeds BOTH the boundary computation and the final
+    # bucketing — without the checkpoint the corpus tokenization would
+    # execute once per consumer
     scored = docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -1039,7 +1042,7 @@ def quality_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1.0
             / F.greatest(F.size(toks), F.lit(1))
         ).alias("stopword_ratio"),
-    )
+    ).localCheckpoint(eager=False)
     hist = scored.groupBy(F.col("stopword_ratio").alias("v")).agg(
         F.count("*").alias("c")
     )
@@ -1048,7 +1051,8 @@ def quality_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.sum("c").over(Window.orderBy("v")).alias("cc")
     )
     n = F.col("n")
-    pos = scored.agg(F.count("*").alias("n")).select(
+    # total row count comes from the histogram itself — no extra scan
+    pos = hist.agg(F.sum("c").alias("n")).select(
         *[
             (F.lit(b) * (n - n % 4) / 4 + F.least(F.lit(b), n % 4))
             .cast("long")
@@ -1463,7 +1467,7 @@ CTFIDF_TOP = 5
     "tie-break; the rounded score is display only.",
 )
 def class_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.topk import salted_topk
 
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
@@ -1487,18 +1491,14 @@ def class_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    order = [F.desc("s"), F.asc("w")]
-    salted = scored.withColumn("salt", F.pmod(F.xxhash64("w"), F.lit(8)))
-    w_local = Window.partitionBy("source", "salt").orderBy(*order)
-    survivors = (
-        salted.withColumn("lrnk", F.row_number().over(w_local))
-        .filter(F.col("lrnk") <= CTFIDF_TOP)
-        .drop("salt", "lrnk")
-    )
-    rnk = F.row_number().over(Window.partitionBy("source").orderBy(*order))
     return (
-        survivors.withColumn("rnk", rnk)
-        .filter(F.col("rnk") <= CTFIDF_TOP)
+        salted_topk(
+            scored,
+            ["source"],
+            [F.desc("s"), F.asc("w")],
+            CTFIDF_TOP,
+            F.xxhash64("w"),
+        )
         .select(
             "source",
             F.col("w").alias("term"),

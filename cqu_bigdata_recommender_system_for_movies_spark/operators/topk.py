@@ -361,6 +361,34 @@ TWO_PHASE_K = 5
 TWO_PHASE_SALTS = 8
 
 
+def salted_topk(
+    df: DataFrame, partition_cols, order, k: int, salt_expr, n_salts: int = 8
+) -> DataFrame:
+    """Skew-proof per-group top-k in TWO phases.
+
+    Phase 1 ranks within (group, salt = salt_expr % n_salts) and keeps
+    each salt's local top-k — any global top-k row is necessarily in its
+    own salt's local top-k, so the prune is lossless and bounds the
+    survivors at n_salts*k per group; phase 2 re-ranks only the
+    survivors. A hot group's sort spreads across n_salts partitions
+    instead of one reducer — the two-level shape MLlib's TopByKey and
+    every skewed leaderboard job use. Output (column ``rnk``) is
+    identical to the single-window formulation.
+    """
+    salted = df.withColumn("__salt", F.pmod(salt_expr, F.lit(n_salts)))
+    w_local = Window.partitionBy(*partition_cols, "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__lrnk", F.row_number().over(w_local))
+        .filter(F.col("__lrnk") <= k)
+        .drop("__salt", "__lrnk")
+    )
+    w_global = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 @register(
     "two_phase_topk",
     oracle=f"""
@@ -391,19 +419,9 @@ TWO_PHASE_SALTS = 8
 def two_phase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ratings(spark, sf_dir)
     order = [F.desc("rating"), F.asc("user_id"), F.asc("ts")]
-    salted = r.withColumn("salt", F.pmod("user_id", F.lit(TWO_PHASE_SALTS)))
-    w_local = Window.partitionBy("item_id", "salt").orderBy(*order)
-    survivors = (
-        salted.withColumn("lrnk", F.row_number().over(w_local))
-        .filter(F.col("lrnk") <= TWO_PHASE_K)
-        .drop("salt", "lrnk")
-    )
-    w_global = Window.partitionBy("item_id").orderBy(*order)
-    return (
-        survivors.withColumn("rnk", F.row_number().over(w_global))
-        .filter(F.col("rnk") <= TWO_PHASE_K)
-        .select("item_id", "user_id", "rating", "rnk")
-    )
+    return salted_topk(
+        r, ["item_id"], order, TWO_PHASE_K, F.col("user_id"), TWO_PHASE_SALTS
+    ).select("item_id", "user_id", "rating", "rnk")
 
 
 @register(

@@ -33,8 +33,13 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def norm(v):
+    # BIT-level float compare (hex, not rounding): the driver's value hash
+    # is bit-sensitive — DuckDB ROUND's -0.0 vs Spark's +0.0, or a 1-ULP
+    # accumulation difference, hash-fails there even though round(v, 6)
+    # would mask it here. tests/test_oracle_parity.py compares hex for the
+    # same reason; this sim must not be weaker than the thing it simulates.
     if isinstance(v, float):
-        return "nan" if math.isnan(v) else round(v, 6)
+        return "nan" if math.isnan(v) else v.hex()
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v

@@ -104,14 +104,10 @@ def test_rfm_scores_balance_and_order_on_distinct_values(spark):
     buckets with near-equal sizes (interpolated-percentile boundaries
     split distinct values within +-2 of N/4), and (b) be monotone — the
     segment summary must therefore be 4 diagonal cells r=f=m."""
-    n = 40
-    rows = [
-        (i, i, 100.0 + i, f"2024-01-{(i % 28) + 1:02d}T00:00:00")
-        for i in range(n)
-    ]
-    # make recency strictly increasing with custkey too (day offsets)
     import datetime
 
+    n = 40
+    # recency strictly increasing with custkey (day offsets)
     base = datetime.date(2024, 1, 1)
     rows = [
         (i, i, 100.0 + i, (base + datetime.timedelta(days=i)).isoformat() + "T00:00:00")

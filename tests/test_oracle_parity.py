@@ -54,8 +54,8 @@ def _canon(rows, cols):
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_query_matches_oracle(name, spark, sf_dir, duck):
-    sdf = _QUERIES[name](spark, sf_dir)
+def test_query_matches_oracle(name, query_df, duck):
+    sdf = query_df(name)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
@@ -111,13 +111,13 @@ def test_oracle_output_types_driver_safe(name, duck):
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_spark_output_types_driver_safe(name, spark, sf_dir):
+def test_spark_output_types_driver_safe(name, query_df):
     """Spark-side twin of the nested-type guard: the driver sorts the SPARK
     result with the same pandas lexsort, so a nested Spark output column
     fails even if the oracle serialized its side."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    schema = _QUERIES[name](spark, sf_dir).schema
+    schema = query_df(name).schema
     for field in schema.fields:
         assert not isinstance(field.dataType, (ArrayType, MapType, StructType)), (
             f"{name}.{field.name} is nested ({field.dataType.simpleString()}): "
@@ -162,7 +162,7 @@ def _arrow_type_class(t) -> str:
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_output_dtype_classes_match(name, spark, sf_dir, duck):
+def test_output_dtype_classes_match(name, query_df, duck):
     """The driver's value hash is dtype-sensitive (round 1: a DuckDB
     HUGEINT/decimal128 hash-failed against Spark's int64 on EQUAL values),
     so a float column on one side paired with an int column on the other
@@ -173,7 +173,7 @@ def test_output_dtype_classes_match(name, spark, sf_dir, duck):
     the same 64-bit value), float-vs-int is not."""
     sschema = {
         f.name: _spark_type_class(f.dataType)
-        for f in _QUERIES[name](spark, sf_dir).schema.fields
+        for f in query_df(name).schema.fields
     }
     aschema = {
         f.name: _arrow_type_class(f.type)

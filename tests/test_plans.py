@@ -1053,11 +1053,10 @@ CARTESIAN_WHITELIST = {
 
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
-def test_no_unpartitioned_ordered_window(name, spark, sf_dir):
+def test_no_unpartitioned_ordered_window(name, query_df):
     """Registry-wide plan-smell scan: one executedPlan per query, checked
     for BOTH single-partition ordered windows and true cartesians."""
-    df = all_queries()[name](spark, sf_dir)
-    plan = _plan(df)
+    plan = _plan(query_df(name))
     if name not in GLOBAL_WINDOW_WHITELIST:
         hits = _unpartitioned_ordered_windows(plan)
         assert not hits, (
