@@ -57,115 +57,88 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 # The driver verifies a fixed window of 50 queries per round, in the order
 # queries() yields them (every completed round truncated at exactly 50).
-# This list pins that window for round 6 — exactly DRIVER_WINDOW names.
-# Round 6 is the consolidation round VERDICT r5 called for: 91 registered
-# queries had never had a driver row at end of round 5, so this window is
-# (a) the entries whose implementation or oracle changed THIS round and
-# must (re-)verify — embedding_quantize_int8 (r5's only driver error:
-# nested array<int> output column now ships as a CSV string),
-# rfm_segmentation + quality_quartile_stats (unpartitioned-NTILE
-# scale-killers re-planned to broadcast-boundary bucketing),
-# streaming_interest_fold + streaming_recommend_emit (rows-only ->
-# real DuckDB list_reduce oracles), covisitation_matrix (oracle
-# epoch-rounding fix, ADVICE r5) and bigram_logprob_score (oracle
-# back-off-constant ULP fix, ADVICE r5 — both also never-checked);
-# (b) the three entries whose co-occurrence base re-planned in round 5
-# (item_cooccurrence_topk, item_cooccurrence_jaccard,
-# graph_triangle_count); (c) als_recommend_topk (ceded from r5's
-# 51-for-50 crunch; oldest evidence in the SURVEY §2 table, r2); and
-# (d) the 39 OLDEST never-checked names, oldest additions first.
-# Expensive streaming entries sit at the window's tail so a failure
-# cannot starve the cheap checks; the full-ALS-fit entry goes last.
+# This list pins that window for round 7 — exactly DRIVER_WINDOW names:
+# the 50 registered queries that have never had a driver row
+# (CORRECTNESS_r01..r06 cover the other 187 of 237), burned
+# oldest-addition-first EXACTLY as the r6 plan comment pinned them
+# (VERDICT r6 #1). Zero new registrations this round, so the
+# never-checked backlog reaches zero when this window completes and
+# every one of the 237 registered queries has a driver row.
 #
-# r7 fill — EXACT remainder (counted against CORRECTNESS_r01..r05 + this
-# window; exactness asserted by
-# tests/test_plans.py::test_next_window_plan_comment_is_exact): the 50
-# never-checked names left after this window, in priority order
-# (oldest additions first — they are the entire r7 window):
-# histogram_quantile_sketch, weighted_reservoir_sample,
-# target_encoding_oof, record_linkage_blocked, event_transition_probs,
-# ab_test_zscore, chi_square_independence, source_lang_kl_divergence,
-# compaction_bin_packing, source_shingle_containment,
-# event_spike_detection, frequent_event_paths, variant_json_extract,
-# rec_diversity_metrics, streaming_stream_stream_left_join,
-# ppr_seeded_items, decayed_popularity_topk, phrase_retrieval_topdocs,
-# embedding_label_drift, ks_test_source_drift, bootstrap_mean_ci,
-# streaming_dedup_within_watermark, linear_regression_closed_form,
-# preagg_join_rollup, dynamic_partition_pruning_join,
-# parquet_agg_pushdown_stats, null_semantics_suite,
-# collation_case_insensitive_group, sql_udf_revenue,
-# lateral_join_top_orders, observed_metrics_audit,
-# file_metadata_columns, ansi_try_functions_suite,
-# scd2_point_in_time_join, join_size_estimation_audit,
-# asof_join_next_order, schema_evolution_merge_read,
-# csv_corrupt_record_audit, zipf_law_fit,
-# mutual_information_type_hour, benford_law_audit,
-# theil_sen_slope_robust, data_expectations_audit,
-# column_entropy_profile, prefix_filter_jaccard_join,
-# cms_user_frequency, item_adamic_adar_topk, item_knn_graph,
-# kmv_intersection_estimate, class_tfidf_top_terms.
-# 50 names for 50 slots: with zero new registrations the never-checked
-# backlog is fully burned by end of round 7; re-confirmations of old
-# greens resume in round 8 (oldest green row first).
+# r8 fill — with the never-checked backlog at zero, round 8 starts the
+# re-confirmation rotation (exactness still asserted by
+# tests/test_plans.py::test_next_window_plan_comment_is_exact, which
+# now degenerates to "nothing is never-checked"). Round 8's window, in
+# priority order:
+# (a) entries whose implementation or oracle changed in round 7 and
+# must (re-)verify: range_join_events_orders + interval_overlap_join
+# (the vacuously-green band joins re-anchored onto the events epoch so
+# they match thousands of rows, VERDICT r6 #2 — their old rows were
+# 0=0 at every sf), streaming_interest_fold + streaming_recommend_emit
+# (rounding moved from the pandas UDF into the Spark plan's
+# F.round, ADVICE r6), als_recommend_topk + als_precision_recall_at_k
+# + kmeans_embedding_clusters (rows-only -> invariant-band oracles,
+# VERDICT r6 #6);
+# (b) the three r6 invariant-band oracles no driver has ever executed:
+# random_split_counts, stratified_sample_counts, approx_aggregates
+# (VERDICT r6 #3 — their r3/r4 rows predate the band oracles);
+# (c) oldest-green-first re-confirmations filling the remaining ~40
+# slots (r3 rows first: cosine_topk, wordcount_documents,
+# dot_product_topk, dedup_exact, ngram_jaccard_pairs, ...).
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (
-    # -- changed this round: must (re-)verify ------------------------------
-    "embedding_quantize_int8",  # r5 driver ERROR: q now ships as q_csv
-    "rfm_segmentation",  # NTILE -> broadcast exact-percentile bucketing
-    "quality_quartile_stats",  # NTILE -> histogram-boundary bucketing
-    "covisitation_matrix",  # oracle: floor(epoch(ts)) truncation fix
-    "bigram_logprob_score",  # oracle: exact 1-lambda double on both sides
-    # -- re-planned in round 5, green row predates the re-plan -------------
-    "item_cooccurrence_topk",
-    "item_cooccurrence_jaccard",
-    "graph_triangle_count",
-    # -- never driver-checked: oldest additions first ----------------------
-    "ohlc_resample",
-    "scd2_priority_history",
-    "gap_fill_linear",
-    "ewma_by_type",
-    "interval_overlap_join",
-    "auc_rank_sum",
-    "calibration_bins",
-    "data_profile_summary",
-    "incremental_agg_merge",
-    "gdpr_erasure_audit",
-    "mad_outlier_counts",
-    "correlation_matrix",
-    "temporal_holdout_split",
-    "eval_candidate_sampling",
-    "bucketed_ratings_join",
-    "merge_upsert_snapshot",
-    "image_resize_stats",
-    "ivf_pq_topk",
-    "nearest_centroid_classify",
-    "boolean_retrieval_and",
-    "hll_distinct_rollup",
-    "approx_topk_parts",
-    "hll_sliding_distinct",
-    "pagerank_bipartite",
-    "random_walk_training_paths",
-    "lpa_communities",
-    "kcore_membership",
-    "arrow_vector_norms",
-    "two_phase_topk",
-    "next_item_training_pairs",
-    "ann_ivf_multiprobe_topk",
-    "mixture_rebalance_weights",
-    "rank_normalize_features",
-    "referential_integrity_audit",
-    "bloom_semi_join_prune",
-    # -- streaming tail: micro-batch loops are the expensive checks, so a
-    # -- failure here cannot starve the cheap ones -------------------------
-    "streaming_socket_parse_records",  # S4 live loopback socket (never checked)
-    "streaming_hll_distinct",
-    "streaming_approx_topk",
-    "streaming_upsert_merge",
-    "streaming_interest_fold",  # new list_reduce oracle this round
-    "streaming_recommend_emit",  # new batch-twin oracle this round
-    # -- full ALS fit last (ceded from r5; oldest §2 evidence, r2) ---------
-    "als_recommend_topk",
+    # -- the last 50 never-driver-checked names, oldest additions first ----
+    "histogram_quantile_sketch",
+    "weighted_reservoir_sample",
+    "target_encoding_oof",
+    "record_linkage_blocked",
+    "event_transition_probs",
+    "ab_test_zscore",
+    "chi_square_independence",
+    "source_lang_kl_divergence",
+    "compaction_bin_packing",
+    "source_shingle_containment",
+    "event_spike_detection",
+    "frequent_event_paths",
+    "variant_json_extract",
+    "rec_diversity_metrics",
+    "streaming_stream_stream_left_join",
+    "ppr_seeded_items",
+    "decayed_popularity_topk",
+    "phrase_retrieval_topdocs",
+    "embedding_label_drift",
+    "ks_test_source_drift",
+    "bootstrap_mean_ci",
+    "streaming_dedup_within_watermark",
+    "linear_regression_closed_form",
+    "preagg_join_rollup",
+    "dynamic_partition_pruning_join",
+    "parquet_agg_pushdown_stats",
+    "null_semantics_suite",
+    "collation_case_insensitive_group",
+    "sql_udf_revenue",
+    "lateral_join_top_orders",
+    "observed_metrics_audit",
+    "file_metadata_columns",
+    "ansi_try_functions_suite",
+    "scd2_point_in_time_join",
+    "join_size_estimation_audit",
+    "asof_join_next_order",
+    "schema_evolution_merge_read",
+    "csv_corrupt_record_audit",
+    "zipf_law_fit",
+    "mutual_information_type_hour",
+    "benford_law_audit",
+    "theil_sen_slope_robust",
+    "data_expectations_audit",
+    "column_entropy_profile",
+    "prefix_filter_jaccard_join",
+    "cms_user_frequency",
+    "item_adamic_adar_topk",
+    "item_knn_graph",
+    "kmv_intersection_estimate",
+    "class_tfidf_top_terms",
 )
 
 # Expensive, many-times-verified entries parked at the very end of the

@@ -568,7 +568,7 @@ def test_next_window_plan_comment_is_exact():
     never = [n for n in QUERIES if n not in checked and n not in set(DRIVER_CHECK_FIRST)]
     with open(reg.__file__) as f:
         src = f.read()
-    comment = src[src.index("# r7 fill") : src.index("DRIVER_WINDOW = ")]
+    comment = src[src.index("# r8 fill") : src.index("DRIVER_WINDOW = ")]
     # Tokenize the comment into identifiers rather than substring-matching:
     # a name that is a substring of another listed name (e.g. "foo" inside
     # "foo_bar") must NOT count as present (ADVICE r5).
