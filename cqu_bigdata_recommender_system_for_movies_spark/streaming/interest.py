@@ -109,7 +109,7 @@ def update_interest(
         {
             "user_id": [key[0]],
             "n_events": [n_events],
-            "interest": [[round(float(x), 6) for x in interest]],
+            "interest": [[float(x) for x in interest]],
         }
     )
 
@@ -192,7 +192,7 @@ def interest_fold_stream_tws(stream_df):
                 {
                     "user_id": [key[0]],
                     "n_events": [n_events],
-                    "interest": [[round(float(x), 6) for x in interest]],
+                    "interest": [[float(x) for x in interest]],
                 }
             )
 

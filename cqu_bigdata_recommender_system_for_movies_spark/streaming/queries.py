@@ -267,9 +267,11 @@ def item_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_recommend_emit",
     # The final snapshot is deterministic (VERDICT r5 #4): each user's LAST
-    # batch emission carries their full-fold interest vector (rounded to
-    # 6 dp by update_interest), so the batch twin — fold, round, cosine vs
-    # the item-profile dim, top-10 — IS the oracle. Cosine dot products
+    # batch emission carries their full-fold interest vector (unrounded
+    # state, rounded to 6 dp by F.round in the foreachBatch plan — the
+    # proven F.round/DuckDB-ROUND pairing, ADVICE r6), so the batch twin —
+    # fold, round, cosine vs the item-profile dim, top-10 — IS the oracle.
+    # Cosine dot products
     # replay Spark's F.aggregate left fold as sequential list_reduce sums,
     # and scores round to 6 dp BEFORE ranking on both sides, so rank order
     # is computed on identical doubles.
@@ -363,6 +365,12 @@ def streaming_recommend_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)  # foreachBatch appends fresh
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
+        # state is unrounded (ADVICE r6): round interest to 6 dp in the
+        # plan (F.round = DuckDB ROUND) BEFORE scoring, matching the
+        # oracle's fold -> round -> cosine -> round pipeline exactly.
+        batch_df = batch_df.withColumn(
+            "interest", F.transform("interest", lambda x: F.round(x, 6))
+        )
         # crossJoin is deliberate (J5): every updated user scores every
         # item; the item side is a broadcast dim, so the expansion is
         # map-side and the per-user top-10 prunes it immediately.
@@ -589,7 +597,7 @@ def streaming_interest_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return latest.select(
         "user_id", "n_events", F.posexplode("interest").alias("pos", "weight")
-    )
+    ).withColumn("weight", F.round("weight", 6))
 
 
 @register(
@@ -708,9 +716,15 @@ def streaming_interest_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("n_events", "interest")).alias("s"))
         .select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.interest").alias("interest"))
     )
-    return latest.select(
-        "user_id", "n_events", F.posexplode("interest").alias("pos", "weight")
-    ).withColumn("pos", F.col("pos").cast("long"))
+    return (
+        latest.select(
+            "user_id", "n_events", F.posexplode("interest").alias("pos", "weight")
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        # state is unrounded (ADVICE r6); round HERE with F.round so both
+        # engines share the proven F.round/DuckDB-ROUND pairing
+        .withColumn("weight", F.round("weight", 6))
+    )
 
 
 @register(

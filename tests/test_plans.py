@@ -68,11 +68,25 @@ def test_wordcount_partial_aggregation(spark, sf_dir):
 
 def test_range_join_is_equi_join(spark, sf_dir):
     """The band join must decompose to an equi-join on (user, day bucket) —
-    a nested-loop/cartesian range join dies at scale."""
+    a nested-loop/cartesian range join dies at scale. The only allowed
+    BroadcastNestedLoopJoins are the 1-row epoch-anchor scalars (e-agg x
+    o-agg, then anchor x orders — broadcasting a 1-row aggregate is O(1)
+    per executor, not a range cross-product)."""
     plan = _plan(all_queries()["range_join_events_orders"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "Join" in plan  # an actual (hash/sort-merge) equi join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row anchors only
+    # the events x orders body is a real (hash/sort-merge) equi join
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_band_joins_are_not_vacuous(spark, sf_dir):
+    """VERDICT r6 #2: both band joins matched 0 rows at every sf (orders
+    1995-2001 never overlapped events 2024), so their green driver rows
+    verified nothing. The epoch-anchor fold must produce real matches."""
+    assert all_queries()["range_join_events_orders"](spark, sf_dir).count() > 0
+    assert all_queries()["interval_overlap_join"](spark, sf_dir).count() > 0
 
 
 def test_content_based_recommend_no_dense_matrix(spark, sf_dir):
