@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
-from cqu_bigdata_recommender_system_for_movies_spark.tables import ratings
+from cqu_bigdata_recommender_system_for_movies_spark.tables import RATINGS_SQL, ratings
 
 SEED = 42
 
@@ -78,14 +78,11 @@ def als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "als_recommend_topk",
-    oracle=None,  # model output — rows-only check
-    doc="M3: recommendForUserSubset for the first 5 users, nested recs "
-    "flattened to (user_id, item_id, score) rows via explode "
-    "(spark_als.py:116-132 — the reference used rdd.flatMap).",
-)
-def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def als_recommend_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 detail rows: recommendForUserSubset for the first 5 users, nested
+    recs flattened to (user_id, pos, item_id, score) via posexplode
+    (spark_als.py:116-132 — the reference used rdd.flatMap). Consumed by
+    the registered invariant query below and by pytest's shape checks."""
     r = ratings(spark, sf_dir).select("user_id", "item_id", "rating")
     key = (sf_dir, "full")
     if key not in _MODEL_CACHE:
@@ -94,11 +91,75 @@ def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = r.select("user_id").distinct().orderBy("user_id").limit(5)
     recs = model.recommendForUserSubset(users, 10)
     return recs.select(
-        "user_id", F.explode("recommendations").alias("rec")
+        "user_id", F.posexplode("recommendations").alias("pos", "rec")
     ).select(
         "user_id",
+        "pos",
         F.col("rec.item_id").alias("item_id"),
         F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+    )
+
+
+@register(
+    "als_recommend_topk",
+    # Model scores are engine-specific, but the reference's top-k CONTRACT
+    # is not (VERDICT r6 #6, same pattern as random_split_counts): the
+    # oracle independently computes the exact anchors — 5 requested users,
+    # 5 x min(10, catalog) result rows — and pins the contract booleans
+    # TRUE (k rows per user, scores non-increasing in rank order, every
+    # item from the catalog). A broken top-k (short lists, unsorted
+    # scores, hallucinated items) now hash-FAILS on the driver. The raw
+    # (user, item, score) rows stay pytest-gated via *_detail.
+    oracle=f"""
+    SELECT CAST(LEAST(5, COUNT(DISTINCT user_id)) AS BIGINT) AS n_users,
+           CAST(LEAST(5, COUNT(DISTINCT user_id))
+                * LEAST(10, COUNT(DISTINCT item_id)) AS BIGINT) AS n_rows,
+           TRUE AS k_per_user,
+           TRUE AS scores_nonincreasing,
+           TRUE AS items_in_catalog
+    FROM ({RATINGS_SQL})
+    """,
+    doc="M3: recommendForUserSubset top-10 for the first 5 users "
+    "(spark_als.py:116-132), emitted as driver-hashable invariants: exact "
+    "(n_users, n_rows) anchors the oracle recomputes from the ratings "
+    "catalog, plus the top-k contract booleans. Detail rows in "
+    "als_recommend_topk_detail (pytest).",
+)
+def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    detail = als_recommend_topk_detail(spark, sf_dir)
+    catalog = ratings(spark, sf_dir).select("item_id").distinct()
+    n_items = catalog.agg(F.count("*").alias("n_items"))
+    w = Window.partitionBy("user_id").orderBy("pos")
+    flagged = detail.withColumn(
+        "mono",
+        F.lag("score").over(w).isNull() | (F.lag("score").over(w) >= F.col("score")),
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.count("*").alias("cnt"), F.bool_and("mono").alias("mono_ok")
+    )
+    missing = detail.join(catalog, "item_id", "left_anti").agg(
+        F.count("*").alias("n_missing")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(n_items))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.bool_and(
+                F.col("cnt") == F.least(F.lit(10), F.col("n_items"))
+            ).alias("k_per_user"),
+            F.bool_and("mono_ok").alias("scores_nonincreasing"),
+        )
+        .crossJoin(F.broadcast(missing))
+        .select(
+            "n_users",
+            "n_rows",
+            "k_per_user",
+            "scores_nonincreasing",
+            (F.col("n_missing") == 0).alias("items_in_catalog"),
+        )
     )
 
 
@@ -246,15 +307,9 @@ def als_hyperparam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "als_precision_recall_at_k",
-    oracle=None,  # iterative ML — rows-only check
-    doc="M6: Precision@10 / Recall@10 — train on 80%, recommend top-10 per "
-    "user, compare against held-out positives (rating >= 30) via an inner "
-    "join + per-user counts (train_topn.py:112-145 done as joins+aggs, no "
-    "driver-side sets).",
-)
-def als_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _precision_recall_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 per-user (n_rel, n_hit) table shared by the detail metrics and
+    the registered invariant query."""
     k = 10
     model, train, test = _split_model(spark, sf_dir)
     # held-out "relevant" items: high ratings in the test fold
@@ -269,11 +324,63 @@ def als_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hit")
     )
     truth = relevant.groupBy("user_id").agg(F.count("*").alias("n_rel"))
-    per_user = truth.join(hits, "user_id", "left").fillna(0, subset=["n_hit"])
+    return truth.join(hits, "user_id", "left").fillna(0, subset=["n_hit"])
+
+
+def als_precision_recall_at_k_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 metric values (engine-specific under the RNG split; pytest bands
+    these — test_recommender.py::test_precision_recall_bounds)."""
+    per_user = _precision_recall_per_user(spark, sf_dir)
     return per_user.agg(
-        F.round(F.avg(F.col("n_hit") / F.lit(k)), 4).alias("precision_at_k"),
+        F.round(F.avg(F.col("n_hit") / F.lit(10)), 4).alias("precision_at_k"),
         F.round(F.avg(F.col("n_hit") / F.col("n_rel")), 4).alias("recall_at_k"),
         F.count("*").alias("n_users"),
+    )
+
+
+@register(
+    "als_precision_recall_at_k",
+    # The RNG split makes the metric VALUES engine-specific, but the metric
+    # CONTRACT is checkable (VERDICT r6 #6, random_split_counts pattern):
+    # the oracle recomputes the exact n_total anchor from the ratings view
+    # and pins the contract booleans TRUE — per-user hits bounded by both
+    # k=10 and that user's relevant count (the join logic's invariant) and
+    # both averaged metrics inside [0, 1]. Metric values stay pytest-gated
+    # via *_detail.
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS hits_bounded,
+           TRUE AS precision_in_unit,
+           TRUE AS recall_in_unit,
+           TRUE AS has_eval_users
+    FROM ({RATINGS_SQL})
+    """,
+    doc="M6: Precision@10 / Recall@10 — train on 80%, recommend top-10 per "
+    "user, compare against held-out positives (rating >= 30) via an inner "
+    "join + per-user counts (train_topn.py:112-145 done as joins+aggs, no "
+    "driver-side sets). Emitted as driver-hashable invariants (exact "
+    "ratings-count anchor + contract booleans); metric values in "
+    "als_precision_recall_at_k_detail (pytest).",
+)
+def als_precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = _precision_recall_per_user(spark, sf_dir)
+    n_total = ratings(spark, sf_dir).agg(F.count("*").cast("long").alias("n_total"))
+    prec = F.avg(F.col("n_hit") / F.lit(10))
+    rec = F.avg(F.col("n_hit") / F.col("n_rel"))
+    summary = per_user.agg(
+        F.bool_and(
+            (F.col("n_hit") <= 10) & (F.col("n_hit") <= F.col("n_rel"))
+        ).alias("hits_bounded"),
+        ((prec >= 0) & (prec <= 1)).alias("precision_in_unit"),
+        ((rec >= 0) & (rec <= 1)).alias("recall_in_unit"),
+        (F.count("*") > 0).alias("has_eval_users"),
+    )
+    return F.broadcast(n_total).crossJoin(summary).select(
+        "n_total",
+        "hits_bounded",
+        "precision_in_unit",
+        "recall_in_unit",
+        "has_eval_users",
     )
 
 

@@ -49,16 +49,9 @@ def pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "kmeans_embedding_clusters",
-    oracle=None,  # iterative ML — rows-only; invariants asserted in tests
-    doc="Clustering capability (the learned coarse quantizer behind IVF "
-    "ANN, and the corpus-partitioning step of a dedup/curation pipeline): "
-    "seeded MLlib KMeans (k=8) over the embedding vectors; output is one "
-    "row per cluster with its size and the rounded norm of its center — "
-    "deterministic under the fixed seed.",
-)
-def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_embedding_clusters_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster detail (size + rounded center norm), deterministic under
+    the fixed seed; pytest partition checks consume this."""
     from pyspark.ml.clustering import KMeans
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -80,4 +73,55 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sizes.join(centers, "cluster").select(
         "cluster", "n_vectors", "center_norm"
+    )
+
+
+@register(
+    "kmeans_embedding_clusters",
+    # Cluster assignments are engine-specific (Lloyd iterations on MLlib's
+    # seeded init), but the PARTITION contract is not (VERDICT r6 #6): the
+    # oracle recomputes the exact corpus-size anchor from the embeddings
+    # table and pins the contract booleans TRUE — at most k=8 clusters,
+    # cluster sizes a true partition of the corpus (sum == total, all
+    # positive), all center norms finite-positive. Per-cluster detail
+    # stays pytest-gated via *_detail.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors_total,
+           TRUE AS clusters_le_k,
+           TRUE AS sizes_sum_to_corpus,
+           TRUE AS sizes_positive,
+           TRUE AS centers_finite
+    FROM embeddings
+    """,
+    doc="Clustering capability (the learned coarse quantizer behind IVF "
+    "ANN, and the corpus-partitioning step of a dedup/curation pipeline): "
+    "seeded MLlib KMeans (k=8) over the embedding vectors, emitted as "
+    "driver-hashable invariants (exact corpus anchor + partition-contract "
+    "booleans). Per-cluster rows in kmeans_embedding_clusters_detail "
+    "(pytest).",
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    detail = kmeans_embedding_clusters_detail(spark, sf_dir)
+    total = (
+        load(spark, sf_dir, "embeddings")
+        .agg(F.count("*").cast("long").alias("n_vectors_total"))
+    )
+    summary = detail.agg(
+        (F.count("*") <= 8).alias("clusters_le_k"),
+        F.sum("n_vectors").alias("assigned_sum"),
+        F.bool_and(F.col("n_vectors") > 0).alias("sizes_positive"),
+        F.bool_and(
+            F.col("center_norm").isNotNull()
+            & ~F.isnan("center_norm")
+            & (F.col("center_norm") > 0)
+        ).alias("centers_finite"),
+    )
+    return F.broadcast(total).crossJoin(summary).select(
+        "n_vectors_total",
+        "clusters_le_k",
+        (F.col("assigned_sum") == F.col("n_vectors_total")).alias(
+            "sizes_sum_to_corpus"
+        ),
+        "sizes_positive",
+        "centers_finite",
     )

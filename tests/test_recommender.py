@@ -4,7 +4,9 @@ from __future__ import annotations
 
 from cqu_bigdata_recommender_system_for_movies_spark.ml.als import (
     als_precision_recall_at_k,
+    als_precision_recall_at_k_detail,
     als_recommend_topk,
+    als_recommend_topk_detail,
     als_rmse,
     fit_als,
 )
@@ -26,7 +28,7 @@ def test_als_rmse_deterministic(spark, sf_dir):
 
 
 def test_als_recommend_topk_shape(spark, sf_dir):
-    rows = als_recommend_topk(spark, sf_dir).collect()
+    rows = als_recommend_topk_detail(spark, sf_dir).collect()
     assert len(rows) == 5 * 10
     by_user: dict[int, list[float]] = {}
     for r in rows:
@@ -36,11 +38,29 @@ def test_als_recommend_topk_shape(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)  # ranked desc per user
 
 
+def test_als_recommend_topk_invariant_row(spark, sf_dir):
+    # pytest recomputes the contract INDEPENDENTLY of the engine-emitted
+    # booleans (ADVICE r6: the oracle pins TRUE, so a bug in the band
+    # expression itself must be caught here, not on the driver)
+    row = als_recommend_topk(spark, sf_dir).collect()[0]
+    assert row.n_users == 5 and row.n_rows == 50
+    assert row.k_per_user and row.scores_nonincreasing and row.items_in_catalog
+
+
 def test_precision_recall_bounds(spark, sf_dir):
-    row = als_precision_recall_at_k(spark, sf_dir).collect()[0]
+    # authoritative independent band check (ADVICE r6): the registered
+    # query's booleans are engine-computed, these are recomputed here
+    row = als_precision_recall_at_k_detail(spark, sf_dir).collect()[0]
     assert 0.0 <= row.precision_at_k <= 1.0
     assert 0.0 <= row.recall_at_k <= 1.0
     assert row.n_users > 0
+
+
+def test_precision_recall_invariant_row(spark, sf_dir):
+    row = als_precision_recall_at_k(spark, sf_dir).collect()[0]
+    assert row.n_total > 0
+    assert row.hits_bounded and row.precision_in_unit and row.recall_in_unit
+    assert row.has_eval_users
 
 
 def test_als_model_predicts_in_range(spark, sf_dir):
@@ -122,14 +142,20 @@ def test_multimodal_decode_stub_raises():
 def test_kmeans_clusters_partition_corpus(spark, sf_dir):
     from cqu_bigdata_recommender_system_for_movies_spark.ml.pipeline import (
         kmeans_embedding_clusters,
+        kmeans_embedding_clusters_detail,
     )
     from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
-    rows = kmeans_embedding_clusters(spark, sf_dir).collect()
+    rows = kmeans_embedding_clusters_detail(spark, sf_dir).collect()
     n_total = load(spark, sf_dir, "embeddings").count()
     assert 1 <= len(rows) <= 8
     assert sum(r.n_vectors for r in rows) == n_total  # a true partition
     assert all(r.center_norm > 0 for r in rows)
+    # the registered invariant row must agree with this independent check
+    inv = kmeans_embedding_clusters(spark, sf_dir).collect()[0]
+    assert inv.n_vectors_total == n_total
+    assert inv.clusters_le_k and inv.sizes_sum_to_corpus
+    assert inv.sizes_positive and inv.centers_finite
 
 
 def test_als_hyperparam_search_selects_best(spark, sf_dir):
