@@ -32,6 +32,11 @@ SEED = 42
     # drifting outside 4-sigma of 0.8) now hash-FAILS on the driver instead
     # of recording an uncheckable row count.
     oracle=f"""
+    -- engine-side band (pinned here for review visibility, ADVICE r6):
+    --   conserved          := n_train + n_test == n_total
+    --   train_frac_in_band := |n_train - 0.8*n_total|
+    --                         <= max(4*sqrt(0.8*0.2*n_total), 5)
+    -- authoritative independent recomputation: tests/test_sampling.py
     SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
            TRUE AS conserved,
            TRUE AS train_frac_in_band
@@ -96,6 +101,10 @@ def shuffle_tokens_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # confirms the anchors and pins the booleans TRUE — an out-of-contract
     # sketch now hash-fails on the driver.
     oracle="""
+    -- engine-side band (pinned here for review visibility, ADVICE r6):
+    --   hll_in_band    := |approx_users - exact_users| <= 0.15*exact_users
+    --   median_in_band := exact_p40 <= approx_median <= exact_p60
+    -- authoritative independent recomputation: tests/test_sampling.py
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            TRUE AS hll_in_band,
@@ -284,6 +293,11 @@ STRATA_FRACTIONS = {
     # is engine RNG, checked as a 4-sigma band boolean the oracle pins
     # TRUE (full-keep strata additionally require exact equality).
     oracle="""
+    -- engine-side band (pinned here for review visibility, ADVICE r6):
+    --   sample_in_band := n_sample == n_total            when frac >= 1.0
+    --                     |n_sample - frac*n_total|
+    --                     <= max(4*sqrt(frac*(1-frac)*n_total), 5)  else
+    -- authoritative independent recomputation: tests/test_sampling.py
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_total,
            TRUE AS sample_in_band

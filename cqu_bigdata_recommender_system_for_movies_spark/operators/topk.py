@@ -375,6 +375,15 @@ def salted_topk(
     every skewed leaderboard job use. Output (column ``rnk``) is
     identical to the single-window formulation.
     """
+    # withColumn silently REPLACES an existing column of the same name,
+    # which would corrupt results with no error (ADVICE r6) — refuse
+    # inputs that already carry the temp/output names.
+    clash = {"__salt", "__lrnk", "rnk"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"salted_topk reserves columns {sorted(clash)}; rename them "
+            "on the input DataFrame first"
+        )
     salted = df.withColumn("__salt", F.pmod(salt_expr, F.lit(n_salts)))
     w_local = Window.partitionBy(*partition_cols, "__salt").orderBy(*order)
     survivors = (

@@ -89,3 +89,18 @@ def test_embedding_pca_top_component(spark, sf_dir):
     assert abs(norm - 1.0) < 1e-4  # unit eigenvector
     assert rows[0].weight >= 0  # sign convention
     assert rows[0].eigenvalue > 0  # top covariance eigenvalue is positive
+
+
+def test_salted_topk_rejects_reserved_columns(spark, sf_dir):
+    """ADVICE r6: withColumn silently overwrites same-named input columns,
+    so salted_topk must refuse inputs carrying its temp/output names."""
+    import pytest
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.topk import (
+        salted_topk,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import ratings
+
+    r = ratings(spark, sf_dir).withColumn("rnk", F.lit(1))
+    with pytest.raises(ValueError, match="rnk"):
+        salted_topk(r, ["item_id"], [F.desc("rating")], 5, F.col("user_id"))

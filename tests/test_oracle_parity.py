@@ -110,11 +110,14 @@ def test_oracle_output_types_driver_safe(name, duck):
         )
 
 
-@pytest.mark.parametrize("name", sorted(_ORACLES))
+@pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_spark_output_types_driver_safe(name, query_df):
     """Spark-side twin of the nested-type guard: the driver sorts the SPARK
     result with the same pandas lexsort, so a nested Spark output column
-    fails even if the oracle serialized its side."""
+    fails even if the oracle serialized its side. Iterates ALL registered
+    queries, not just oracle-bearing ones (ADVICE r6) — the driver's
+    rows-only path still materializes the result, so a nested column in a
+    rows-only query breaks the real driver too."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     schema = query_df(name).schema

@@ -594,6 +594,27 @@ def test_next_window_plan_comment_is_exact():
         f"registry's next-window plan comment omits never-driver-checked "
         f"queries: {missing} — add them so the rotation stays exact"
     )
+    # VERDICT r6 #5: with the never-checked backlog at zero the rotation
+    # moves to re-confirmation; every query whose implementation or oracle
+    # changed in round 7 must be pinned by name at the head of the r8 plan
+    # so its stale green row gets refreshed first.
+    changed_r7 = [
+        "range_join_events_orders",
+        "interval_overlap_join",
+        "streaming_interest_fold",
+        "streaming_recommend_emit",
+        "als_recommend_topk",
+        "als_precision_recall_at_k",
+        "kmeans_embedding_clusters",
+        "random_split_counts",
+        "stratified_sample_counts",
+        "approx_aggregates",
+    ]
+    unpinned = [n for n in changed_r7 if n not in tokens]
+    assert not unpinned, (
+        f"r8-fill plan comment must name the round-7 changed queries for "
+        f"re-verification; missing: {unpinned}"
+    )
 
 
 def test_prefix_filter_recall_dominates_capped_index(spark, sf_dir):
