@@ -24,15 +24,9 @@ from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 SEED = 42
 
 
-@register(
-    "pipeline_classifier_eval",
-    oracle=None,  # iterative ML — rows-only; bounds asserted in tests
-    doc="M7+A6: DataFrame-native estimator fit/transform — logistic "
-    "regression on embedding vectors -> label, seeded 80/20 split, "
-    "multiclass accuracy via evaluator. One row: "
-    "(n_train, n_test, accuracy).",
-)
-def pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_classifier_eval_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7+A6 metric values (RNG-split counts + accuracy; pytest bands
+    these — test_recommender.py::test_pipeline_classifier_eval)."""
     emb = load(spark, sf_dir, "embeddings").select(
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
         F.col("label").cast("double").alias("label"),
@@ -46,6 +40,46 @@ def pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(train.count(), test.count(), round(acc, 4))],
         "n_train long, n_test long, accuracy double",
+    )
+
+
+@register(
+    "pipeline_classifier_eval",
+    # The fit is iterative ML, but the estimator CONTRACT is checkable
+    # (VERDICT r6 #6 pattern): exact corpus anchor + booleans.
+    # engine-side bands (pinned for review visibility, ADVICE r6):
+    #   conserved        := n_train + n_test == n_total
+    #   accuracy_in_unit := 0 <= accuracy <= 1
+    # authoritative independent recomputation: tests/test_recommender.py
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS conserved,
+           TRUE AS accuracy_in_unit
+    FROM embeddings
+    """,
+    doc="M7+A6: DataFrame-native estimator fit/transform — logistic "
+    "regression on embedding vectors -> label, seeded 80/20 split, "
+    "multiclass accuracy via evaluator — emitted as driver-hashable "
+    "invariants (exact corpus anchor + split-conservation and "
+    "accuracy-band booleans). The (n_train, n_test, accuracy) row lives "
+    "in pipeline_classifier_eval_detail (pytest).",
+)
+def pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    row = pipeline_classifier_eval_detail(spark, sf_dir)
+    n_total = (
+        load(spark, sf_dir, "embeddings")
+        .agg(F.count("*").cast("long").alias("n_total"))
+    )
+    summary = row.agg(
+        F.sum(F.col("n_train") + F.col("n_test")).alias("n_split"),
+        F.bool_and(
+            (F.col("accuracy") >= 0) & (F.col("accuracy") <= 1)
+        ).alias("accuracy_in_unit"),
+    )
+    return F.broadcast(n_total).crossJoin(summary).select(
+        "n_total",
+        (F.col("n_split") == F.col("n_total")).alias("conserved"),
+        "accuracy_in_unit",
     )
 
 

@@ -77,8 +77,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # 0=0 at every sf), streaming_interest_fold + streaming_recommend_emit
 # (rounding moved from the pandas UDF into the Spark plan's
 # F.round, ADVICE r6), als_recommend_topk + als_precision_recall_at_k
-# + kmeans_embedding_clusters (rows-only -> invariant-band oracles,
-# VERDICT r6 #6);
+# + kmeans_embedding_clusters + als_rmse + pipeline_classifier_eval
+# + embedding_pca_top_component (rows-only -> invariant-band oracles,
+# VERDICT r6 #6 — the rows-only remainder is now just the CV/tuning
+# harnesses and the fixture band);
 # (b) the three r6 invariant-band oracles no driver has ever executed:
 # random_split_counts, stratified_sample_counts, approx_aggregates
 # (VERDICT r6 #3 — their r3/r4 rows predate the band oracles);

@@ -80,15 +80,20 @@ def test_set_ops_except_nontrivial(spark, sf_dir):
 def test_embedding_pca_top_component(spark, sf_dir):
     from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
         embedding_pca_top_component,
+        embedding_pca_top_component_detail,
     )
 
-    rows = embedding_pca_top_component(spark, sf_dir).collect()
+    rows = embedding_pca_top_component_detail(spark, sf_dir).collect()
     assert len(rows) == 64  # one weight per embedding dimension
     assert rows[0].position == 0 and rows[-1].position == 63
     norm = sum(r.weight**2 for r in rows) ** 0.5
     assert abs(norm - 1.0) < 1e-4  # unit eigenvector
     assert rows[0].weight >= 0  # sign convention
     assert rows[0].eigenvalue > 0  # top covariance eigenvalue is positive
+    # the registered invariant row must agree with this independent check
+    inv = embedding_pca_top_component(spark, sf_dir).collect()[0]
+    assert inv.n_components == 64
+    assert inv.unit_norm and inv.sign_fixed and inv.eigenvalue_positive
 
 
 def test_salted_topk_rejects_reserved_columns(spark, sf_dir):

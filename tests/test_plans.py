@@ -606,6 +606,9 @@ def test_next_window_plan_comment_is_exact():
         "als_recommend_topk",
         "als_precision_recall_at_k",
         "kmeans_embedding_clusters",
+        "als_rmse",
+        "pipeline_classifier_eval",
+        "embedding_pca_top_component",
         "random_split_counts",
         "stratified_sample_counts",
         "approx_aggregates",

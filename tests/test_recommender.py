@@ -8,13 +8,16 @@ from cqu_bigdata_recommender_system_for_movies_spark.ml.als import (
     als_recommend_topk,
     als_recommend_topk_detail,
     als_rmse,
+    als_rmse_detail,
     fit_als,
 )
 from cqu_bigdata_recommender_system_for_movies_spark.tables import ratings
 
 
 def test_als_rmse_sane(spark, sf_dir):
-    row = als_rmse(spark, sf_dir).collect()[0]
+    # authoritative independent band check (ADVICE r6): the registered
+    # query's booleans are engine-computed, these are recomputed here
+    row = als_rmse_detail(spark, sf_dir).collect()[0]
     assert row.n_train > 0 and row.n_test > 0
     # ratings are 1..50 ~uniform (std ≈ 14.4); a fitted model must beat a
     # constant predictor by a wide margin being unnecessary — just sanity.
@@ -22,9 +25,15 @@ def test_als_rmse_sane(spark, sf_dir):
 
 
 def test_als_rmse_deterministic(spark, sf_dir):
-    a = als_rmse(spark, sf_dir).collect()[0].rmse
-    b = als_rmse(spark, sf_dir).collect()[0].rmse
+    a = als_rmse_detail(spark, sf_dir).collect()[0].rmse
+    b = als_rmse_detail(spark, sf_dir).collect()[0].rmse
     assert a == b  # seeded fit + seeded split
+
+
+def test_als_rmse_invariant_row(spark, sf_dir):
+    row = als_rmse(spark, sf_dir).collect()[0]
+    assert row.n_total > 0
+    assert row.conserved and row.rmse_in_band
 
 
 def test_als_recommend_topk_shape(spark, sf_dir):
@@ -122,11 +131,16 @@ def test_als_quality_on_movielens_shaped_fixture(spark):
 def test_pipeline_classifier_eval(spark, sf_dir):
     from cqu_bigdata_recommender_system_for_movies_spark.ml.pipeline import (
         pipeline_classifier_eval,
+        pipeline_classifier_eval_detail,
     )
 
-    row = pipeline_classifier_eval(spark, sf_dir).collect()[0]
+    row = pipeline_classifier_eval_detail(spark, sf_dir).collect()[0]
     assert row.n_train > 0 and row.n_test > 0
     assert 0.0 <= row.accuracy <= 1.0
+    # the registered invariant row must agree with this independent check
+    inv = pipeline_classifier_eval(spark, sf_dir).collect()[0]
+    assert inv.n_total == row.n_train + row.n_test
+    assert inv.conserved and inv.accuracy_in_unit
 
 
 def test_multimodal_decode_stub_raises():

@@ -36,7 +36,7 @@ COLLECT_WHITELIST = {
     # the fixed 16 KiB Bloom bitmap IS the runtime-filter payload
     ("operators/sketches.py", "bloom_semi_join_prune"),
     # d x d Gramian partials (embedding-dim-squared, data-size-free)
-    ("operators/vectors.py", "embedding_pca_top_component"),
+    ("operators/vectors.py", "embedding_pca_top_component_detail"),
     # one count per partition: the distributed-rank offset map
     ("operators/windows.py", "global_row_number"),
     # test-fixture staging for the binary-file source (not a hot path)
