@@ -144,7 +144,10 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
 )
 
 # Expensive, many-times-verified entries parked at the very end of the
-# registration order (all r4-green ALS fits; rows-only by design).
+# registration order (the full ALS fits; als_rmse and
+# als_precision_recall_at_k gained invariant-band oracles in round 7 and
+# are pinned for r8 re-verification — move them into the r8 window head
+# when the rotation advances).
 DRIVER_CHECK_LAST: tuple[str, ...] = (
     "als_rmse",
     "als_precision_recall_at_k",
