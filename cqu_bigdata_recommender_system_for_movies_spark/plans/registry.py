@@ -78,9 +78,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (rounding moved from the pandas UDF into the Spark plan's
 # F.round, ADVICE r6), als_recommend_topk + als_precision_recall_at_k
 # + kmeans_embedding_clusters + als_rmse + pipeline_classifier_eval
-# + embedding_pca_top_component (rows-only -> invariant-band oracles,
-# VERDICT r6 #6 — the rows-only remainder is now just the CV/tuning
-# harnesses and the fixture band);
+# + embedding_pca_top_component + als_cross_validation
+# + als_hyperparam_search + als_implicit_topk + als_fixture_rmse_band
+# (rows-only -> invariant-band oracles, VERDICT r6 #6 — with the CV/
+# tuning harnesses and the fixture band converted late in round 7,
+# every one of the 237 registered queries is now oracle-bearing);
 # (b) the three r6 invariant-band oracles no driver has ever executed:
 # random_split_counts, stratified_sample_counts, approx_aggregates
 # (VERDICT r6 #3 — their r3/r4 rows predate the band oracles);
@@ -144,10 +146,9 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
 )
 
 # Expensive, many-times-verified entries parked at the very end of the
-# registration order (the full ALS fits; als_rmse and
-# als_precision_recall_at_k gained invariant-band oracles in round 7 and
-# are pinned for r8 re-verification — move them into the r8 window head
-# when the rotation advances).
+# registration order (the full ALS fits; all five gained invariant-band
+# oracles in round 7 and are pinned for r8 re-verification — move them
+# into the r8 window head when the rotation advances).
 DRIVER_CHECK_LAST: tuple[str, ...] = (
     "als_rmse",
     "als_precision_recall_at_k",

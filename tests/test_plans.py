@@ -609,6 +609,10 @@ def test_next_window_plan_comment_is_exact():
         "als_rmse",
         "pipeline_classifier_eval",
         "embedding_pca_top_component",
+        "als_cross_validation",
+        "als_hyperparam_search",
+        "als_implicit_topk",
+        "als_fixture_rmse_band",
         "random_split_counts",
         "stratified_sample_counts",
         "approx_aggregates",

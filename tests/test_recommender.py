@@ -82,9 +82,12 @@ def test_als_model_predicts_in_range(spark, sf_dir):
 
 
 def test_als_cross_validation_shape(spark, sf_dir):
-    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import als_cross_validation
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import (
+        als_cross_validation,
+        als_cross_validation_detail,
+    )
 
-    rows = als_cross_validation(spark, sf_dir).collect()
+    rows = als_cross_validation_detail(spark, sf_dir).collect()
     assert len(rows) == 5  # 3 folds + full-fidelity fold_1 + mean
     by_fold = {r.fold: r.rmse for r in rows}
     assert "mean" in by_fold
@@ -92,19 +95,37 @@ def test_als_cross_validation_shape(spark, sf_dir):
     assert all(v > 0 for v in by_fold.values())
     iters = {r.fold: r.max_iter for r in rows}
     assert iters["fold_1_full"] == 10 and iters["fold_1"] == 3
+    # independent recomputation of the registered invariants (ADVICE r6:
+    # the oracle pins engine booleans TRUE, so pytest recomputes the bands)
+    short = [by_fold[f] for f in ("fold_1", "fold_2", "fold_3")]
+    assert by_fold["mean"] == round(sum(short) / len(short), 4)
+    assert all(0 < v < 25 for v in by_fold.values())
+    inv = als_cross_validation(spark, sf_dir).collect()[0]
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import ratings
+
+    assert inv.n_total == ratings(spark, sf_dir).count()
+    assert inv.folds_conserved and inv.rmse_in_band
+    assert inv.mean_consistent and inv.has_full_fidelity
 
 
 def test_als_fixture_rmse_band_gates(spark, sf_dir):
     """ADVICE r3: the in_band flag must actually gate — a quality
     regression outside the reference band has to fail SOMEWHERE, and the
-    driver row is rows-only, so this assert is the gate."""
-    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import als_fixture_rmse_band
+    driver row hashes only the booleans, so this assert is the value gate."""
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import (
+        als_fixture_rmse_band,
+        als_fixture_rmse_detail,
+    )
 
-    row = als_fixture_rmse_band(spark, sf_dir).collect()[0]
+    row = als_fixture_rmse_detail(spark, sf_dir).collect()[0]
     assert row.in_band, (
         f"fixture RMSE {row.rmse} outside reference band "
         f"({row.band_lo}, {row.band_hi}]"
     )
+    inv = als_fixture_rmse_band(spark, sf_dir).collect()[0]
+    assert inv.n_fixture == 400 * 40  # fixtures.py N_USERS x PER_USER
+    assert (inv.band_lo, inv.band_hi) == (0.4, 0.93)
+    assert inv.in_band == row.in_band
 
 
 def test_als_quality_on_movielens_shaped_fixture(spark):
@@ -177,26 +198,40 @@ def test_als_hyperparam_search_selects_best(spark, sf_dir):
         SWEEP_RANKS,
         SWEEP_REGS,
         als_hyperparam_search,
+        als_hyperparam_search_detail,
     )
 
-    rows = als_hyperparam_search(spark, sf_dir).collect()
+    rows = als_hyperparam_search_detail(spark, sf_dir).collect()
     assert len(rows) == len(SWEEP_RANKS) * len(SWEEP_REGS)
     best = [r for r in rows if r.is_best]
     assert len(best) == 1
     assert best[0].avg_rmse == min(r.avg_rmse for r in rows)
     assert all(r.avg_rmse > 0 for r in rows)
+    # independent recomputation of the registered invariants (ADVICE r6)
+    inv = als_hyperparam_search(spark, sf_dir).collect()
+    assert {(r.rank, r.reg_param) for r in inv} == {
+        (rank, reg) for rank in SWEEP_RANKS for reg in SWEEP_REGS
+    }
+    assert all(r.rmse_in_band and r.one_best and r.best_is_min for r in inv)
 
 
 def test_als_implicit_topk_shape(spark, sf_dir):
-    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import als_implicit_topk
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import (
+        als_implicit_topk,
+        als_implicit_topk_detail,
+    )
 
-    rows = als_implicit_topk(spark, sf_dir).collect()
+    rows = als_implicit_topk_detail(spark, sf_dir).collect()
     assert len(rows) == 5 * 5
     by_user: dict[int, list[float]] = {}
-    for r in rows:
+    for r in sorted(rows, key=lambda r: (r.user_id, r.pos)):
         by_user.setdefault(r.user_id, []).append(r.score)
     assert len(by_user) == 5
     for scores in by_user.values():
         assert scores == sorted(scores, reverse=True)  # ranked desc per user
         # implicit ALS scores approximate a 0/1 preference
         assert all(-1.0 <= s <= 2.0 for s in scores)
+    # independent recomputation of the registered invariants (ADVICE r6)
+    inv = als_implicit_topk(spark, sf_dir).collect()[0]
+    assert (inv.n_users, inv.n_rows) == (5, 25)
+    assert inv.k_per_user and inv.scores_nonincreasing and inv.items_in_catalog
