@@ -82,7 +82,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # + als_hyperparam_search + als_implicit_topk + als_fixture_rmse_band
 # (rows-only -> invariant-band oracles, VERDICT r6 #6 — with the CV/
 # tuning harnesses and the fixture band converted late in round 7,
-# every one of the 237 registered queries is now oracle-bearing);
+# every one of the 237 registered queries is now oracle-bearing),
+# hll_distinct_rollup + hll_sliding_distinct + streaming_hll_distinct
+# (exact-estimate oracles -> exact-anchor + band-verdict after the 10x
+# parity sweep showed coupon-hash collisions make sketch-estimate
+# exactness data-luck; their old green rows hashed the estimates);
 # (b) the three r6 invariant-band oracles no driver has ever executed:
 # random_split_counts, stratified_sample_counts, approx_aggregates
 # (VERDICT r6 #3 — their r3/r4 rows predate the band oracles);

@@ -858,31 +858,47 @@ def streaming_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_hll_distinct",
     oracle="""
-    SELECT event_type, COUNT(DISTINCT user_id) AS approx_users
+    -- hll_within_pct is evaluated engine-side against the pinned band
+    -- abs(streamed_hll_estimate - n_users) <= greatest(2, 0.01 * n_users)
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           TRUE AS hll_within_pct
     FROM events GROUP BY event_type
     """,
     doc="Streaming distinct-count via mergeable HLL sketches — the only "
     "shape a per-key streaming COUNT(DISTINCT) keeps at scale: exact "
     "streaming distinct would hold every seen user id as state, while "
-    "the sketch keeps O(16 KiB) per key no matter how many users flow "
+    "the sketch keeps O(256 KiB) per key no matter how many users flow "
     "through, and each micro-batch MERGES into that bounded state "
     "(hll_sketch_agg is a mergeable aggregate, so it runs under "
     "complete-mode streaming aggregation unchanged). The estimate is "
-    "applied AFTER the stateful agg, per emitted row. Oracle is the "
-    "exact batch distinct — equal while the sketch is in coupon mode "
-    "(operators/sketches.py module docstring).",
+    "applied AFTER the stateful agg, per emitted row. Verification "
+    "shape: the streamed estimate is band-checked against a batch-exact "
+    "twin join (sketch estimates are not bit-stable across "
+    "cardinalities — operators/sketches.py _hll_within_band), and the "
+    "exact anchor column is what the oracle hashes.",
 )
 def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import HLL_LG_K
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import (
+        HLL_LG_K,
+        _hll_within_band,
+    )
 
     stream = _events_stream(spark, sf_dir)
     sketched = stream.groupBy("event_type").agg(
         F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk")
     )
     est = sketched.select(
-        "event_type", F.expr("hll_sketch_estimate(sk)").alias("approx_users")
+        "event_type", F.expr("hll_sketch_estimate(sk)").alias("est")
     )
-    return _run_to_memory(est, "complete")
+    streamed = _run_to_memory(est, "complete")
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    return streamed.join(exact, "event_type").select(
+        "event_type", "n_users", _hll_within_band(F.col("est"), "n_users")
+    )
 
 
 STREAM_TOPK_K = 10
