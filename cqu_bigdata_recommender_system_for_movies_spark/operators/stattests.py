@@ -253,7 +253,7 @@ COMPACT_TARGET_BYTES = 64 * 1024  # target output "file" size for the plan
     ),
     binned AS (
         SELECT source,
-               CAST(FLOOR((cum - 1) / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin,
+               CAST(FLOOR((cum - n_chars) / {COMPACT_TARGET_BYTES}) AS BIGINT) AS bin,
                doc_id, n_chars
         FROM sized
     )
@@ -267,9 +267,13 @@ COMPACT_TARGET_BYTES = 64 * 1024  # target output "file" size for the plan
     doc="Compaction planner (the OPTIMIZE/bin-packing step of a lakehouse "
     "table service): within each source, order fragments by key, take "
     "the running byte total, and cut output files at every "
-    "TARGET_BYTES boundary -- floor((cum-1)/target) assigns each "
-    "fragment to a bin so every bin except the last is >= target once "
-    "closed. Emits the plan (bin -> fragment range + bytes), which is "
+    "TARGET_BYTES boundary -- floor((cum - n_chars)/target) assigns "
+    "each fragment to the file where it STARTS, so a boundary-"
+    "straddling fragment closes the bin it began in and every closed "
+    "bin's cumulative covers its boundary. (The end-based "
+    "floor((cum-1)/target) variant under-filled closed bins -- caught "
+    "by the 10x parity sweep; vacuously green below it because "
+    "sf0.001 sources fit in one bin.) Emits the plan (bin -> fragment range + bytes), which is "
     "what the rewrite job would execute. The running sum is a per-"
     "source window -- at 100 TB that is one shuffle on the partition "
     "column, the same key the files are already clustered by.",
@@ -289,7 +293,8 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sized.withColumn(
-            "bin", F.floor((F.col("cum") - 1) / COMPACT_TARGET_BYTES)
+            "bin",
+            F.floor((F.col("cum") - F.col("n_chars")) / COMPACT_TARGET_BYTES),
         )
         .groupBy("source", "bin")
         .agg(
