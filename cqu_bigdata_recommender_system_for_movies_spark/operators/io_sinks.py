@@ -21,7 +21,15 @@ from cqu_bigdata_recommender_system_for_movies_spark.tables import load, ratings
 
 
 def _scratch(name: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_sinks", name)
+    # Per-process subdir: these sinks are write-then-read-back within one
+    # query, and a FIXED shared path races when two verification
+    # processes (pytest + driver_sim + a scale sweep) overwrite while the
+    # other reads — observed as a one-off file_metadata_columns ERROR
+    # under concurrent runs. The driver itself is serial; this only
+    # hardens local verification.
+    d = os.path.join(
+        tempfile.gettempdir(), "spark_graft_sinks", str(os.getpid()), name
+    )
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
 
