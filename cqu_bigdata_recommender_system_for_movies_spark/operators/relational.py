@@ -567,15 +567,22 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "preagg_join_rollup",
     oracle="""
+    -- revenue in exact integer ten-thousandths: price and discount are
+    -- exact cents, so round(price*100) * (100 - round(discount*100)) is
+    -- an exact BIGINT per row and the SUM is order-independent -- the
+    -- double SUM(price * (1 - discount)) diverged between engines by
+    -- ~0.01 on 1e10-scale nation totals at 10x data (accumulation order)
     WITH per_supp AS (
         SELECT l_suppkey,
-               SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                   AS revenue_e4,
                COUNT(*) AS n_items
         FROM lineitem GROUP BY l_suppkey
     )
     SELECT n.n_name,
            CAST(SUM(ps.n_items) AS BIGINT) AS n_items,
-           ROUND(SUM(ps.revenue), 2) AS revenue
+           CAST(SUM(ps.revenue_e4) AS BIGINT) / 10000.0 AS revenue
     FROM per_supp ps
     JOIN supplier s ON ps.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -591,16 +598,20 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-key PARTIALS, cutting exchange volume by the fact:supplier "
     "ratio (~60x here, unbounded at 100 TB). Correct because revenue "
     "is algebraic and the join is N:1 along the supplier FK -- the "
-    "re-aggregation over nations merges disjoint supplier partials.",
+    "re-aggregation over nations merges disjoint supplier partials. "
+    "Revenue accumulates in exact integer ten-thousandths (prices and "
+    "discounts are exact cents), so the partial/merge result is "
+    "order-independent -- the double-SUM form diverged ~0.01 on "
+    "1e10-scale totals at 10x data from accumulation order alone.",
 )
 def preagg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
     per_supp = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        ),
+        F.sum(price_c * (F.lit(100) - disc_pct)).alias("revenue_e4"),
         F.count("*").alias("n_items"),
     )
     return (
@@ -611,7 +622,9 @@ def preagg_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum("n_items").alias("n_items"),
-            F.round(F.sum("revenue"), 2).alias("revenue"),
+            (F.sum("revenue_e4").cast("long") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
         )
     )
 
