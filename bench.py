@@ -274,6 +274,13 @@ EXPECTED_SHIFTS = {
     # empty-result records.
     "range_join_events_orders": "pre-r7 record timed a 0-row vacuous join",
     "interval_overlap_join": "pre-r7 record timed a 0-row vacuous join",
+    # The 10x parity sweep showed sketch-estimate exactness is data-luck
+    # (coupon-hash collisions), so the HLL trio now also computes exact
+    # COUNT(DISTINCT) verification-twin anchors in-query — the twin pass
+    # is the added cost, not the sketch path (operators/sketches.py).
+    "hll_distinct_rollup": "r7 added exact distinct verification twins",
+    "hll_sliding_distinct": "r7 added exact distinct verification twins",
+    "streaming_hll_distinct": "r7 added an exact batch-twin join",
 }
 # The delta floor exists because single-shot timings of short queries are
 # noisy: round 4 flagged global_stats 1.106->1.510 and dedup_exact
