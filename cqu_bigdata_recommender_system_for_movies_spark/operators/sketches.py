@@ -11,14 +11,17 @@ it is why production pipelines persist sketch columns in their rollup
 tables. The reference has no sketch surface; SURVEY.md §2 lists this
 under the beyond-reference pipeline extensions.
 
-Correctness note (why these can still be oracle-checked exactly): a
-DataSketches HLL sketch stores raw coupon hashes until the set outgrows
-its exact mode (~3/4·2^(lgK-3) distinct), so at the verified scale
-factors (≤ 15k distinct users in the 10× parity sweep, vs lgK=18's
-~24.5k boundary; probed empirically for direct and union paths) the
-estimate equals the exact count. The frequent-items sketch is exact while
-no eviction occurs, i.e. while maxItemsTracked exceeds the number of
-distinct keys. Both caps are asserted in tests/test_sketches.py so a
+Correctness note: the HLL oracles hash EXACT COUNT(DISTINCT) anchor
+columns only; the sketch estimate feeds an in-query band verdict
+(|est − exact| ≤ max(2, 1%·exact)) whose formula is pinned in each
+oracle's text. The band holds at ANY cardinality: below the coupon/SET
+boundary (~3/4·2^(lgK-3) distinct ≈ 24.5k at lgK=18, probed
+empirically for direct and union paths) deviation is a couple of
+coupon-hash collisions; above it, lgK=18's 3σ relative error is
+0.61% < 1%. tests/test_sketches.py recomputes the band independently.
+The frequent-items sketch IS oracle-checked exactly — valid while no
+eviction occurs, i.e. while maxItemsTracked (Spark's 1M cap) exceeds
+distinct keys; that cap is asserted in tests/test_sketches.py so a
 testdata change that breaks the exact-mode assumption fails loudly
 instead of silently flipping a driver row.
 """
@@ -53,9 +56,11 @@ TOPK_K = 20
 def _hll_within_band(est, exact_col: str):
     """Band verdict column: |estimate − exact| ≤ greatest(2, 1% · exact).
 
-    The band every HLL oracle pins in its text. In coupon mode (guard
-    test: tests/test_sketches.py::test_hll_sketch_stays_exact) the
-    deviation is bounded by a couple of 26-bit coupon-hash collisions —
+    The band every HLL oracle pins in its text (asserted independently
+    at any cardinality by
+    tests/test_sketches.py::test_hll_band_holds_at_this_sf). In coupon
+    mode the deviation is bounded by a couple of 26-bit coupon-hash
+    collisions —
     the 10× parity sweep surfaced exactly that: 37 of 720 sliding
     windows off by one at ~3.5k distinct/window, so bit-exact oracles
     on sketch ESTIMATES are data-luck, not a contract. Past coupon

@@ -51,19 +51,28 @@ def test_hll_rollup_total_matches_merged_sketches(spark, sf_dir):
     assert abs(est - exact_total) <= max(2.0, 0.01 * exact_total)
 
 
-def test_hll_sketch_stays_exact(spark, sf_dir):
+def test_hll_band_holds_at_this_sf(spark, sf_dir):
+    """The HLL accuracy contract is the BAND, not exactness: in coupon
+    mode (below ~3/4 * 2^(lgK-3) distinct) estimates are exact up to
+    coupon-hash collisions; past it, lgK=18's 3-sigma relative error is
+    0.61% < the 1% band. Assert the pinned band formula independently at
+    whatever cardinality this sf has — the oracles hash only the exact
+    anchor columns, so this test (not bit-exactness) is what must hold
+    at every scale."""
     from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import HLL_LG_K
 
-    # DataSketches HLL leaves exact coupon/SET mode at ~3/4 * 2^(lgK-3)
-    # distinct items (probed empirically in operators/sketches.py); every
-    # sketch in the HLL queries covers at most the full distinct-user set.
-    coupon_cap = 3 * (2 ** (HLL_LG_K - 3)) // 4
-    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
-    assert n_users < coupon_cap, (
-        "HLL sketch would leave exact mode: estimates no longer equal exact "
-        "distinct counts and the oracle comparison in test_oracle_parity is "
-        "invalid at this sf"
+    exact = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    est = (
+        load(spark, sf_dir, "events")
+        .agg(
+            F.expr(
+                f"hll_sketch_estimate(hll_sketch_agg(user_id, {HLL_LG_K}))"
+            ).alias("e")
+        )
+        .collect()[0]
+        .e
     )
+    assert abs(est - exact) <= max(2.0, 0.01 * exact), (est, exact)
 
 
 def test_topk_sketch_stays_exact(spark, sf_dir):
