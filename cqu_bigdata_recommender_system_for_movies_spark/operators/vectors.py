@@ -243,6 +243,28 @@ def _lsh_bucket_col(col: str, n_planes: int = N_PLANES_MIN) -> Column:
     return F.concat(*bits)
 
 
+def _n_planes_sql(count_expr: str) -> str:
+    """SQL twin of derive_n_planes: the oracle derives the plane count
+    from the SAME corpus cardinality (via a scalar subquery) instead of
+    hard-coding the floor, so engine and oracle agree at ANY scale —
+    the static-8 form silently diverged once the corpus outgrew the
+    floor (caught by the 10x plan sweep: derive_n_planes(20k)=11 vs the
+    oracle's 8; the LSH parity greens at that sf were replica-data
+    luck)."""
+    return (
+        f"LEAST({N_PLANES_MAX}, GREATEST({N_PLANES_MIN}, "
+        f"CAST(CEIL(LOG2(({count_expr}) / {TARGET_BUCKET_SIZE}.0 + 1)) AS BIGINT)))"
+    )
+
+
+def _lsh_bucket_sql_dynamic(col: str, np_scalar: str) -> str:
+    """Bucket = the first `np_scalar` bits of the full N_PLANES_MAX-bit
+    sign string — bitwise identical to _lsh_bucket_col(col, n) because
+    plane p's bit is a pure function of p, so an n-plane bucket IS the
+    n-prefix of the 24-plane string."""
+    return f"substr({_lsh_bucket_sql_expr(col, N_PLANES_MAX)}, 1, CAST({np_scalar} AS INTEGER))"
+
+
 @register(
     "graph_embedding_propagation",
     oracle=f"""
@@ -311,8 +333,11 @@ PERTURB = 0.01  # per-dim shift: twins keep cosine >= ~0.996 to their
         FROM base WHERE vec_id < {N_INJECTED}
     ),
     allv AS (SELECT * FROM base UNION ALL SELECT * FROM aug),
+    np AS (SELECT {_n_planes_sql('COUNT(*)')} AS p FROM allv),
     b AS (
-        SELECT vec_id, e, {_lsh_bucket_sql_expr('e')} AS bucket FROM allv
+        SELECT vec_id, e,
+               {_lsh_bucket_sql_dynamic('e', '(SELECT p FROM np)')} AS bucket
+        FROM allv
     )
     SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
            ROUND(list_dot_product(a.e, x.e) /
@@ -365,9 +390,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     oracle=f"""
-    WITH b AS (
+    WITH np AS (SELECT {_n_planes_sql('COUNT(*)')} AS p FROM embeddings),
+    b AS (
         SELECT vec_id, embedding,
-               {_lsh_bucket_sql_expr('embedding')} AS bucket
+               {_lsh_bucket_sql_dynamic('embedding', '(SELECT p FROM np)')} AS bucket
         FROM embeddings
     ),
     pairs AS (
@@ -390,8 +416,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Approximate nearest neighbors via sign-LSH: deterministic "
     "hyperplanes, count derived from corpus size (derive_n_planes: 2^p "
-    "buckets of ~16 vectors, floor 8 planes = the oracle's count at "
-    "sf<=0.01); candidates are same-bucket only, so the all-pairs O(n²) "
+    "buckets of ~16 vectors; the oracle derives the SAME count from a "
+    "COUNT(*) scalar subquery, so engine and oracle agree at any "
+    "scale); candidates are same-bucket only, so the all-pairs O(n²) "
     "cosine becomes O(Σ bucket²) and bucket size stays bounded as data "
     "grows. Output: top-3 bucket-local neighbors for the first 50 ids.",
 )

@@ -86,7 +86,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # hll_distinct_rollup + hll_sliding_distinct + streaming_hll_distinct
 # (exact-estimate oracles -> exact-anchor + band-verdict after the 10x
 # parity sweep showed coupon-hash collisions make sketch-estimate
-# exactness data-luck; their old green rows hashed the estimates);
+# exactness data-luck; their old green rows hashed the estimates),
+# ann_lsh_topk + embedding_near_dup_pairs (static-8-plane oracles ->
+# data-derived plane count via _n_planes_sql, the scale-true form; the
+# old oracles only matched while derive_n_planes resolved to the
+# 8-plane floor);
 # (b) the three r6 invariant-band oracles no driver has ever executed:
 # random_split_counts, stratified_sample_counts, approx_aggregates
 # (VERDICT r6 #3 — their r3/r4 rows predate the band oracles);

@@ -301,22 +301,32 @@ def test_ann_construction_runs_no_job(spark, sf_dir, monkeypatch):
     all_queries()["embedding_near_dup_pairs"](spark, sf_dir)
 
 
-def test_lsh_plane_count_pinned_at_oracle_sfs(sf_dir):
-    """The DuckDB oracles hard-code 8 hyperplanes; derive_n_planes must
-    resolve to exactly 8 at every oracle-checked scale (sf0.001 locally,
-    sf0.01 on the driver) — if the corpus outgrows the floor, this fails
-    loudly instead of surfacing as an inscrutable hash mismatch."""
+def test_lsh_plane_count_matches_oracle_formula(sf_dir):
+    """The LSH oracles derive the hyperplane count from a COUNT(*) scalar
+    subquery using _n_planes_sql — the SQL twin of derive_n_planes. The
+    two formulas must resolve to the SAME integer at any sf (the old
+    static-8 oracle silently diverged once the corpus outgrew the floor:
+    derive_n_planes(20k)=11 at 10x data while the oracle stayed at 8,
+    and the parity greens there were replica-data luck)."""
+    import duckdb
+
     from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
         N_INJECTED,
-        N_PLANES_MIN,
+        _n_planes_sql,
         derive_n_planes,
     )
     from cqu_bigdata_recommender_system_for_movies_spark.tables import table_row_count
 
+    con = duckdb.connect()
     for sf in (sf_dir, "/root/testdata/sf0.01"):
-        n = table_row_count(sf, "embeddings")
-        assert derive_n_planes(n) == N_PLANES_MIN
-        assert derive_n_planes(n + N_INJECTED) == N_PLANES_MIN
+        for extra in (0, N_INJECTED):
+            sql_np = con.execute(
+                f"SELECT {_n_planes_sql(f'COUNT(*) + {extra}')} "
+                f"FROM read_parquet('{sf}/embeddings.parquet')"
+            ).fetchone()[0]
+            assert sql_np == derive_n_planes(
+                table_row_count(sf, "embeddings") + extra
+            ), (sf, extra)
 
 
 def test_simhash_pairs_single_scan_no_cartesian(spark, sf_dir):
