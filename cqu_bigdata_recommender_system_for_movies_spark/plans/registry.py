@@ -94,9 +94,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (b) the three r6 invariant-band oracles no driver has ever executed:
 # random_split_counts, stratified_sample_counts, approx_aggregates
 # (VERDICT r6 #3 — their r3/r4 rows predate the band oracles);
-# (c) oldest-green-first re-confirmations filling the remaining ~40
-# slots (r3 rows first: cosine_topk, wordcount_documents,
-# dot_product_topk, dedup_exact, ngram_jaccard_pairs, ...).
+# (c) oldest-green-first re-confirmations filling the remaining slots.
+# The EXACT 50-name list is pinned as R8_WINDOW below (rule re-derived
+# and asserted by tests/test_plans.py::test_r8_window_pin); the r8
+# rotation is: DRIVER_CHECK_FIRST = R8_WINDOW, drop the overlapping
+# names from DRIVER_CHECK_LAST.
 DRIVER_WINDOW = 50
 
 DRIVER_CHECK_FIRST: tuple[str, ...] = (
@@ -163,6 +165,73 @@ DRIVER_CHECK_LAST: tuple[str, ...] = (
     "als_cross_validation",
     "als_hyperparam_search",
     "als_implicit_topk",
+)
+
+# The EXACT round-8 window, pinned in round 7 (VERDICT r6 #5) so the r8
+# rotation is mechanical: set DRIVER_CHECK_FIRST = R8_WINDOW (dropping
+# the R8 names from DRIVER_CHECK_LAST) at the start of round 8. Rule,
+# recomputed and asserted by tests/test_plans.py::test_r8_window_pin:
+# (a) every query whose implementation or oracle changed in round 7
+# (R8_PRIORITY_RECHECK head: the re-anchored band joins, the
+# Spark-plan-rounded streaming interest pair, the 11 rows-only->band
+# conversions, the 3 band-verdict HLL conversions, the 2 data-derived
+# LSH oracles), then (b) the 3 r6 band oracles no driver has executed,
+# then (c) oldest-green-first (last driver round ascending, raw
+# registration order as tie-break, r7-window names excluded since their
+# rows are freshest) up to the 50-slot window.
+R8_PRIORITY_RECHECK: tuple[str, ...] = (
+    "range_join_events_orders",
+    "interval_overlap_join",
+    "streaming_interest_fold",
+    "streaming_recommend_emit",
+    "als_recommend_topk",
+    "als_precision_recall_at_k",
+    "kmeans_embedding_clusters",
+    "als_rmse",
+    "pipeline_classifier_eval",
+    "embedding_pca_top_component",
+    "als_cross_validation",
+    "als_hyperparam_search",
+    "als_implicit_topk",
+    "als_fixture_rmse_band",
+    "hll_distinct_rollup",
+    "hll_sliding_distinct",
+    "streaming_hll_distinct",
+    "ann_lsh_topk",
+    "embedding_near_dup_pairs",
+    "random_split_counts",
+    "stratified_sample_counts",
+    "approx_aggregates",
+)
+R8_WINDOW: tuple[str, ...] = R8_PRIORITY_RECHECK + (
+    "streaming_session_window",
+    "full_outer_reconciliation",
+    "grouping_sets_suite",
+    "unpivot_doc_metrics",
+    "cohort_retention",
+    "funnel_conversion",
+    "feature_engineering_suite",
+    "cdc_latest_state",
+    "sequence_pack_assignments",
+    "udaf_weighted_mean",
+    "grouped_map_zscore",
+    "cogroup_user_order_stats",
+    "partitioned_write_pruned_read",
+    "bucketed_join_agg",
+    "json_source_roundtrip",
+    "orc_sink_roundtrip",
+    "binary_file_source_scan",
+    "image_source_metadata_scan",
+    "multimodal_decode_features",
+    "python_datasource_scan",
+    "python_datasource_stream",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_dedup",
+    "cosine_topk",
+    "dot_product_topk",
+    "ann_ivf_topk",
+    "content_based_recommend",
 )
 
 

@@ -634,6 +634,58 @@ def test_next_window_plan_comment_is_exact():
     )
 
 
+def test_r8_window_pin():
+    """VERDICT r6 #5: the EXACT r8 window is pinned in r7 so the rotation
+    is mechanical. Recompute it from the stated rule — priority recheck
+    head (r7-changed + never-executed band oracles), then
+    oldest-green-first (last driver round ascending, raw registration
+    order tie-break, r7-window names excluded) — and assert the pinned
+    tuple matches bit for bit."""
+    import glob
+    import json
+    import os
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        DRIVER_WINDOW,
+        QUERIES,
+        R8_PRIORITY_RECHECK,
+        R8_WINDOW,
+    )
+
+    all_queries()  # populate the registry
+    assert len(R8_WINDOW) == DRIVER_WINDOW
+    assert len(set(R8_WINDOW)) == len(R8_WINDOW)
+    assert R8_WINDOW[: len(R8_PRIORITY_RECHECK)] == R8_PRIORITY_RECHECK
+    unknown = [n for n in R8_WINDOW if n not in QUERIES]
+    assert not unknown, f"r8 window names unregistered queries: {unknown}"
+    overlap = set(R8_WINDOW) & set(DRIVER_CHECK_FIRST)
+    assert not overlap, (
+        f"r8 window repeats r7-window names whose rows are freshest: {overlap}"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    import re
+
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-6].json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    names = list(QUERIES)
+    rest = [
+        n
+        for n in names
+        if n not in set(R8_PRIORITY_RECHECK) and n not in set(DRIVER_CHECK_FIRST)
+    ]
+    rest.sort(key=lambda n: (last.get(n, 99), names.index(n)))
+    expect = R8_PRIORITY_RECHECK + tuple(rest[: DRIVER_WINDOW - len(R8_PRIORITY_RECHECK)])
+    assert R8_WINDOW == expect, (
+        "pinned R8_WINDOW deviates from the oldest-green-first rule: "
+        f"{[(a, b) for a, b in zip(R8_WINDOW, expect) if a != b]}"
+    )
+
+
 def test_prefix_filter_recall_dominates_capped_index(spark, sf_dir):
     """The AllPairs prefix filter is EXACT (no false negatives), while the
     df-capped inverted index bounds recall: at the same threshold, every
