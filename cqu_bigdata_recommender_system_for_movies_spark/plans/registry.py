@@ -176,9 +176,10 @@ DRIVER_CHECK_LAST: tuple[str, ...] = (
 # Spark-plan-rounded streaming interest pair, the 11 rows-only->band
 # conversions, the 3 band-verdict HLL conversions, the 2 data-derived
 # LSH oracles), then (b) the 3 r6 band oracles no driver has executed,
-# then (c) oldest-green-first (last driver round ascending, raw
-# registration order as tie-break, r7-window names excluded since their
-# rows are freshest) up to the 50-slot window.
+# then (c) oldest-green-first (last driver round ascending, NAME as the
+# tie-break — registry insertion order varies with module import order,
+# so it cannot anchor a pinned list — r7-window names excluded since
+# their rows are freshest) up to the 50-slot window.
 R8_PRIORITY_RECHECK: tuple[str, ...] = (
     "range_join_events_orders",
     "interval_overlap_join",
@@ -204,34 +205,34 @@ R8_PRIORITY_RECHECK: tuple[str, ...] = (
     "approx_aggregates",
 )
 R8_WINDOW: tuple[str, ...] = R8_PRIORITY_RECHECK + (
-    "streaming_session_window",
-    "full_outer_reconciliation",
-    "grouping_sets_suite",
-    "unpivot_doc_metrics",
-    "cohort_retention",
-    "funnel_conversion",
-    "feature_engineering_suite",
-    "cdc_latest_state",
-    "sequence_pack_assignments",
-    "udaf_weighted_mean",
-    "grouped_map_zscore",
-    "cogroup_user_order_stats",
-    "partitioned_write_pruned_read",
-    "bucketed_join_agg",
-    "json_source_roundtrip",
-    "orc_sink_roundtrip",
-    "binary_file_source_scan",
-    "image_source_metadata_scan",
-    "multimodal_decode_features",
-    "python_datasource_scan",
-    "python_datasource_stream",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_dedup",
-    "cosine_topk",
-    "dot_product_topk",
     "ann_ivf_topk",
+    "array_functions_suite",
+    "binary_file_source_scan",
+    "bucketed_join_agg",
+    "cdc_latest_state",
+    "cogroup_user_order_stats",
+    "cohort_retention",
     "content_based_recommend",
+    "cosine_topk",
+    "dedup_exact",
+    "doc_chunk_overlap",
+    "doc_chunk_udtf",
+    "doc_fingerprint",
+    "dot_product_topk",
+    "feature_engineering_suite",
+    "full_outer_reconciliation",
+    "funnel_conversion",
+    "grouped_map_zscore",
+    "grouping_sets_suite",
+    "image_source_metadata_scan",
+    "json_source_roundtrip",
+    "lang_distribution",
+    "lang_id_heuristic",
+    "minhash_lsh_dedup",
+    "multimodal_decode_features",
+    "ngram_jaccard_pairs",
+    "orc_sink_roundtrip",
+    "partitioned_write_pruned_read",
 )
 
 

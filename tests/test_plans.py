@@ -638,9 +638,10 @@ def test_r8_window_pin():
     """VERDICT r6 #5: the EXACT r8 window is pinned in r7 so the rotation
     is mechanical. Recompute it from the stated rule — priority recheck
     head (r7-changed + never-executed band oracles), then
-    oldest-green-first (last driver round ascending, raw registration
-    order tie-break, r7-window names excluded) — and assert the pinned
-    tuple matches bit for bit."""
+    oldest-green-first (last driver round ascending, NAME tie-break —
+    registry insertion order varies with module import order, so it
+    cannot anchor a pinned list — r7-window names excluded) — and
+    assert the pinned tuple matches bit for bit."""
     import glob
     import json
     import os
@@ -672,13 +673,12 @@ def test_r8_window_pin():
         with open(path) as f:
             for name in json.load(f):
                 last[name] = max(last.get(name, 0), rnd)
-    names = list(QUERIES)
     rest = [
         n
-        for n in names
+        for n in QUERIES
         if n not in set(R8_PRIORITY_RECHECK) and n not in set(DRIVER_CHECK_FIRST)
     ]
-    rest.sort(key=lambda n: (last.get(n, 99), names.index(n)))
+    rest.sort(key=lambda n: (last.get(n, 99), n))
     expect = R8_PRIORITY_RECHECK + tuple(rest[: DRIVER_WINDOW - len(R8_PRIORITY_RECHECK)])
     assert R8_WINDOW == expect, (
         "pinned R8_WINDOW deviates from the oldest-green-first rule: "

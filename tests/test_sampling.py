@@ -42,9 +42,13 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
         F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", 0.5).alias("approx_median"),
     ).collect()[0]
-    # tighter than the registered 15% band: default rsd is 0.05
+    # Independent recompute of the registered band: 15% = 3x the default
+    # rsd 0.05. The rsd is a STANDARD DEVIATION, not a bound — a 1-sigma
+    # (5%) assertion here failed at sf0.1 with a routine 6.7% (1.3-sigma)
+    # estimate, so the test band must match the 3-sigma contract the
+    # oracle pins.
     assert abs(raw.approx_users - raw.exact_users) <= max(
-        2, 0.05 * raw.exact_users
+        2, 0.15 * raw.exact_users
     )
     assert raw.approx_median > 0
 
