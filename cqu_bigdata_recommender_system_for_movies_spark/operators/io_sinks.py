@@ -10,7 +10,9 @@ write.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -20,6 +22,9 @@ from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import regis
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load, ratings
 
 
+_CLEANUP_REGISTERED: list[str] = []
+
+
 def _scratch(name: str) -> str:
     # Per-process subdir: these sinks are write-then-read-back within one
     # query, and a FIXED shared path races when two verification
@@ -27,11 +32,18 @@ def _scratch(name: str) -> str:
     # other reads — observed as a one-off file_metadata_columns ERROR
     # under concurrent runs. The driver itself is serial; this only
     # hardens local verification.
-    d = os.path.join(
-        tempfile.gettempdir(), "spark_graft_sinks", str(os.getpid()), name
+    # The per-PID root is removed at interpreter exit (ADVICE r7: repeated
+    # verification runs would otherwise accumulate orphaned sink dirs in
+    # tmpdir). Registered once per process, on first use; ignore_errors
+    # because losing a sink dir at exit is not a failure.
+    pid_root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_sinks", str(os.getpid())
     )
-    os.makedirs(os.path.dirname(d), exist_ok=True)
-    return d
+    if not _CLEANUP_REGISTERED:
+        atexit.register(shutil.rmtree, pid_root, ignore_errors=True)
+        _CLEANUP_REGISTERED.append(pid_root)
+    os.makedirs(pid_root, exist_ok=True)
+    return os.path.join(pid_root, name)
 
 
 @register(

@@ -557,7 +557,11 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = cust.c_nationkey == supplier.s_nationkey
         if tight:
             cond = cond & (cust.c_custkey % 10 == supplier.s_suppkey % 10)
-        return cust.join(F.broadcast(supplier), cond).select(
+        # No broadcast hint: supplier grows linearly with scale factor, so a
+        # forced broadcast would be a 100 TB lie (ADVICE r7). AQE picks
+        # broadcast at small scale from observed sizes; at scale both passes
+        # are plain shuffle equi-joins on the blocking key.
+        return cust.join(supplier, cond).select(
             "c_custkey",
             "s_suppkey",
             F.levenshtein(

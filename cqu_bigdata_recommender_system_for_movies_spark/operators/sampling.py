@@ -36,8 +36,16 @@ SEED = 42
     --   conserved          := n_train + n_test == n_total
     --   train_frac_in_band := |n_train - 0.8*n_total|
     --                         <= max(4*sqrt(0.8*0.2*n_total), 5)
+    -- train_tol_4sigma recomputes that tolerance (same literal order, IEEE
+    -- multiply/sqrt are correctly rounded, so bits match) so the driver
+    -- hashes the band arithmetic, not just the verdict bit (VERDICT r7 #4)
     -- authoritative independent recomputation: tests/test_sampling.py
+    -- literals cast to DOUBLE: DuckDB parses bare 0.8 as DECIMAL, making
+    -- 0.8*0.2 an exact 0.16 where Python's double product is
+    -- 0.16000000000000003 — a 1-ULP hash mismatch in the tolerance
     SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           GREATEST(4*SQRT(CAST(0.8 AS DOUBLE)*CAST(0.2 AS DOUBLE)*COUNT(*)),
+                    5.0) AS train_tol_4sigma,
            TRUE AS conserved,
            TRUE AS train_frac_in_band
     FROM ({RATINGS_SQL})
@@ -55,17 +63,23 @@ def random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ratings(spark, sf_dir)
     train, test = r.randomSplit([0.8, 0.2], seed=SEED)
     n_train, n_test, n_total = train.count(), test.count(), r.count()
-    # Bernoulli(0.8) 4-sigma band; floor of 5 rows for tiny fixtures
+    # Bernoulli(0.8) 4-sigma band; floor of 5 rows for tiny fixtures.
+    # The tolerance is EMITTED and oracle-recomputed (VERDICT r7 #4):
+    # 0.8*0.2 first, then *n, sqrt, *4 — the same literal order as the
+    # oracle's GREATEST(4*SQRT(0.8*0.2*n), 5.0); IEEE multiply/sqrt are
+    # correctly rounded, so the doubles match bit-for-bit.
     tol = max(4 * math.sqrt(0.8 * 0.2 * n_total), 5.0)
     return spark.createDataFrame(
         [
             (
                 n_total,
+                tol,
                 n_train + n_test == n_total,
                 abs(n_train - 0.8 * n_total) <= tol,
             )
         ],
-        "n_total long, conserved boolean, train_frac_in_band boolean",
+        "n_total long, train_tol_4sigma double, conserved boolean, "
+        "train_frac_in_band boolean",
     )
 
 
@@ -102,11 +116,19 @@ def shuffle_tokens_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch now hash-fails on the driver.
     oracle="""
     -- engine-side band (pinned here for review visibility, ADVICE r6):
-    --   hll_in_band    := |approx_users - exact_users| <= 0.15*exact_users
+    --   hll_in_band    := |approx_users - exact_users| <= 0.15*exact_users,
+    --                     i.e. (x100, integer-exact)
+    --                     100*|approx_users - exact_users| <= 15*exact_users
     --   median_in_band := exact_p40 <= approx_median <= exact_p60
-    -- authoritative independent recomputation: tests/test_sampling.py
+    -- hll_tol_x100 and the rounded band bounds p40_r/p60_r are recomputed
+    -- here so the driver hashes the band arithmetic, not just the verdict
+    -- bits (VERDICT r7 #4); authoritative independent band recomputation:
+    -- tests/test_sampling.py
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(15 * COUNT(DISTINCT user_id) AS BIGINT) AS hll_tol_x100,
+           ROUND(quantile_cont(value, 0.4), 2) + 0.0 AS p40_r,
+           ROUND(quantile_cont(value, 0.6), 2) + 0.0 AS p60_r,
            TRUE AS hll_in_band,
            TRUE AS median_in_band
     FROM events
@@ -130,12 +152,23 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(0.6)).alias("p60"),
         F.count("*").alias("n"),
     )
+    # Driver-hashed band inputs (VERDICT r7 #4): the HLL tolerance in
+    # integer centi-units (15·exact = 100× the 0.15·exact band — exact
+    # BIGINT on both engines) and the median band bounds rounded to cents
+    # (+0.0 folds DuckDB's ROUND -0.0 to +0.0; both engines interpolate
+    # percentiles with the same p·(n-1) rule). The verdicts compare against
+    # these same emitted quantities, so the hashed columns are the ones the
+    # verdicts actually used.
+    hll_tol_x100 = F.lit(15).cast("long") * F.col("exact_users")
     return agg.select(
         "n",
         "exact_users",
+        hll_tol_x100.alias("hll_tol_x100"),
+        (F.round(F.col("p40"), 2) + F.lit(0.0)).alias("p40_r"),
+        (F.round(F.col("p60"), 2) + F.lit(0.0)).alias("p60_r"),
         (
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.15 * F.col("exact_users")
+            F.abs(F.col("approx_users") - F.col("exact_users")) * F.lit(100)
+            <= hll_tol_x100
         ).alias("hll_in_band"),
         (
             (F.col("approx_median") >= F.col("p40"))
@@ -285,6 +318,21 @@ STRATA_FRACTIONS = {
     "error": 0.1,
 }
 
+# The per-stratum fraction as SQL — the oracle's twin of the F.when chain
+# in stratified_sample_counts, generated from the SAME dict so the two
+# can't drift (repr() round-trips the double literal exactly).
+_STRATA_FRAC_SQL = (
+    "CASE event_type "
+    + " ".join(
+        # CAST to DOUBLE: DuckDB parses bare decimal literals as DECIMAL,
+        # which both fails the parity suite's no-decimal-columns rule and
+        # diverges from the engine's double arithmetic by 1 ULP
+        f"WHEN '{t}' THEN CAST({f!r} AS DOUBLE)"
+        for t, f in sorted(STRATA_FRACTIONS.items())
+    )
+    + " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
 
 @register(
     "stratified_sample_counts",
@@ -292,14 +340,21 @@ STRATA_FRACTIONS = {
     # per-stratum populations anchor the hash; the Bernoulli draw itself
     # is engine RNG, checked as a 4-sigma band boolean the oracle pins
     # TRUE (full-keep strata additionally require exact equality).
-    oracle="""
+    oracle=f"""
     -- engine-side band (pinned here for review visibility, ADVICE r6):
     --   sample_in_band := n_sample == n_total            when frac >= 1.0
     --                     |n_sample - frac*n_total|
     --                     <= max(4*sqrt(frac*(1-frac)*n_total), 5)  else
+    -- strata_frac and sample_tol_4sigma recompute the band inputs (the
+    -- CASE map is generated from the SAME dict as the engine's F.when
+    -- chain; IEEE multiply/sqrt are correctly rounded, so bits match) so
+    -- the driver hashes the band arithmetic too (VERDICT r7 #4)
     -- authoritative independent recomputation: tests/test_sampling.py
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_total,
+           {_STRATA_FRAC_SQL} AS strata_frac,
+           GREATEST(4*SQRT(({_STRATA_FRAC_SQL})*(1-({_STRATA_FRAC_SQL}))
+                           *COUNT(*)), 5.0) AS sample_tol_4sigma,
            TRUE AS sample_in_band
     FROM events GROUP BY event_type
     """,
@@ -335,8 +390,14 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_band = F.when(
         frac >= 1.0, F.col("n_sample") == F.col("n_total")
     ).otherwise(F.abs(F.col("n_sample") - frac * F.col("n_total")) <= tol)
+    # frac and tol are EMITTED and oracle-recomputed (VERDICT r7 #4): the
+    # driver hashes the band inputs, not just the verdict bit.
     return joined.select(
-        "event_type", "n_total", in_band.alias("sample_in_band")
+        "event_type",
+        "n_total",
+        frac.alias("strata_frac"),
+        tol.alias("sample_tol_4sigma"),
+        in_band.alias("sample_in_band"),
     )
 
 

@@ -12,8 +12,11 @@ tables. The reference has no sketch surface; SURVEY.md §2 lists this
 under the beyond-reference pipeline extensions.
 
 Correctness note: the HLL oracles hash EXACT COUNT(DISTINCT) anchor
-columns only; the sketch estimate feeds an in-query band verdict
-(|est − exact| ≤ max(2, 1%·exact)) whose formula is pinned in each
+columns plus the band TOLERANCE in integer centi-units (band_tol_x100 =
+greatest(200, exact) — recomputed independently by the oracle, so the
+driver verifies the band arithmetic, VERDICT r7 #4); the sketch estimate
+feeds an in-query band verdict (|est − exact| ≤ max(2, 1%·exact), i.e.
+100·|est − exact| ≤ band_tol_x100) whose formula is pinned in each
 oracle's text. The band holds at ANY cardinality: below the coupon/SET
 boundary (~3/4·2^(lgK-3) distinct ≈ 24.5k at lgK=18, probed
 empirically for direct and union paths) deviation is a couple of
@@ -53,23 +56,35 @@ TOPK_MAX_ITEMS_TRACKED = 1_000_000
 TOPK_K = 20
 
 
-def _hll_within_band(est, exact_col: str):
-    """Band verdict column: |estimate − exact| ≤ greatest(2, 1% · exact).
+def _hll_band_cols(est, exact_col: str) -> list:
+    """Band columns: the tolerance AND the verdict.
 
-    The band every HLL oracle pins in its text (asserted independently
-    at any cardinality by
-    tests/test_sketches.py::test_hll_band_holds_at_this_sf). In coupon
-    mode the deviation is bounded by a couple of 26-bit coupon-hash
-    collisions —
-    the 10× parity sweep surfaced exactly that: 37 of 720 sliding
-    windows off by one at ~3.5k distinct/window, so bit-exact oracles
-    on sketch ESTIMATES are data-luck, not a contract. Past coupon
-    mode, lgK=18's 3σ relative error is 0.61% < 1%.
+    Band: |estimate − exact| ≤ greatest(2, 1% · exact), equivalently (×100,
+    exact integer arithmetic) 100·|estimate − exact| ≤ greatest(200, exact).
+    The band every HLL oracle pins in its text (asserted independently at
+    any cardinality by tests/test_sketches.py::test_hll_band_holds_at_this_sf).
+    In coupon mode the deviation is bounded by a couple of 26-bit
+    coupon-hash collisions — the 10× parity sweep surfaced exactly that:
+    37 of 720 sliding windows off by one at ~3.5k distinct/window, so
+    bit-exact oracles on sketch ESTIMATES are data-luck, not a contract.
+    Past coupon mode, lgK=18's 3σ relative error is 0.61% < 1%.
+
+    VERDICT r7 #4: the verdict boolean alone is a self-reported bit — a
+    wrong tolerance formula would still hash-pass. So the tolerance is also
+    EMITTED, in integer centi-units (greatest(200, exact) = 100× the band
+    width — exactly representable as BIGINT on both engines), and the
+    oracle recomputes it from the exact anchor: the driver now hashes the
+    tolerance arithmetic, not just the verdict. The verdict itself compares
+    against this same emitted quantity, so the hashed column is the one the
+    verdict actually used.
     """
-    exact = F.col(exact_col).cast("double")
-    return (F.abs(est.cast("double") - exact) <= F.greatest(F.lit(2.0), F.lit(0.01) * exact)).alias(
-        "hll_within_pct"
+    exact = F.col(exact_col).cast("long")
+    tol_x100 = F.greatest(F.lit(200).cast("long"), exact)
+    verdict = (
+        F.abs(est.cast("double") - exact.cast("double")) * F.lit(100.0)
+        <= tol_x100.cast("double")
     )
+    return [tol_x100.alias("band_tol_x100"), verdict.alias("hll_within_pct")]
 
 
 @register(
@@ -87,9 +102,15 @@ def _hll_within_band(est, exact_col: str):
         FROM events
     )
     -- hll_within_pct is evaluated engine-side against the pinned band
-    -- abs(hll_estimate - n_users) <= greatest(2, 0.01 * n_users);
-    -- the exact anchors verify the rollup/merge logic engine-independently
-    SELECT event_type, n_users, n_events, TRUE AS hll_within_pct FROM t
+    -- abs(hll_estimate - n_users) <= greatest(2, 0.01 * n_users), i.e.
+    -- (x100, integer-exact) 100*abs(est - n_users) <= greatest(200, n_users);
+    -- band_tol_x100 recomputes that tolerance here so the driver hashes the
+    -- band arithmetic, not just the verdict bit (VERDICT r7 #4); the exact
+    -- anchors verify the rollup/merge logic engine-independently
+    SELECT event_type, n_users, n_events,
+           GREATEST(CAST(200 AS BIGINT), n_users) AS band_tol_x100,
+           TRUE AS hll_within_pct
+    FROM t
     """,
     doc="Mergeable distinct-count rollup: per-event_type distinct users "
     "via hll_sketch_agg, then the GRAND-TOTAL estimate derived by "
@@ -100,7 +121,7 @@ def _hll_within_band(est, exact_col: str):
     "COUNT(DISTINCT) anchor columns (oracle-checked bit-exactly) plus "
     "an in-query band verdict on the sketch estimate — sketch "
     "estimates are not bit-stable across cardinalities (coupon-hash "
-    "collisions; see _hll_within_band), so the accuracy contract is a "
+    "collisions; see _hll_band_cols), so the accuracy contract is a "
     "band, and only the verification twin pays for the exact pass.",
 )
 def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,14 +157,14 @@ def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ALL").alias("event_type"),
             "n_users",
             "n_events",
-            _hll_within_band(F.col("est"), "n_users"),
+            *_hll_band_cols(F.col("est"), "n_users"),
         )
     )
     per_type_est = per_type.select(
         "event_type",
         "n_users",
         "n_events",
-        _hll_within_band(F.expr("hll_sketch_estimate(sk)"), "n_users"),
+        *_hll_band_cols(F.expr("hll_sketch_estimate(sk)"), "n_users"),
     )
     return per_type_est.unionByName(total)
 
@@ -207,10 +228,15 @@ SLIDE_WINDOW_HOURS = 3  # trailing window: hours (b-2, b-1, b)
     ),
     hrs AS (SELECT DISTINCT h FROM e)
     -- hll_within_pct is evaluated engine-side against the pinned band
-    -- abs(hll_estimate - trailing_users) <= greatest(2, 0.01 * trailing_users)
+    -- abs(hll_estimate - trailing_users) <= greatest(2, 0.01 * trailing_users),
+    -- i.e. (x100, integer-exact) 100*abs(est - tu) <= greatest(200, tu);
+    -- band_tol_x100 recomputes that tolerance so the driver hashes the band
+    -- arithmetic, not just the verdict bit (VERDICT r7 #4)
     SELECT make_timestamp(CAST(b.h AS BIGINT) * 3600 * 1000000) AS bucket,
            COUNT(DISTINCT e.user_id) AS trailing_users,
            COUNT(DISTINCT e.h) AS window_hours,
+           GREATEST(CAST(200 AS BIGINT), COUNT(DISTINCT e.user_id))
+               AS band_tol_x100,
            TRUE AS hll_within_pct
     FROM hrs b JOIN e ON e.h BETWEEN b.h - 2 AND b.h
     GROUP BY b.h
@@ -230,7 +256,7 @@ SLIDE_WINDOW_HOURS = 3  # trailing window: hours (b-2, b-1, b)
     "bit-exactly, so the window/merge logic is verified exactly); the "
     "sketch estimate feeds the band verdict — the 10× sweep showed "
     "estimates drift off-by-one from coupon collisions at ~3.5k "
-    "distinct/window (_hll_within_band).",
+    "distinct/window (_hll_band_cols).",
 )
 def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
@@ -279,7 +305,7 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.col("tb") * F.lit(3_600_000_000)).alias("bucket"),
             "trailing_users",
             "window_hours",
-            _hll_within_band(F.col("est"), "trailing_users"),
+            *_hll_band_cols(F.col("est"), "trailing_users"),
         )
     )
 

@@ -190,9 +190,14 @@ _ANCHOR_CTE = """
     anchor AS (
         SELECT (SELECT MIN(o_orderdate) FROM orders) AS o_min,
                (SELECT date_trunc('day', MIN(ts)) FROM events) AS e_min,
-               (SELECT date_diff('day', date_trunc('day', MIN(ts)),
-                                 date_trunc('day', MAX(ts))) FROM events)
-                   AS span_d
+               -- GREATEST(.., 1): if events ever span a single day, span_d=0
+               -- would make Spark's % return NULL (silently empty join) while
+               -- DuckDB's % errors — asymmetric failure modes (ADVICE r7).
+               -- The guard folds everything onto e_min instead, identically
+               -- on both sides.
+               (SELECT GREATEST(date_diff('day', date_trunc('day', MIN(ts)),
+                                          date_trunc('day', MAX(ts))), 1)
+                  FROM events) AS span_d
     )"""
 
 
@@ -203,7 +208,11 @@ def _epoch_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     e = events.agg(
         F.unix_micros(F.date_trunc("day", F.min(F.col("ts")))).alias("e_min_us"),
-        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias("span_d"),
+        # greatest(.., 1) mirrors the oracle's GREATEST guard: single-day
+        # events would give span_d=0 and a NULL modulus (ADVICE r7).
+        F.greatest(
+            F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))), F.lit(1)
+        ).alias("span_d"),
     )
     o = orders.agg(F.min(F.to_date("o_orderdate")).alias("o_min_d"))
     return e.crossJoin(o)

@@ -57,52 +57,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 # The driver verifies a fixed window of 50 queries per round, in the order
 # queries() yields them (every completed round truncated at exactly 50).
-# This list pins that window for round 7 — exactly DRIVER_WINDOW names:
-# the 50 registered queries that have never had a driver row
-# (CORRECTNESS_r01..r06 cover the other 187 of 237), burned
-# oldest-addition-first EXACTLY as the r6 plan comment pinned them
-# (VERDICT r6 #1). Zero new registrations this round, so the
-# never-checked backlog reaches zero when this window completes and
-# every one of the 237 registered queries has a driver row.
-#
-# r8 fill — with the never-checked backlog at zero, round 8 starts the
-# re-confirmation rotation (exactness still asserted by
-# tests/test_plans.py::test_next_window_plan_comment_is_exact, which
-# now degenerates to "nothing is never-checked"). Round 8's window, in
-# priority order:
-# (a) entries whose implementation or oracle changed in round 7 and
-# must (re-)verify: range_join_events_orders + interval_overlap_join
-# (the vacuously-green band joins re-anchored onto the events epoch so
-# they match thousands of rows, VERDICT r6 #2 — their old rows were
-# 0=0 at every sf), streaming_interest_fold + streaming_recommend_emit
-# (rounding moved from the pandas UDF into the Spark plan's
-# F.round, ADVICE r6), als_recommend_topk + als_precision_recall_at_k
-# + kmeans_embedding_clusters + als_rmse + pipeline_classifier_eval
-# + embedding_pca_top_component + als_cross_validation
-# + als_hyperparam_search + als_implicit_topk + als_fixture_rmse_band
-# (rows-only -> invariant-band oracles, VERDICT r6 #6 — with the CV/
-# tuning harnesses and the fixture band converted late in round 7,
-# every one of the 237 registered queries is now oracle-bearing),
-# hll_distinct_rollup + hll_sliding_distinct + streaming_hll_distinct
-# (exact-estimate oracles -> exact-anchor + band-verdict after the 10x
-# parity sweep showed coupon-hash collisions make sketch-estimate
-# exactness data-luck; their old green rows hashed the estimates),
-# ann_lsh_topk + embedding_near_dup_pairs (static-8-plane oracles ->
-# data-derived plane count via _n_planes_sql, the scale-true form; the
-# old oracles only matched while derive_n_planes resolved to the
-# 8-plane floor);
-# (b) the three r6 invariant-band oracles no driver has ever executed:
-# random_split_counts, stratified_sample_counts, approx_aggregates
-# (VERDICT r6 #3 — their r3/r4 rows predate the band oracles);
-# (c) oldest-green-first re-confirmations filling the remaining slots.
-# The EXACT 50-name list is pinned as R8_WINDOW below (rule re-derived
-# and asserted by tests/test_plans.py::test_r8_window_pin); the r8
-# rotation is: DRIVER_CHECK_FIRST = R8_WINDOW, drop the overlapping
-# names from DRIVER_CHECK_LAST.
 DRIVER_WINDOW = 50
 
-DRIVER_CHECK_FIRST: tuple[str, ...] = (
-    # -- the last 50 never-driver-checked names, oldest additions first ----
+# R7_WINDOW — historical record of round 7's driver window: the last 50
+# never-driver-checked names, burned oldest-addition-first and verified
+# 50/50 hash-green in CORRECTNESS_r07. Kept as data because the r8 pin
+# rule excludes these freshest-row names
+# (tests/test_plans.py::test_r8_window_pin recomputes the rule).
+R7_WINDOW: tuple[str, ...] = (
     "histogram_quantile_sketch",
     "weighted_reservoir_sample",
     "target_encoding_oof",
@@ -153,18 +115,6 @@ DRIVER_CHECK_FIRST: tuple[str, ...] = (
     "item_knn_graph",
     "kmv_intersection_estimate",
     "class_tfidf_top_terms",
-)
-
-# Expensive, many-times-verified entries parked at the very end of the
-# registration order (the full ALS fits; all five gained invariant-band
-# oracles in round 7 and are pinned for r8 re-verification — move them
-# into the r8 window head when the rotation advances).
-DRIVER_CHECK_LAST: tuple[str, ...] = (
-    "als_rmse",
-    "als_precision_recall_at_k",
-    "als_cross_validation",
-    "als_hyperparam_search",
-    "als_implicit_topk",
 )
 
 # The EXACT round-8 window, pinned in round 7 (VERDICT r6 #5) so the r8
@@ -233,6 +183,87 @@ R8_WINDOW: tuple[str, ...] = R8_PRIORITY_RECHECK + (
     "ngram_jaccard_pairs",
     "orc_sink_roundtrip",
     "partitioned_write_pruned_read",
+)
+
+# Round 8 rotation (VERDICT r7 #1): burn the pinned window. The five
+# expensive ALS fits formerly parked in DRIVER_CHECK_LAST are all inside
+# R8_PRIORITY_RECHECK, so the LAST list is empty this round.
+DRIVER_CHECK_FIRST: tuple[str, ...] = R8_WINDOW
+DRIVER_CHECK_LAST: tuple[str, ...] = ()
+
+# r9 fill — the EXACT round-9 window, pinned now (VERDICT r7 #3) so the
+# r9 rotation stays mechanical: set DRIVER_CHECK_FIRST = R9_WINDOW at the
+# start of round 9. Rule, recomputed and asserted by
+# tests/test_plans.py::test_r9_window_pin:
+# (a) queries whose implementation or oracle changed in round 8 and sit
+# OUTSIDE the r8 window (whose rows would otherwise go stale):
+# record_linkage_blocked (the forced F.broadcast(supplier) hint dropped
+# per ADVICE r7 — supplier grows with scale factor, AQE now picks the
+# strategy; results identical, plan re-verified). Round 8's other
+# changes need no r9 slot: the span_d GREATEST guard (ADVICE r7)
+# touches range_join_events_orders + interval_overlap_join, the
+# band_tol_x100 tolerance columns (VERDICT r7 #4) touch the HLL trio +
+# approx_aggregates — all six are in R8_WINDOW, so their driver rows
+# refresh this round under the new form; the io_sinks per-PID scratch
+# cleanup (ADVICE r7) is path-infra only, result-neutral for every
+# sink-backed query.
+# (b) oldest-green-first re-confirmations (last driver round ascending
+# over CORRECTNESS_r01..r07, NAME as the tie-break — registry insertion
+# order varies with module import order, so it cannot anchor a pinned
+# list — R8_WINDOW names excluded since their r8 rows are freshest) up
+# to the 50-slot window: the 13 remaining r3 rows, then r4 rows
+# alphabetically through "zorder_layout_stats".
+R9_WINDOW: tuple[str, ...] = (
+    "record_linkage_blocked",
+    "pii_redaction",
+    "python_datasource_scan",
+    "python_datasource_stream",
+    "regex_token_count",
+    "repetition_stats",
+    "sequence_pack_assignments",
+    "streaming_session_window",
+    "text_quality_score",
+    "tfidf_top_terms",
+    "token_stats",
+    "udaf_weighted_mean",
+    "unpivot_doc_metrics",
+    "wordcount_documents",
+    "bm25_topk",
+    "bpr_negative_sampling",
+    "contamination_check",
+    "dedup_canonical_docs",
+    "dedup_components",
+    "dedup_components_lss",
+    "dedup_pipeline_summary",
+    "dup_rate_by_source",
+    "duplicate_passage_detection",
+    "embedding_centroid_by_label",
+    "graph_embedding_propagation",
+    "hash_split_assign",
+    "key_distribution_histogram",
+    "lang_id_confusion",
+    "minhash_jaccard_estimate",
+    "mixture_sample_by_source",
+    "multi_hot_encode",
+    "multimodal_frame_sample",
+    "ndcg_at_k_popularity",
+    "parquet_sink_roundtrip",
+    "quality_filter_funnel",
+    "reservoir_sample_per_key",
+    "rolling_time_window_features",
+    "shuffle_tokens_multiset",
+    "simhash_fingerprint",
+    "skew_key_diagnostics",
+    "streaming_console_emit",
+    "streaming_hash_split_counts",
+    "streaming_watermarked_counts",
+    "text_normalize",
+    "unigram_logprob_score",
+    "vector_argmax",
+    "vector_serde_roundtrip",
+    "vocab_build",
+    "write_recommendations_table",
+    "zorder_layout_stats",
 )
 
 

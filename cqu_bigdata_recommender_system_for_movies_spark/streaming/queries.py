@@ -859,8 +859,13 @@ def streaming_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_hll_distinct",
     oracle="""
     -- hll_within_pct is evaluated engine-side against the pinned band
-    -- abs(streamed_hll_estimate - n_users) <= greatest(2, 0.01 * n_users)
+    -- abs(streamed_hll_estimate - n_users) <= greatest(2, 0.01 * n_users),
+    -- i.e. (x100, integer-exact) 100*abs(est - n_users) <= greatest(200,
+    -- n_users); band_tol_x100 recomputes that tolerance so the driver
+    -- hashes the band arithmetic, not just the verdict bit (VERDICT r7 #4)
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           GREATEST(CAST(200 AS BIGINT), COUNT(DISTINCT user_id))
+               AS band_tol_x100,
            TRUE AS hll_within_pct
     FROM events GROUP BY event_type
     """,
@@ -874,13 +879,13 @@ def streaming_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "applied AFTER the stateful agg, per emitted row. Verification "
     "shape: the streamed estimate is band-checked against a batch-exact "
     "twin join (sketch estimates are not bit-stable across "
-    "cardinalities — operators/sketches.py _hll_within_band), and the "
+    "cardinalities — operators/sketches.py _hll_band_cols), and the "
     "exact anchor column is what the oracle hashes.",
 )
 def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import (
         HLL_LG_K,
-        _hll_within_band,
+        _hll_band_cols,
     )
 
     stream = _events_stream(spark, sf_dir)
@@ -897,7 +902,7 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
     return streamed.join(exact, "event_type").select(
-        "event_type", "n_users", _hll_within_band(F.col("est"), "n_users")
+        "event_type", "n_users", *_hll_band_cols(F.col("est"), "n_users")
     )
 
 

@@ -592,7 +592,7 @@ def test_next_window_plan_comment_is_exact():
     never = [n for n in QUERIES if n not in checked and n not in set(DRIVER_CHECK_FIRST)]
     with open(reg.__file__) as f:
         src = f.read()
-    comment = src[src.index("# r8 fill") : src.index("DRIVER_WINDOW = ")]
+    comment = src[src.index("# r9 fill") : src.index("R9_WINDOW: tuple")]
     # Tokenize the comment into identifiers rather than substring-matching:
     # a name that is a substring of another listed name (e.g. "foo" inside
     # "foo_bar") must NOT count as present (ADVICE r5).
@@ -604,32 +604,15 @@ def test_next_window_plan_comment_is_exact():
         f"registry's next-window plan comment omits never-driver-checked "
         f"queries: {missing} — add them so the rotation stays exact"
     )
-    # VERDICT r6 #5: with the never-checked backlog at zero the rotation
-    # moves to re-confirmation; every query whose implementation or oracle
-    # changed in round 7 must be pinned by name at the head of the r8 plan
-    # so its stale green row gets refreshed first.
-    changed_r7 = [
-        "range_join_events_orders",
-        "interval_overlap_join",
-        "streaming_interest_fold",
-        "streaming_recommend_emit",
-        "als_recommend_topk",
-        "als_precision_recall_at_k",
-        "kmeans_embedding_clusters",
-        "als_rmse",
-        "pipeline_classifier_eval",
-        "embedding_pca_top_component",
-        "als_cross_validation",
-        "als_hyperparam_search",
-        "als_implicit_topk",
-        "als_fixture_rmse_band",
-        "random_split_counts",
-        "stratified_sample_counts",
-        "approx_aggregates",
+    # VERDICT r7 #3: every query whose implementation or oracle changed in
+    # round 8 OUTSIDE the r8 window must be pinned by name at the head of
+    # the r9 plan so its stale green row gets refreshed first.
+    changed_r8 = [
+        "record_linkage_blocked",
     ]
-    unpinned = [n for n in changed_r7 if n not in tokens]
+    unpinned = [n for n in changed_r8 if n not in tokens]
     assert not unpinned, (
-        f"r8-fill plan comment must name the round-7 changed queries for "
+        f"r9-fill plan comment must name the round-8 changed queries for "
         f"re-verification; missing: {unpinned}"
     )
 
@@ -650,17 +633,19 @@ def test_r8_window_pin():
         DRIVER_CHECK_FIRST,
         DRIVER_WINDOW,
         QUERIES,
+        R7_WINDOW,
         R8_PRIORITY_RECHECK,
         R8_WINDOW,
     )
 
     all_queries()  # populate the registry
+    assert DRIVER_CHECK_FIRST == R8_WINDOW  # the r8 rotation is live
     assert len(R8_WINDOW) == DRIVER_WINDOW
     assert len(set(R8_WINDOW)) == len(R8_WINDOW)
     assert R8_WINDOW[: len(R8_PRIORITY_RECHECK)] == R8_PRIORITY_RECHECK
     unknown = [n for n in R8_WINDOW if n not in QUERIES]
     assert not unknown, f"r8 window names unregistered queries: {unknown}"
-    overlap = set(R8_WINDOW) & set(DRIVER_CHECK_FIRST)
+    overlap = set(R8_WINDOW) & set(R7_WINDOW)
     assert not overlap, (
         f"r8 window repeats r7-window names whose rows are freshest: {overlap}"
     )
@@ -676,13 +661,63 @@ def test_r8_window_pin():
     rest = [
         n
         for n in QUERIES
-        if n not in set(R8_PRIORITY_RECHECK) and n not in set(DRIVER_CHECK_FIRST)
+        if n not in set(R8_PRIORITY_RECHECK) and n not in set(R7_WINDOW)
     ]
     rest.sort(key=lambda n: (last.get(n, 99), n))
     expect = R8_PRIORITY_RECHECK + tuple(rest[: DRIVER_WINDOW - len(R8_PRIORITY_RECHECK)])
     assert R8_WINDOW == expect, (
         "pinned R8_WINDOW deviates from the oldest-green-first rule: "
         f"{[(a, b) for a, b in zip(R8_WINDOW, expect) if a != b]}"
+    )
+
+
+def test_r9_window_pin():
+    """VERDICT r7 #3: the EXACT r9 window is pinned in r8 so the rotation
+    stays mechanical. Recompute it from the stated rule — round-8-changed
+    queries outside the r8 window first, then oldest-green-first (last
+    driver round ascending over CORRECTNESS_r01..r07, NAME tie-break,
+    R8_WINDOW names excluded since their r8 rows are freshest) — and
+    assert the pinned tuple matches bit for bit."""
+    import glob
+    import json
+    import os
+    import re
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_WINDOW,
+        QUERIES,
+        R8_WINDOW,
+        R9_WINDOW,
+    )
+
+    all_queries()  # populate the registry
+    changed_r8 = ("record_linkage_blocked",)
+    assert len(R9_WINDOW) == DRIVER_WINDOW
+    assert len(set(R9_WINDOW)) == len(R9_WINDOW)
+    assert R9_WINDOW[: len(changed_r8)] == changed_r8
+    unknown = [n for n in R9_WINDOW if n not in QUERIES]
+    assert not unknown, f"r9 window names unregistered queries: {unknown}"
+    overlap = set(R9_WINDOW) & set(R8_WINDOW)
+    assert not overlap, (
+        f"r9 window repeats r8-window names whose rows are freshest: {overlap}"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-7].json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    rest = [
+        n
+        for n in QUERIES
+        if n not in set(changed_r8) and n not in set(R8_WINDOW)
+    ]
+    rest.sort(key=lambda n: (last.get(n, 99), n))
+    expect = changed_r8 + tuple(rest[: DRIVER_WINDOW - len(changed_r8)])
+    assert R9_WINDOW == expect, (
+        "pinned R9_WINDOW deviates from the oldest-green-first rule: "
+        f"{[(a, b) for a, b in zip(R9_WINDOW, expect) if a != b]}"
     )
 
 

@@ -55,6 +55,17 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
     row = approx_aggregates(spark, sf_dir).collect()[0]
     assert row.exact_users == raw.exact_users
     assert row.hll_in_band and row.median_in_band
+    # Driver-hashed band inputs (VERDICT r7 #4): tolerance arithmetic and
+    # band bounds recomputed independently of the query
+    assert row.hll_tol_x100 == 15 * raw.exact_users
+    p40, p60 = events.agg(
+        F.percentile("value", F.lit(0.4)), F.percentile("value", F.lit(0.6))
+    ).collect()[0]
+    # cent-rounded anchors sit within half a cent of the exact percentile
+    # (avoid == round(): Python rounds half-to-even, Spark half-up)
+    assert abs(row.p40_r - p40) <= 0.005 + 1e-9
+    assert abs(row.p60_r - p60) <= 0.005 + 1e-9
+    assert p40 <= raw.approx_median <= p60  # the verdict's claim, replayed
 
 
 def test_stratified_sample_invariants(spark, sf_dir):

@@ -34,21 +34,40 @@ def test_hll_rollup_total_matches_merged_sketches(spark, sf_dir):
     assert rows["ALL"].n_events == sum(r.n_events for r in per_type)
     assert all(r.hll_within_pct for r in rows.values())
     # Independent band recompute (the engine's verdict is self-reported):
-    # rebuild the merged-sketch estimate here and apply the pinned
-    # formula — abs(est - exact) <= greatest(2, 0.01 * exact).
+    # mirror the engine's ACTUAL grouping (ADVICE r7) — rebuild a sketch
+    # estimate per event_type AND the merged-union path here, and apply the
+    # pinned formula abs(est - exact) <= greatest(2, 0.01 * exact) against
+    # the per-type exact distincts, so a bug in the per-type or union band
+    # expression cannot pass both driver and pytest.
     from cqu_bigdata_recommender_system_for_movies_spark.operators.sketches import HLL_LG_K
 
-    est = (
-        load(spark, sf_dir, "events")
+    per_type_recompute = {
+        r.event_type: (r.est, r.exact)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
         .agg(
             F.expr(
                 f"hll_sketch_estimate(hll_sketch_agg(user_id, {HLL_LG_K}))"
-            ).alias("e")
+            ).alias("est"),
+            F.count_distinct("user_id").alias("exact"),
         )
+        .collect()
+    }
+    assert set(per_type_recompute) == set(rows) - {"ALL"}
+    for etype, (est, exact) in per_type_recompute.items():
+        assert abs(est - exact) <= max(2.0, 0.01 * exact), (etype, est, exact)
+        assert rows[etype].n_users == exact, etype
+    # merged-union path: union the per-type sketches exactly as the query's
+    # 'ALL' row does, band-checked against the overall exact distinct
+    union_est = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.expr(f"hll_sketch_agg(user_id, {HLL_LG_K})").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("e"))
         .collect()[0]
         .e
     )
-    assert abs(est - exact_total) <= max(2.0, 0.01 * exact_total)
+    assert abs(union_est - exact_total) <= max(2.0, 0.01 * exact_total)
 
 
 def test_hll_band_holds_at_this_sf(spark, sf_dir):
