@@ -503,15 +503,59 @@ def set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Tight-pass blocking granularity: suppliers per (nation, hash-class)
+# block stays ~constant because the modulus GROWS with the supplier count —
+# blk_m = 10^len(str(n_supplier // 250)), i.e. the next power of ten above
+# n_supplier/250 (floor 10). Pure integer/string arithmetic ('1' || zeros)
+# so the DuckDB twin is bit-exact by construction — the _n_planes_sql
+# lesson: any corpus-sized parameter baked as a constant silently diverges
+# from the engine at bigger sf. The r8 100x probe proved the fixed %10 key
+# quadratic in replicas (one decade after the r7 cascade fix bought the
+# first): block count must scale with data, not just block layering.
+#
+# The class itself is md5-bucket(key) % blk_m, NOT key % blk_m: the same
+# probe showed raw-modulus classes collapse when keys are structured
+# (the replica offsets left 96% of customers in empty blocks, dumping
+# 1.44M entities into the quadratic nation-only fallback — and production
+# IDs are range/shard-structured the same way). Hashing declusters any
+# key structure, so block occupancy is ~Poisson(n_s / (25·blk_m)) at
+# every scale. Same engine-portable md5 pattern as operators/sampling.
+RECORD_LINKAGE_BLK_TARGET = 250
+
+_BLK_M_SQL = (
+    "SELECT CAST('1' || REPEAT('0', LENGTH(CAST(COUNT(*)"
+    f" // {RECORD_LINKAGE_BLK_TARGET} AS VARCHAR))) AS BIGINT) AS blk_m"
+    " FROM supplier"
+)
+
+
+def _blk_class_sql(key_expr: str) -> str:
+    """md5-bucket(key) % blk_m — DuckDB twin of _blk_class_spark."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % (SELECT blk_m FROM m)"
+    )
+
+
+def _blk_class_spark(key_col, blk_m_col):
+    return (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % blk_m_col
+    )
+
+
 @register(
     "record_linkage_blocked",
-    oracle="""
-    WITH tight AS (
+    oracle=f"""
+    WITH m AS ({_BLK_M_SQL}),
+    tight AS (
         SELECT c.c_custkey, s.s_suppkey,
                levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) AS dist
         FROM customer c JOIN supplier s
           ON c.c_nationkey = s.s_nationkey
-         AND c.c_custkey % 10 = s.s_suppkey % 10
+         AND {_blk_class_sql("c.c_custkey")} = {_blk_class_sql("s.s_suppkey")}
     ),
     fallback AS (
         SELECT c.c_custkey, s.s_suppkey,
@@ -533,35 +577,76 @@ def set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Blocked record linkage with multi-pass (cascade) blocking -- the "
     "entity-resolution shape at scale: pass 1 generates candidate pairs "
-    "from a TIGHT composite blocking key (nation, entity-id last "
-    "digit), bounding fan-out to block-size squared over blocks 10x "
-    "smaller than nation alone; only entities the tight block could "
-    "not match at all fall back to the coarse nation-only block, so "
-    "coverage equals single-pass nation blocking while the pair count "
-    "drops ~10x (the fallback side empties as blocks densify -- at 10x "
-    "data under 2 percent of customers need it). Each candidate is scored with an "
-    "edit distance on the normalized name (levenshtein, JVM built-in, "
-    "scan-side); the best match per left entity survives via a "
-    "map-side-combining MIN over (dist, suppkey) structs. "
-    "Single-level nation blocking cost grew ~60x for 10x data (blocks "
-    "densify quadratically); the cascade is the standard production "
-    "answer -- tighter first-pass keys (soundex, name prefix) drop in "
-    "by changing one column. Deterministic integer distances keep the "
+    "from a TIGHT composite blocking key (nation, md5-bucket(entity id) "
+    "mod blk_m), where blk_m is DATA-DERIVED (next power of ten above "
+    "n_supplier/250, floor 10, integer-exact SQL twin) so suppliers per "
+    "block stay ~constant and the pair count grows LINEARLY with data — "
+    "the r8 100x probe showed any fixed-cardinality key (the r7 %10) "
+    "makes pairs quadratic in scale, and that RAW-modulus classes "
+    "collapse on structured keys (hash first; see _blk_class_spark); "
+    "the r7 10x sweep showed the same quadratic for single-level "
+    "nation blocking (~60x for 10x). Only entities the "
+    "tight block could not match at all fall back to the coarse "
+    "nation-only block, so coverage equals single-pass nation blocking. "
+    "Both sides repartition on the block key before the join: at scale "
+    "that exchange IS the shuffle the equi-join needs (reused, not "
+    "extra), and when AQE broadcasts the small supplier side instead, "
+    "it unbinds the CPU-dense levenshtein pass from the input split "
+    "count (the 100x probe saw 4-way scan parallelism starve 32 cores). "
+    "Each candidate is scored with an edit distance on the normalized "
+    "name (levenshtein, JVM built-in, scan-side); the best match per "
+    "left entity survives via a map-side-combining MIN over "
+    "(dist, suppkey) structs. Deterministic integer distances keep the "
     "oracle exact.",
 )
 def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     supplier = load(spark, sf_dir, "supplier")
+    # 1-row broadcast scalar: blk_m = '1' || '0'*len(str(n//250)) as BIGINT
+    # (identical expression in the oracle CTE; no floats anywhere)
+    blk_m = supplier.agg(F.count("*").alias("n_s")).select(
+        F.concat(
+            F.lit("1"),
+            F.expr(
+                "repeat('0', length(cast((n_s div "
+                f"{RECORD_LINKAGE_BLK_TARGET}) as string)))"
+            ),
+        )
+        .cast("long")
+        .alias("blk_m")
+    )
 
     def _pairs(cust: DataFrame, tight: bool) -> DataFrame:
-        cond = cust.c_nationkey == supplier.s_nationkey
+        # No broadcast hint on supplier: it grows linearly with scale
+        # factor, so a forced broadcast would be a 100 TB lie (ADVICE r7).
+        # AQE picks broadcast at small scale from observed sizes; at scale
+        # both passes are plain shuffle equi-joins whose distribution the
+        # explicit block-key repartition below already satisfies.
         if tight:
-            cond = cond & (cust.c_custkey % 10 == supplier.s_suppkey % 10)
-        # No broadcast hint: supplier grows linearly with scale factor, so a
-        # forced broadcast would be a 100 TB lie (ADVICE r7). AQE picks
-        # broadcast at small scale from observed sizes; at scale both passes
-        # are plain shuffle equi-joins on the blocking key.
-        return cust.join(supplier, cond).select(
+            c = cust.crossJoin(F.broadcast(blk_m)).withColumn(
+                "blk", _blk_class_spark(F.col("c_custkey"), F.col("blk_m"))
+            )
+            s = supplier.crossJoin(F.broadcast(blk_m)).withColumn(
+                "blk", _blk_class_spark(F.col("s_suppkey"), F.col("blk_m"))
+            )
+            keys = ["c_nationkey", "blk"]
+            cond = (c.c_nationkey == s.s_nationkey) & (c.blk == s.blk)
+        else:
+            c, s = cust, supplier
+            keys = ["c_nationkey"]
+            cond = c.c_nationkey == s.s_nationkey
+        # Repartition the CPU-dense side on the block key: reused by the
+        # shuffle join at scale, and under an AQE broadcast it lifts
+        # levenshtein parallelism from #input-splits to #shuffle-partitions.
+        # The count is EXPLICIT (REPARTITION_BY_NUM): AQE coalesces
+        # column-only repartitions by shuffle BYTES, blind to downstream
+        # CPU — the 100x probe watched it squeeze 6M levenshtein pairs
+        # into one task (~3 min on one core while 31 idled).
+        n_parts = int(
+            cust.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        c = c.repartition(n_parts, *keys)
+        return c.join(s, cond).select(
             "c_custkey",
             "s_suppkey",
             F.levenshtein(
@@ -580,7 +665,11 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.struct("dist", "s_suppkey")).alias("m")
         )
 
-    tight_best = _best(_pairs(customer, tight=True))
+    # Materialize the tight-pass winners (one small row per matched
+    # customer): BOTH the fallback's anti-join and the final union read
+    # them, and without the checkpoint each consumer re-runs the whole
+    # blocked levenshtein pass — measured 192 s -> 117 s at the 100x probe.
+    tight_best = _best(_pairs(customer, tight=True)).localCheckpoint(eager=False)
     unmatched = customer.join(tight_best, "c_custkey", "left_anti")
     fallback_best = _best(_pairs(unmatched, tight=False))
     return tight_best.unionByName(fallback_best).select(
