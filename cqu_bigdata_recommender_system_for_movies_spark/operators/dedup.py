@@ -274,15 +274,24 @@ def _bit_weight(b: int) -> int:
 
 def _token_hashes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, hv1, hv2): two independent 32-bit md5-prefix hashes per
-    DISTINCT token — the bit sources for the 64-bit SimHash."""
+    DISTINCT token — the bit sources for the 64-bit SimHash.
+
+    Hash FIRST (map-side), dedup on the fixed-width hash longs AFTER: the
+    r8 100x probe GC-thrashed a 16 GiB heap deduping ~400M
+    (doc_id, token-string) rows, while (doc_id, hv1, hv2) rows are 24
+    fixed bytes — a 3-4x smaller shuffle and hash map at every scale.
+    Dedup-on-hash equals dedup-on-token unless two distinct tokens in one
+    doc collide on the full 64-bit md5 prefix (~n²/2^65 per doc);
+    the oracle applies the SAME distinct-after-hash, so both engines
+    conflate identically even then."""
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda w: w != "")
-    tok = docs.select("doc_id", F.explode(toks).alias("w")).distinct()
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
     return tok.select(
         "doc_id",
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv1"),
         F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("hv2"),
-    )
+    ).distinct()
 
 
 def _simhash_popcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,11 +315,13 @@ def _simhash_popcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("doc_id").agg(*aggs)
 
 
+# distinct AFTER hashing — the exact twin of _token_hashes_df (see its
+# docstring: dedup on the fixed-width hash pair, identical on both engines)
 _TOKEN_HASHES_SQL = f"""
     t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-    tok AS (SELECT DISTINCT doc_id, w FROM t, unnest(toks) u(w)),
+    tok AS (SELECT doc_id, w FROM t, unnest(toks) u(w)),
     v AS (
-        SELECT doc_id,
+        SELECT DISTINCT doc_id,
                CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv1,
                CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS hv2
         FROM tok
@@ -430,9 +441,10 @@ def _simhash_value_sql() -> str:
     "fingerprints collapse to one representative BEFORE banding "
     "(exact-dup skew at crawl scale would otherwise concentrate one "
     "bucket and make its pair generator quadratic in the duplicate "
-    "count); hamming-0 pairs enumerate from the collapsed groups and "
-    "cross-group pairs re-expand after the verify — same result, "
-    "duplicate-skew-proof buckets.",
+    "count); hamming-0 pairs stream from a fingerprint self-join and "
+    "cross-group pairs re-expand through (rep -> member) joins after "
+    "the verify — same result, duplicate-skew-proof buckets, no "
+    "quadratic in-row arrays (the r8 100x probe OOM'd on those).",
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cqu_bigdata_recommender_system_for_movies_spark.tables import table_row_count
@@ -491,19 +503,28 @@ def _rep_band_buckets(groups: DataFrame, block_bits: int) -> DataFrame:
 
 def _simhash_pairs_from_values(sim: DataFrame, block_bits: int) -> DataFrame:
     """All (doc_a < doc_b, hamming <= HAMMING_MAX) pairs from a
-    (doc_id, sim) fingerprint table. Three stages, all output-bound:
-    hamming-0 pairs enumerate straight from the identical-fingerprint
-    groups (they exist no matter how banding is tuned); banded LSH runs
-    over one representative per distinct fingerprint; surviving
-    representative pairs re-expand to the full duplicate groups with a
-    double explode. Result is identical to the all-pairs specification —
-    the collapse only changes WHERE the (inherently quadratic-in-group)
-    pair enumeration happens, never which pairs come out."""
+    (doc_id, sim) fingerprint table. Three stages, all output-bound AND
+    streaming (nothing quadratic is ever materialized as one object):
+    hamming-0 pairs come from a self-join on the fingerprint value;
+    banded LSH runs over one representative per distinct fingerprint;
+    surviving representative pairs re-expand to the full duplicate groups
+    through flattened (rep -> member) joins. Result is identical to the
+    all-pairs specification — the collapse only changes WHERE the
+    (inherently quadratic-in-group) pair enumeration happens, never which
+    pairs come out."""
     groups = _simhash_groups(sim)
+    # hamming-0 pairs via a STREAMING self-join on the fingerprint value,
+    # NOT _pairs_in_array over the group arrays: the in-row pair array is
+    # quadratic in group size and materializes as ONE object — the r8 100x
+    # probe OOM'd a 16 GiB heap on ~5k-doc duplicate groups (C(5k,2) ≈
+    # 12.5M structs ≈ 300 MB per array, several per task). The join emits
+    # the same pairs row-by-row; skewed fingerprint keys split under AQE.
+    la = sim.select(F.col("sim").alias("s0"), F.col("doc_id").alias("doc_a"))
+    lb = sim.select(F.col("sim").alias("s0"), F.col("doc_id").alias("doc_b"))
     within = (
-        groups.filter(F.size("docs") >= 2)
-        .select(F.explode(_pairs_in_array("docs")).alias("p"))
-        .select("p.doc_a", "p.doc_b", F.lit(0).cast("int").alias("hamming"))
+        la.join(lb, "s0")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
     )
     cand = (
         _rep_band_buckets(groups, block_bits)
@@ -523,14 +544,37 @@ def _simhash_pairs_from_values(sim: DataFrame, block_bits: int) -> DataFrame:
     )
     # distinct fingerprints have hamming >= 1, so rep pairs never overlap
     # the within-group (hamming 0) pairs; expansion crosses two disjoint
-    # doc groups, so least/greatest only canonicalizes the id order
-    ga = groups.select(F.col("docs")[0].alias("doc_a"), F.col("docs").alias("docs_a"))
-    gb = groups.select(F.col("docs")[0].alias("doc_b"), F.col("docs").alias("docs_b"))
+    # doc groups, so least/greatest only canonicalizes the id order.
+    # Flattened (rep -> member) joins, not per-row array explodes: carrying
+    # a multi-thousand-member docs array through an explode copies the
+    # whole array once per emitted row (same quadratic-materialization
+    # failure as the within pairs, shifted into the row format).
+    members = groups.select(
+        F.col("docs")[0].alias("rep"), F.explode("docs").alias("member")
+    )
+    ma = members.select(
+        F.col("rep").alias("doc_a"), F.col("member").alias("da")
+    )
+    mb = members.select(
+        F.col("rep").alias("doc_b"), F.col("member").alias("db")
+    )
+    # Explicit REPARTITION_BY_NUM before each fan-out join: the rep-pair
+    # list is tiny (4.7k rows at the 100x probe), so AQE coalesces it to
+    # ~one partition — and that one task would then emit the ENTIRE
+    # expansion (693M pairs at 100x) through both broadcast joins while
+    # every other core idles (observed: straggler then OOM). Spreading the
+    # probe side before each fan-out keeps emission parallelism at the
+    # partition count; the mid repartition keys on da so hot doc_b groups
+    # still spread across tasks. Output-explosive keys evade AQE's skew
+    # handling entirely — it detects INPUT bytes, not fan-out.
+    n_parts = int(
+        rep_pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     cross = (
-        rep_pairs.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select("hamming", F.explode("docs_a").alias("da"), "docs_b")
-        .select("hamming", "da", F.explode("docs_b").alias("db"))
+        rep_pairs.repartition(n_parts)
+        .join(ma, "doc_a")
+        .repartition(n_parts, "da")
+        .join(mb, "doc_b")
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
