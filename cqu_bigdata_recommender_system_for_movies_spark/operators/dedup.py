@@ -35,6 +35,23 @@ SHINGLE_DF_CAP = 50  # inverted-index pruning: a shingle appearing in d docs
 # the exact-Jaccard verify still counts every common shingle, so found pairs
 # score exactly. (Pairs sharing *only* ubiquitous shingles are below any
 # useful threshold anyway: df>50 shingles are boilerplate, not content.)
+#
+# The cap SCALES with the corpus: greatest(50, n_docs/100). The r8 100x
+# probe showed a fixed 50 collapses recall to literally ZERO once every
+# doc has >50 true near-dups (dfs scale with data; 0 candidate pairs at
+# 100x) — "boilerplate" is a corpus-relative notion, 1% document
+# frequency, not an absolute count. At every shipped test sf the derived
+# cap still floors at 50 (n_docs <= 5000), so results there are
+# unchanged; the DuckDB oracle derives the same cap from the same
+# COUNT(*) scalar subquery (_n_planes_sql discipline). SHINGLE_DF_CAP
+# remains the fast-path bound: posting lists at or below it generate
+# pairs map-side inside the array (C(50,2) structs max); lists between
+# it and the derived cap stream through a keyed self-join — an in-row
+# pair array at the scaled cap would be the same quadratic-object OOM
+# the simhash rewrite removed.
+SHINGLE_DF_CAP_FLOOR_SQL = (
+    "(SELECT GREATEST(50, COUNT(*) // 100) FROM documents)"
+)
 MINHASH_P = 2147483647  # 2^31 - 1
 # fixed affine-hash coefficients (a odd, < 2^20) — deterministic across engines
 MINHASH_AB = (
@@ -181,7 +198,8 @@ _NGRAM_PAIRS_SQL = f"""
     rare AS (
         SELECT sh.doc_id, sh.hv
         FROM sh JOIN (
-            SELECT hv FROM sh GROUP BY hv HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+            SELECT hv FROM sh GROUP BY hv
+            HAVING COUNT(*) <= {SHINGLE_DF_CAP_FLOOR_SQL}
         ) keep USING (hv)
     ),
     arrs AS (SELECT doc_id, list(hv) AS hvs FROM sh GROUP BY doc_id),
@@ -230,15 +248,39 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregating the raw scan-side shingle stream a second time. The pairs
     # are generated map-side inside the (df-capped) posting array; a
     # self-join formulation would shuffle each posting twice.
-    cand = (
+    # data-derived df cap (see SHINGLE_DF_CAP comment): greatest(50,
+    # n_docs/100), 1-row broadcast scalar, same expression as the oracle's
+    # scalar subquery
+    cap_row = arrays.agg(
+        F.expr("greatest(50L, count(1) div 100)").alias("df_cap")
+    )
+    posts = (
         arrays.select("doc_id", F.explode("hvs").alias("hv"))
         .groupBy("hv")
         .agg(F.collect_set("doc_id").alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= SHINGLE_DF_CAP))
+        .crossJoin(F.broadcast(cap_row))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
+        .localCheckpoint(eager=False)  # both size branches read it
+    )
+    # fast path: small posting lists pair map-side inside the array
+    # (<= C(50,2) structs per row); big lists (only exist once the derived
+    # cap exceeds the floor) stream through a keyed self-join — an in-row
+    # pair array at the scaled cap would be a quadratic-object OOM
+    small = (
+        posts.filter(F.size("ds") <= SHINGLE_DF_CAP)
         .select(F.explode(_pairs_in_array("ds")).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    big = posts.filter(F.size("ds") > SHINGLE_DF_CAP).select(
+        "hv", F.explode("ds").alias("doc")
+    )
+    big_pairs = (
+        big.select("hv", F.col("doc").alias("doc_a"))
+        .join(big.select("hv", F.col("doc").alias("doc_b")), "hv")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = small.unionByName(big_pairs).distinct()
     aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("hvs").alias("hvs_a"))
     ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("hvs").alias("hvs_b"))
     common = F.size(F.array_intersect("hvs_a", "hvs_b"))
