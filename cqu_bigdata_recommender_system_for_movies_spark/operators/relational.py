@@ -635,17 +635,22 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             c, s = cust, supplier
             keys = ["c_nationkey"]
             cond = c.c_nationkey == s.s_nationkey
-        # Repartition the CPU-dense side on the block key: reused by the
-        # shuffle join at scale, and under an AQE broadcast it lifts
-        # levenshtein parallelism from #input-splits to #shuffle-partitions.
-        # The count is EXPLICIT (REPARTITION_BY_NUM): AQE coalesces
-        # column-only repartitions by shuffle BYTES, blind to downstream
-        # CPU — the 100x probe watched it squeeze 6M levenshtein pairs
-        # into one task (~3 min on one core while 31 idled).
-        n_parts = int(
-            cust.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        c = c.repartition(n_parts, *keys)
+        # TIGHT pass only: repartition the CPU-dense side on the block key
+        # — reused by the shuffle join at scale, and under an AQE broadcast
+        # it lifts levenshtein parallelism from #input-splits to
+        # #shuffle-partitions. The count is EXPLICIT (REPARTITION_BY_NUM):
+        # AQE coalesces column-only repartitions by shuffle BYTES, blind to
+        # downstream CPU — the 100x probe watched it squeeze 6M levenshtein
+        # pairs into one task (~3 min on one core while 31 idled). The
+        # fallback pass skips it: its input is the unmatched residue
+        # (~2% of customers by the Poisson(4) block design), so scan-split
+        # parallelism suffices and the extra shuffle would be pure small-sf
+        # overhead.
+        if tight:
+            n_parts = int(
+                cust.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            c = c.repartition(n_parts, *keys)
         return c.join(s, cond).select(
             "c_custkey",
             "s_suppkey",
@@ -665,11 +670,11 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.struct("dist", "s_suppkey")).alias("m")
         )
 
-    # Materialize the tight-pass winners (one small row per matched
-    # customer): BOTH the fallback's anti-join and the final union read
-    # them, and without the checkpoint each consumer re-runs the whole
-    # blocked levenshtein pass — measured 192 s -> 117 s at the 100x probe.
-    tight_best = _best(_pairs(customer, tight=True)).localCheckpoint(eager=False)
+    # tight_best is read by BOTH the fallback's anti-join and the final
+    # union; the 100x probe measured the lazy checkpoint as a wash there
+    # (the tight pass is cheap once blocking is right), so the plan stays
+    # checkpoint-free and lets the two consumers share the shuffle output.
+    tight_best = _best(_pairs(customer, tight=True))
     unmatched = customer.join(tight_best, "c_custkey", "left_anti")
     fallback_best = _best(_pairs(unmatched, tight=False))
     return tight_best.unionByName(fallback_best).select(
