@@ -262,25 +262,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.size("ds") >= 2) & (F.size("ds") <= F.col("df_cap")))
         .localCheckpoint(eager=False)  # both size branches read it
     )
-    # fast path: small posting lists pair map-side inside the array
-    # (<= C(50,2) structs per row); big lists (only exist once the derived
-    # cap exceeds the floor) stream through a keyed self-join — an in-row
-    # pair array at the scaled cap would be a quadratic-object OOM
-    small = (
-        posts.filter(F.size("ds") <= SHINGLE_DF_CAP)
-        .select(F.explode(_pairs_in_array("ds")).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-    )
-    big = posts.filter(F.size("ds") > SHINGLE_DF_CAP).select(
-        "hv", F.explode("ds").alias("doc")
-    )
-    big_pairs = (
-        big.select("hv", F.col("doc").alias("doc_a"))
-        .join(big.select("hv", F.col("doc").alias("doc_b")), "hv")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    cand = small.unionByName(big_pairs).distinct()
+    # size-split pair generation (_bucket_pairs): small posting lists pair
+    # map-side inside the array; big lists (only exist once the derived cap
+    # exceeds the floor) stream through a keyed self-join
+    cand = _bucket_pairs(posts, ["hv"]).distinct()
     aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("hvs").alias("hvs_a"))
     ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("hvs").alias("hvs_b"))
     common = F.size(F.array_intersect("hvs_a", "hvs_b"))
@@ -632,12 +617,41 @@ def _band_key_parts(bi: int) -> list[str]:
 
 def _pairs_in_array(col: str):
     """All unordered (doc_a < doc_b) pairs within an array column — generated
-    map-side by nested ``transform``s, no self-join."""
+    map-side by nested ``transform``s, no self-join. ONLY for arrays with a
+    bounded size (<= SHINGLE_DF_CAP): the result is one C(n,2) in-row
+    object, the r8 100x probe's OOM class. Unbounded buckets go through
+    _bucket_pairs."""
     return F.expr(
         f"flatten(transform({col}, (x, i) -> "
         f"transform(slice({col}, i + 2, size({col})), "
         "y -> struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
     )
+
+
+def _bucket_pairs(posts: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Streaming-safe unordered (doc_a < doc_b) pairs from bucket arrays
+    ``ds``, keyed by ``key_cols``. Size-split (the ngram pattern, r8):
+    buckets at or below SHINGLE_DF_CAP pair map-side inside the array
+    (bounded C(50,2) structs per row — the fast path for the vast majority
+    of buckets); bigger buckets stream through a keyed self-join, because
+    an in-row pair array is ONE quadratic object (a 24,800-doc bucket is
+    ~307M structs — the r8 100x probe's OOM). Callers checkpoint ``posts``
+    if it is expensive to recompute — both branches read it."""
+    small = (
+        posts.filter(F.size("ds") <= SHINGLE_DF_CAP)
+        .select(F.explode(_pairs_in_array("ds")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    big = posts.filter(F.size("ds") > SHINGLE_DF_CAP).select(
+        *key_cols, F.explode("ds").alias("doc")
+    )
+    big_pairs = (
+        big.select(*key_cols, F.col("doc").alias("doc_a"))
+        .join(big.select(*key_cols, F.col("doc").alias("doc_b")), key_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return small.unionByName(big_pairs)
 
 
 def _minhash_sql() -> str:
@@ -720,17 +734,19 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    # bucket pair generation, not a band self-join: one groupBy per (band,
-    # key) bucket, pairs produced map-side inside the bucket array — the
-    # self-join would re-run the 16-min signature aggregation for each side
-    cand = (
+    # bucket pair generation from the checkpointed bucket table: small
+    # buckets pair map-side inside the array; oversized buckets (exact-dup
+    # families share every band key, so bucket size tracks the largest
+    # duplicate family — unbounded at crawl scale) stream through a keyed
+    # self-join over the SAME checkpointed buckets, so neither branch
+    # re-runs the 16-min signature aggregation (_bucket_pairs, r8).
+    buckets = (
         bands.groupBy("band", "key")
         .agg(F.collect_set("doc_id").alias("ds"))
         .filter(F.size("ds") >= 2)
-        .select(F.explode(_pairs_in_array("ds")).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .localCheckpoint(eager=False)
     )
+    cand = _bucket_pairs(buckets, ["band", "key"]).distinct()
     aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("hvs").alias("hvs_a"))
     ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("hvs").alias("hvs_b"))
     common = F.size(F.array_intersect("hvs_a", "hvs_b"))
@@ -1025,16 +1041,18 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi in range(N_BANDS)
         ]
     )
-    cand = (
+    # size-split pair generation from checkpointed band buckets
+    # (_bucket_pairs, r8): oversized exact-dup buckets stream through a
+    # keyed self-join instead of one quadratic in-row pair array
+    buckets = (
         sig.select("doc_id", F.explode(band_structs).alias("bk"))
         .select("doc_id", "bk.band", "bk.key")
         .groupBy("band", "key")
         .agg(F.collect_set("doc_id").alias("ds"))
         .filter(F.size("ds") >= 2)
-        .select(F.explode(_pairs_in_array("ds")).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .localCheckpoint(eager=False)
     )
+    cand = _bucket_pairs(buckets, ["band", "key"]).distinct()
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("hvs").alias("hvs_a"))
