@@ -185,26 +185,25 @@ R8_WINDOW: tuple[str, ...] = R8_PRIORITY_RECHECK + (
     "partitioned_write_pruned_read",
 )
 
-# Round 8 rotation (VERDICT r7 #1): burn the pinned window. The five
-# expensive ALS fits formerly parked in DRIVER_CHECK_LAST are all inside
-# R8_PRIORITY_RECHECK, so the LAST list is empty this round.
-DRIVER_CHECK_FIRST: tuple[str, ...] = R8_WINDOW
-DRIVER_CHECK_LAST: tuple[str, ...] = ()
-
-# r9 fill — the EXACT round-9 window, pinned now (VERDICT r7 #3) so the
-# r9 rotation stays mechanical: set DRIVER_CHECK_FIRST = R9_WINDOW at the
-# start of round 9. Rule, recomputed and asserted by
-# tests/test_plans.py::test_r9_window_pin:
+# r9 fill — the EXACT round-9 window, pinned in r8 (VERDICT r7 #3) and
+# CORRECTED at the start of round 9 per VERDICT r8 #1: the r8 pin's
+# rationale wrongly claimed record_linkage_blocked was the only
+# changed-outside-window entry; simhash_near_dup_pairs was also
+# re-planned in r8 (streaming pair enumeration + REPARTITION_BY_NUM
+# fan-outs, commits a295ed8/3a726bd/2567867) while carrying a stale r5
+# driver row, so it joins the changed head and the fill shrinks by one
+# (zorder_layout_stats, the last r4-alphabetical name, rotates to r10).
+# Rule, recomputed and asserted by tests/test_plans.py::test_r9_window_pin:
 # (a) queries whose implementation or oracle changed in round 8 and sit
 # OUTSIDE the r8 window (whose rows would otherwise go stale):
-# record_linkage_blocked (the forced F.broadcast(supplier) hint dropped
-# per ADVICE r7 — supplier grows with scale factor, AQE now picks the
-# strategy; results identical, plan re-verified). Round 8's other
-# changes need no r9 slot: the span_d GREATEST guard (ADVICE r7)
+# record_linkage_blocked (data-derived hashed blocking, forced
+# F.broadcast(supplier) hint dropped per ADVICE r7) and
+# simhash_near_dup_pairs (streaming pair enumeration re-plan). Round 8's
+# other changes need no r9 slot: the span_d GREATEST guard (ADVICE r7)
 # touches range_join_events_orders + interval_overlap_join, the
 # band_tol_x100 tolerance columns (VERDICT r7 #4) touch the HLL trio +
 # approx_aggregates — all six are in R8_WINDOW, so their driver rows
-# refresh this round under the new form; the io_sinks per-PID scratch
+# refreshed in r8 under the new form; the io_sinks per-PID scratch
 # cleanup (ADVICE r7) is path-infra only, result-neutral for every
 # sink-backed query.
 # (b) oldest-green-first re-confirmations (last driver round ascending
@@ -212,9 +211,10 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # order varies with module import order, so it cannot anchor a pinned
 # list — R8_WINDOW names excluded since their r8 rows are freshest) up
 # to the 50-slot window: the 13 remaining r3 rows, then r4 rows
-# alphabetically through "zorder_layout_stats".
+# alphabetically through "write_recommendations_table".
 R9_WINDOW: tuple[str, ...] = (
     "record_linkage_blocked",
+    "simhash_near_dup_pairs",
     "pii_redaction",
     "python_datasource_scan",
     "python_datasource_stream",
@@ -263,8 +263,11 @@ R9_WINDOW: tuple[str, ...] = (
     "vector_serde_roundtrip",
     "vocab_build",
     "write_recommendations_table",
-    "zorder_layout_stats",
 )
+
+# Round 9 rotation (VERDICT r8 #1): burn the corrected pinned window.
+DRIVER_CHECK_FIRST: tuple[str, ...] = R9_WINDOW
+DRIVER_CHECK_LAST: tuple[str, ...] = ()
 
 
 def _driver_order(names) -> list[str]:

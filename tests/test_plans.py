@@ -604,11 +604,12 @@ def test_next_window_plan_comment_is_exact():
         f"registry's next-window plan comment omits never-driver-checked "
         f"queries: {missing} — add them so the rotation stays exact"
     )
-    # VERDICT r7 #3: every query whose implementation or oracle changed in
-    # round 8 OUTSIDE the r8 window must be pinned by name at the head of
-    # the r9 plan so its stale green row gets refreshed first.
+    # VERDICT r7 #3 / r8 #1: every query whose implementation or oracle
+    # changed in round 8 OUTSIDE the r8 window must be pinned by name at
+    # the head of the r9 plan so its stale green row gets refreshed first.
     changed_r8 = [
         "record_linkage_blocked",
+        "simhash_near_dup_pairs",
     ]
     unpinned = [n for n in changed_r8 if n not in tokens]
     assert not unpinned, (
@@ -630,7 +631,6 @@ def test_r8_window_pin():
     import os
 
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
-        DRIVER_CHECK_FIRST,
         DRIVER_WINDOW,
         QUERIES,
         R7_WINDOW,
@@ -639,7 +639,8 @@ def test_r8_window_pin():
     )
 
     all_queries()  # populate the registry
-    assert DRIVER_CHECK_FIRST == R8_WINDOW  # the r8 rotation is live
+    # (the r8 rotation completed in CORRECTNESS_r08 — 50/50 green; the
+    # window is kept as data because the r9 pin rule excludes its names)
     assert len(R8_WINDOW) == DRIVER_WINDOW
     assert len(set(R8_WINDOW)) == len(R8_WINDOW)
     assert R8_WINDOW[: len(R8_PRIORITY_RECHECK)] == R8_PRIORITY_RECHECK
@@ -672,18 +673,21 @@ def test_r8_window_pin():
 
 
 def test_r9_window_pin():
-    """VERDICT r7 #3: the EXACT r9 window is pinned in r8 so the rotation
-    stays mechanical. Recompute it from the stated rule — round-8-changed
-    queries outside the r8 window first, then oldest-green-first (last
-    driver round ascending over CORRECTNESS_r01..r07, NAME tie-break,
-    R8_WINDOW names excluded since their r8 rows are freshest) — and
-    assert the pinned tuple matches bit for bit."""
+    """VERDICT r7 #3 pinned the r9 window in r8; VERDICT r8 #1 corrected
+    it at the start of r9 (the r8 pin omitted simhash_near_dup_pairs,
+    whose implementation changed in r8 while its driver row was stale at
+    r5). Recompute it from the stated rule — round-8-changed queries
+    outside the r8 window first, then oldest-green-first (last driver
+    round ascending over CORRECTNESS_r01..r07, NAME tie-break, R8_WINDOW
+    names excluded since their r8 rows are freshest) — and assert the
+    pinned tuple matches bit for bit."""
     import glob
     import json
     import os
     import re
 
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
         DRIVER_WINDOW,
         QUERIES,
         R8_WINDOW,
@@ -691,7 +695,8 @@ def test_r9_window_pin():
     )
 
     all_queries()  # populate the registry
-    changed_r8 = ("record_linkage_blocked",)
+    assert DRIVER_CHECK_FIRST == R9_WINDOW  # the r9 rotation is live
+    changed_r8 = ("record_linkage_blocked", "simhash_near_dup_pairs")
     assert len(R9_WINDOW) == DRIVER_WINDOW
     assert len(set(R9_WINDOW)) == len(R9_WINDOW)
     assert R9_WINDOW[: len(changed_r8)] == changed_r8
