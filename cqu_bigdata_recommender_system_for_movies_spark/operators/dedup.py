@@ -249,9 +249,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are generated map-side inside the (df-capped) posting array; a
     # self-join formulation would shuffle each posting twice.
     # data-derived df cap (see SHINGLE_DF_CAP comment): greatest(50,
-    # n_docs/100), 1-row broadcast scalar, same expression as the oracle's
-    # scalar subquery
-    cap_row = arrays.agg(
+    # n_docs/100), 1-row broadcast scalar, same expression AND same row set
+    # as the oracle's scalar subquery — COUNT(*) over the documents TABLE,
+    # not over the shingle-array table: docs shorter than SHINGLE_N tokens
+    # produce zero shingles and are absent from `arrays`, so counting
+    # arrays rows diverges from the oracle's COUNT(*) FROM documents once
+    # n_docs clears the floor (ADVICE r8). The count is metadata-only
+    # (parquet row-group stats), so this costs no extra corpus scan.
+    cap_row = load(spark, sf_dir, "documents").agg(
         F.expr("greatest(50L, count(1) div 100)").alias("df_cap")
     )
     posts = (
@@ -503,9 +508,14 @@ def _simhash_groups(sim: DataFrame) -> DataFrame:
 
 
 def _rep_band_buckets(groups: DataFrame, block_bits: int) -> DataFrame:
-    """(band, key, reps): banded LSH buckets over one representative per
+    """(band, key, ds): banded LSH buckets over one representative per
     distinct fingerprint. Bucket cardinality is bounded by distinct-
-    fingerprint count per (block, value), never by duplicate multiplicity."""
+    fingerprint count per (block, value), never by duplicate multiplicity —
+    but LSH concentrates near-dup families of DISTINCT fingerprints into
+    the same band bucket by design, so a hot bucket is still unbounded in
+    the distinct-fingerprint dimension; the column is named ``ds`` so the
+    caller feeds it straight into the size-split ``_bucket_pairs``
+    (ADVICE r8)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -523,8 +533,8 @@ def _rep_band_buckets(groups: DataFrame, block_bits: int) -> DataFrame:
     )
     return (
         bands.groupBy("band", "key")
-        .agg(F.collect_set("doc_id").alias("reps"))
-        .filter(F.size("reps") >= 2)
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
 
 
@@ -553,12 +563,16 @@ def _simhash_pairs_from_values(sim: DataFrame, block_bits: int) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
     )
-    cand = (
-        _rep_band_buckets(groups, block_bits)
-        .select(F.explode(_pairs_in_array("reps")).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    # size-split pair generation (_bucket_pairs, ADVICE r8): rep buckets
+    # are bounded by DISTINCT fingerprints per (band, key), but LSH
+    # concentrates near-dup families of distinct fingerprints into one
+    # bucket by design — a hot bucket would reproduce the in-row C(n,2)
+    # OOM the exact-dup collapse fixed for duplicate multiplicity.
+    # Checkpointed because both size branches read the bucket table.
+    buckets = _rep_band_buckets(groups, block_bits).localCheckpoint(
+        eager=False
     )
+    cand = _bucket_pairs(buckets, ["band", "key"]).distinct()
     sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
     sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
     hamming = F.expr("bit_count(sim_a ^ sim_b)").cast("int")
@@ -633,21 +647,49 @@ def _bucket_pairs(posts: DataFrame, key_cols: list[str]) -> DataFrame:
     ``ds``, keyed by ``key_cols``. Size-split (the ngram pattern, r8):
     buckets at or below SHINGLE_DF_CAP pair map-side inside the array
     (bounded C(50,2) structs per row — the fast path for the vast majority
-    of buckets); bigger buckets stream through a keyed self-join, because
-    an in-row pair array is ONE quadratic object (a 24,800-doc bucket is
-    ~307M structs — the r8 100x probe's OOM). Callers checkpoint ``posts``
-    if it is expensive to recompute — both branches read it."""
+    of buckets); bigger buckets stream through a CHUNKED keyed self-join,
+    because an in-row pair array is ONE quadratic object (a 24,800-doc
+    bucket is ~307M structs — the r8 100x probe's OOM). Callers checkpoint
+    ``posts`` if it is expensive to recompute — both branches read it.
+
+    Chunking (VERDICT r8 #3): a plain self-join on the bucket key emits
+    ALL C(n,2) pairs of one mega-bucket from a single task — output
+    fan-out is invisible to AQE's skew handling (it detects INPUT bytes).
+    The probe side (doc_a) is split into ceil(n / SHINGLE_DF_CAP) chunks
+    by doc hash and the build side replicated across the chunk ids, so
+    the join key becomes (bucket key, chunk) and one bucket's emission
+    spreads over n/CAP tasks of ~CAP*n pairs each. Replication cost is
+    n^2/CAP rows of 8-byte ids — proportional to the output itself. The
+    probe side is pinned with REPARTITION_BY_NUM (exempt from AQE
+    coalescing), which also forces the build side's ENSURE_REQUIREMENTS
+    exchange to the same un-coalesced layout."""
     small = (
         posts.filter(F.size("ds") <= SHINGLE_DF_CAP)
         .select(F.explode(_pairs_in_array("ds")).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
     big = posts.filter(F.size("ds") > SHINGLE_DF_CAP).select(
-        *key_cols, F.explode("ds").alias("doc")
+        *key_cols,
+        F.ceil(F.size("ds") / SHINGLE_DF_CAP).cast("int").alias("nc"),
+        F.col("ds"),
+    )
+    n_parts = int(posts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    probe = (
+        big.select(*key_cols, "nc", F.explode("ds").alias("doc_a"))
+        .select(
+            *key_cols,
+            F.pmod(F.hash("doc_a"), F.col("nc")).alias("chunk"),
+            "doc_a",
+        )
+        .repartition(n_parts, *key_cols, "chunk")
+    )
+    build = big.select(*key_cols, "nc", F.explode("ds").alias("doc_b")).select(
+        *key_cols,
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk"),
+        "doc_b",
     )
     big_pairs = (
-        big.select(*key_cols, F.col("doc").alias("doc_a"))
-        .join(big.select(*key_cols, F.col("doc").alias("doc_b")), key_cols)
+        probe.join(build, [*key_cols, "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )

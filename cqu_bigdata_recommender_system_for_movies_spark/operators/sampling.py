@@ -120,15 +120,21 @@ def shuffle_tokens_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     --                     i.e. (x100, integer-exact)
     --                     100*|approx_users - exact_users| <= 15*exact_users
     --   median_in_band := exact_p40 <= approx_median <= exact_p60
-    -- hll_tol_x100 and the rounded band bounds p40_r/p60_r are recomputed
-    -- here so the driver hashes the band arithmetic, not just the verdict
-    -- bits (VERDICT r7 #4); authoritative independent band recomputation:
-    -- tests/test_sampling.py
+    -- hll_tol_x100 and the band's RANK-axis anchors p40_idx/p60_idx are
+    -- recomputed here so the driver hashes the band arithmetic, not just
+    -- the verdict bits (VERDICT r7 #4). The VALUE-axis bounds are NOT
+    -- hashed (ADVICE r8): interpolated percentiles are 1-ULP
+    -- engine-divergent (Spark's (hi-pos)*lo + (pos-lo)*hi vs DuckDB's
+    -- lo + frac*(hi-lo)), and a near-half-cent ULP flips ROUND(2). The
+    -- index arithmetic IS integer-exact: p*(n-1) is one correctly-rounded
+    -- multiply of identical doubles on both engines, so FLOOR/CEIL of it
+    -- are deterministic BIGINTs. Authoritative independent band
+    -- recomputation: tests/test_sampling.py
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            CAST(15 * COUNT(DISTINCT user_id) AS BIGINT) AS hll_tol_x100,
-           ROUND(quantile_cont(value, 0.4), 2) + 0.0 AS p40_r,
-           ROUND(quantile_cont(value, 0.6), 2) + 0.0 AS p60_r,
+           CAST(FLOOR(0.4 * CAST(COUNT(*) - 1 AS DOUBLE)) AS BIGINT) AS p40_idx,
+           CAST(CEIL(0.6 * CAST(COUNT(*) - 1 AS DOUBLE)) AS BIGINT) AS p60_idx,
            TRUE AS hll_in_band,
            TRUE AS median_in_band
     FROM events
@@ -154,18 +160,23 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Driver-hashed band inputs (VERDICT r7 #4): the HLL tolerance in
     # integer centi-units (15·exact = 100× the 0.15·exact band — exact
-    # BIGINT on both engines) and the median band bounds rounded to cents
-    # (+0.0 folds DuckDB's ROUND -0.0 to +0.0; both engines interpolate
-    # percentiles with the same p·(n-1) rule). The verdicts compare against
-    # these same emitted quantities, so the hashed columns are the ones the
-    # verdicts actually used.
+    # BIGINT on both engines) and the median band's RANK-axis anchor
+    # indices floor(0.4·(n-1)) / ceil(0.6·(n-1)) — one correctly-rounded
+    # multiply of identical doubles, so the floor/ceil integers are
+    # deterministic across engines. The VALUE-axis bounds (rounded
+    # interpolated percentiles) are deliberately NOT hashed (ADVICE r8):
+    # the interpolation formula order differs between engines (1-ULP),
+    # and a half-cent-adjacent ULP flips ROUND(2). The verdicts compare
+    # against the engine's own percentiles; the oracle pins them TRUE and
+    # tests/test_sampling.py recomputes the band independently.
     hll_tol_x100 = F.lit(15).cast("long") * F.col("exact_users")
+    nm1 = (F.col("n") - F.lit(1)).cast("double")
     return agg.select(
         "n",
         "exact_users",
         hll_tol_x100.alias("hll_tol_x100"),
-        (F.round(F.col("p40"), 2) + F.lit(0.0)).alias("p40_r"),
-        (F.round(F.col("p60"), 2) + F.lit(0.0)).alias("p60_r"),
+        F.floor(F.lit(0.4) * nm1).cast("long").alias("p40_idx"),
+        F.ceil(F.lit(0.6) * nm1).cast("long").alias("p60_idx"),
         (
             F.abs(F.col("approx_users") - F.col("exact_users")) * F.lit(100)
             <= hll_tol_x100

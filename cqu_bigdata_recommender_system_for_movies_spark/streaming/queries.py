@@ -218,14 +218,16 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e LEFT JOIN customer ON e.user_id = c_custkey
     """,
     doc="J1/ST5: true stream-static left join (streaming_rec.py:189) — "
-    "streaming events enriched with the broadcast customer dimension, "
-    "append mode.",
+    "streaming events enriched with the customer dimension, append mode. "
+    "No forced broadcast hint (VERDICT r8 #3): customer grows with scale "
+    "factor; the per-micro-batch planner broadcasts it at bench sf and "
+    "falls back once the dim outgrows the threshold.",
 )
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
     customer = load(spark, sf_dir, "customer")
     joined = stream.join(
-        F.broadcast(customer), stream.user_id == customer.c_custkey, "left"
+        customer, stream.user_id == customer.c_custkey, "left"
     ).select(
         "event_id",
         stream.user_id.alias("user_id"),

@@ -61,6 +61,40 @@ def test_big_bucket_self_join_matches_array_enumeration(spark):
     assert len(big) > SHINGLE_DF_CAP
 
 
+def test_big_bucket_emission_is_chunked(spark):
+    """VERDICT r8 #3: the big branch used to self-join on the bucket key
+    alone, so ONE task emitted a mega-bucket's entire C(n,2) output (307M
+    pairs for the 24,800-doc bucket at the 100x probe) — output fan-out
+    is invisible to AQE's skew handling. The probe side is now split into
+    ceil(n/CAP) hash chunks joined on (key, chunk): assert the chunk ids
+    actually spread a hot bucket across multiple join keys, the pinned
+    REPARTITION_BY_NUM survives in the plan, and the pair set is
+    unchanged."""
+    n = SHINGLE_DF_CAP * 4  # 200 docs -> nc = 4 chunks
+    buckets = {(0, "mega"): list(range(n))}
+    df = _bucket_df(spark, buckets)
+    pairs = _bucket_pairs(df, ["band", "key"])
+    got = {(r.doc_a, r.doc_b) for r in pairs.distinct().collect()}
+    assert got == _expected_pairs(buckets)
+    assert len(got) == n * (n - 1) // 2
+    # the probe side's chunk column must take ceil(n/CAP) distinct values
+    # (multi-task emission), and the explicit numPartitions repartition —
+    # exempt from AQE coalescing — must survive into the optimized plan
+    nc = -(-n // SHINGLE_DF_CAP)
+    probe_chunks = (
+        df.select(
+            F.explode("ds").alias("doc_a"),
+            F.ceil(F.size("ds") / SHINGLE_DF_CAP).cast("int").alias("nc"),
+        )
+        .select(F.pmod(F.hash("doc_a"), F.col("nc")).alias("chunk"))
+        .distinct()
+        .count()
+    )
+    assert probe_chunks == nc
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+
+
 def test_size_split_agrees_with_pure_array_path(spark):
     """On buckets the array path can still afford (<= ~200 docs), the
     size-split result equals brute-force _pairs_in_array over every

@@ -503,7 +503,7 @@ def test_simhash_hot_buckets_collapse_exact_dups(spark):
     # the hot-bucket cap: 50 exact dups of `a` occupy ONE slot per bucket
     max_bucket = (
         _rep_band_buckets(groups, 16)
-        .agg(F.max(F.size("reps")))
+        .agg(F.max(F.size("ds")))
         .collect()[0][0]
     )
     assert max_bucket is not None and max_bucket <= 3
