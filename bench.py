@@ -240,13 +240,25 @@ def main() -> None:
     compact["queries_full_file"] = "bench_full.json"
     compact["queries_n"] = len(timings)
     del compact["regressions"]
-    by_cost = sorted(timings, key=timings.get, reverse=True)
-    keep = len(by_cost)
+    # Inline-line composition (VERDICT r8 #7 stretch): the driver records
+    # only this ≤1600-byte line, so a pure slowest-first cap showed the
+    # judge the SAME ~45 expensive queries every round. Keep the 20
+    # slowest as a fixed anchor (round-over-round comparability of the
+    # queries where regressions can actually clear the 0.5 s delta
+    # floor), then fill the remaining byte budget with a slice of the
+    # others that ROTATES by round number (derived from the committed
+    # BENCH_r*.json files), so successive rounds walk the whole map.
+    # bench_full.json still always carries every query.
+    cur_round = 1 + max(
+        [r for r, _ in _bench_rounds()] or [0]
+    )  # the round this run records
+    candidates, anchor_n = _inline_candidates(timings, cur_round)
+    keep = len(candidates)
     line = ""
     while keep > 0:
-        compact["queries"] = {
-            n: timings[n] for n in HEADLINE if n in set(by_cost[:keep])
-        }
+        chosen = set(candidates[:keep])
+        compact["queries"] = {n: timings[n] for n in HEADLINE if n in chosen}
+        compact["inline_rotation"] = {"round": cur_round, "anchor_n": anchor_n}
         line = json.dumps(compact)
         if len(line) <= 1600:
             break
@@ -258,6 +270,37 @@ def main() -> None:
         compact["queries"] = {}
         line = json.dumps(compact)
     print(line)
+
+
+def _inline_candidates(
+    timings: dict[str, float], cur_round: int, anchor_n: int = 20
+) -> tuple[list[str], int]:
+    """Priority order for the inline line: the anchor_n slowest queries
+    first (fixed across rounds — only they can clear the regression
+    delta floor), then every other query starting at a round-rotated
+    offset so successive rounds walk the whole map. The packing loop
+    truncates from the tail, so the anchor always survives."""
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    anchor = by_cost[:anchor_n]
+    rest = sorted(by_cost[anchor_n:])  # name axis — stable across jitter
+    if rest:
+        off = (cur_round * 29) % len(rest)
+        rest = rest[off:] + rest[:off]
+    return anchor + rest, len(anchor)
+
+
+def _bench_rounds() -> list[tuple[int, str]]:
+    """(round, path) for every committed BENCH_r*.json next to this script."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            out.append((int(m.group(1)), path))
+    return out
 
 
 REGRESSION_RATIO = 1.25
@@ -328,15 +371,8 @@ def _regressions(
     slow window inflates every query AND the calibration probe by the
     same factor (measured 1.6x swing across three same-code round-5
     runs), while a real regression moves only its query."""
-    import glob
-    import re
-
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = []
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m:
-            rounds.append((int(m.group(1)), path))
+    rounds = _bench_rounds()
     if not rounds:
         return {}
     try:

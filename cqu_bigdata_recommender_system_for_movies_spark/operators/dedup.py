@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.session import shuffle_partitions
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
 SHINGLE_N = 5
@@ -608,9 +609,7 @@ def _simhash_pairs_from_values(sim: DataFrame, block_bits: int) -> DataFrame:
     # partition count; the mid repartition keys on da so hot doc_b groups
     # still spread across tasks. Output-explosive keys evade AQE's skew
     # handling entirely — it detects INPUT bytes, not fan-out.
-    n_parts = int(
-        rep_pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_parts = shuffle_partitions(rep_pairs.sparkSession)
     cross = (
         rep_pairs.repartition(n_parts)
         .join(ma, "doc_a")
@@ -673,7 +672,7 @@ def _bucket_pairs(posts: DataFrame, key_cols: list[str]) -> DataFrame:
         F.ceil(F.size("ds") / SHINGLE_DF_CAP).cast("int").alias("nc"),
         F.col("ds"),
     )
-    n_parts = int(posts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partitions(posts.sparkSession)
     probe = (
         big.select(*key_cols, "nc", F.explode("ds").alias("doc_a"))
         .select(

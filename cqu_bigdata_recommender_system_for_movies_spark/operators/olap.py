@@ -29,7 +29,11 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     GROUP BY ROLLUP (n_name, p_brand)
     """,
     doc="ROLLUP over the star join: (nation, brand), (nation), () subtotal "
-    "levels in one pass — partial aggregation keeps the shuffle small.",
+    "levels in one pass — partial aggregation keeps the shuffle small. "
+    "Only nation keeps a broadcast hint (25 rows at EVERY scale factor); "
+    "customer and part grow with sf, so their strategy is AQE's call "
+    "(VERDICT r9 #1: a forced multi-GB broadcast at 100x is an "
+    "executor-OOM where AQE would pick SMJ on its own).",
 )
 def rollup_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ratings(spark, sf_dir)
@@ -37,9 +41,9 @@ def rollup_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     part = load(spark, sf_dir, "part")
     return (
-        r.join(F.broadcast(customer), r.user_id == customer.c_custkey)
+        r.join(customer, r.user_id == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(part), r.item_id == part.p_partkey)
+        .join(part, r.item_id == part.p_partkey)
         .rollup("n_name", "p_brand")
         .agg(F.count("*").alias("cnt"), F.sum("rating").alias("sum_rating"))
         .select(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.session import shuffle_partitions
 from cqu_bigdata_recommender_system_for_movies_spark.tables import RATINGS_SQL, load, ratings
 
 # ---------------------------------------------------------------------------
@@ -656,9 +657,7 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parallelism suffices and the extra shuffle would be pure small-sf
         # overhead.
         if tight:
-            n_parts = int(
-                cust.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
+            n_parts = shuffle_partitions(cust.sparkSession)
             c = c.repartition(n_parts, *keys)
         return c.join(s, cond).select(
             "c_custkey",

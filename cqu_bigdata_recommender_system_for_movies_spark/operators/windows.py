@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.session import shuffle_partitions
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
 SESSION_GAP_MIN = 30
@@ -1174,7 +1175,7 @@ def global_row_number(
     `offset[pid] + local_rank` IS the global rank.
     """
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n = num_partitions or shuffle_partitions(spark)
     pinned = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())

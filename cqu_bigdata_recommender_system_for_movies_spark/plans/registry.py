@@ -265,9 +265,120 @@ R9_WINDOW: tuple[str, ...] = (
     "write_recommendations_table",
 )
 
-# Round 9 rotation (VERDICT r8 #1): burn the corrected pinned window.
-DRIVER_CHECK_FIRST: tuple[str, ...] = R9_WINDOW
+# r10 fill — the EXACT round-10 window, pinned at the start of round 10
+# (VERDICT r9 #1 — r9 shipped no pin, so without this the r9 window
+# would burn again and starve the 44 r5-latest rows). Rule, recomputed
+# and asserted by tests/test_plans.py::test_r10_window_pin:
+# (a) queries whose implementation or oracle changed in round 9 OUTSIDE
+# the r9 window, whose latest green driver rows therefore no longer
+# describe the shipped queries (VERDICT r9 "What's missing" #1):
+# approx_aggregates first (its driver-hashed OUTPUT SCHEMA changed:
+# p40_r/p60_r doubles -> p40_idx/p60_idx bigints), then
+# ngram_jaccard_pairs (engine-side df-cap derivation changed),
+# minhash_lsh_dedup (inherits the chunked _bucket_pairs), and the four
+# result-neutral forced-broadcast drops stream_static_enrich,
+# join_star_2hop, preagg_join_rollup, streaming_static_join; plus
+# rollup_nation_brand, whose customer/part hints drop in round 10
+# itself (VERDICT r9 "What's wrong" #1).
+# (b) oldest-green-first re-confirmations (last driver round ascending
+# over CORRECTNESS_r01..r09, NAME as the tie-break — registry insertion
+# order varies with module import order, so it cannot anchor a pinned
+# list — R9_WINDOW names excluded since their r9 rows are freshest) up
+# to the 50-slot window: zorder_layout_stats (the last r4 row, promised
+# this rotation since the r9 pin correction), the r5 rows
+# alphabetically, then the first r6 row (ann_ivf_multiprobe_topk).
+R10_CHANGED_HEAD: tuple[str, ...] = (
+    "approx_aggregates",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_dedup",
+    "stream_static_enrich",
+    "join_star_2hop",
+    "preagg_join_rollup",
+    "streaming_static_join",
+    "rollup_nation_brand",
+)
+R10_WINDOW: tuple[str, ...] = R10_CHANGED_HEAD + (
+    "zorder_layout_stats",
+    "anti_join_unseen_items",
+    "asof_join_last_order",
+    "cold_start_new_items",
+    "cold_start_popular_items",
+    "cross_join_scoring",
+    "cube_lang_source",
+    "date_functions_suite",
+    "distinct_user_event_pairs",
+    "filter_notnull_range",
+    "filter_point_lookup",
+    "gap_fill_forward",
+    "global_stats",
+    "group_count_having_events",
+    "image_decode_pixel_stats",
+    "json_extract_props",
+    "last_touch_attribution",
+    "map_functions_suite",
+    "nested_struct_history",
+    "orderby_limit_topk",
+    "percentile_stats",
+    "pivot_event_type",
+    "project_cast_rename",
+    "roundtrip_delimited_parse",
+    "salted_join_segment_counts",
+    "semi_join_active_customers",
+    "sessionize_events",
+    "set_ops_except",
+    "set_ops_intersect",
+    "set_ops_union_distinct",
+    "stats_agg_suite",
+    "streaming_dedup_events",
+    "streaming_parse_records",
+    "streaming_stream_stream_join",
+    "streaming_window_counts",
+    "streaming_wordcount",
+    "string_functions_suite",
+    "top1_per_user_maxby",
+    "topk_avg_rating_items",
+    "topk_per_user_window",
+    "window_functions_suite",
+    "ann_ivf_multiprobe_topk",
+)
+
+# Round 10 rotation (VERDICT r9 #1): burn the pinned window.
+DRIVER_CHECK_FIRST: tuple[str, ...] = R10_WINDOW
 DRIVER_CHECK_LAST: tuple[str, ...] = ()
+
+# Queries whose implementation hash (transitive in-package closure, see
+# plans/manifest.py) changed since the round-10 start tree (git 1a63280,
+# the tree the r9 driver verified; plans/query_manifest.json is frozen
+# there). VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as
+# any query/oracle/helper change — enforced by
+# tests/test_plans.py::test_changed_queries_are_manifested, which fails
+# on any hash drift not named here. The r11 window head is derived from
+# it mechanically: CHANGED_THIS_ROUND minus R10_WINDOW (in-window names
+# get fresh r10 rows at round end and need no r11 slot). At the start of
+# round 11: refresh the manifest (python -m
+# cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
+# refresh), pin R11_WINDOW, reset this tuple to ().
+#
+# r10 changes so far: rollup_nation_brand dropped its forced
+# customer/part broadcasts (VERDICT r9 #1); the shared
+# session.shuffle_partitions helper (ADVICE r9) replaced the fragile
+# int(conf.get(...)) parse inside _bucket_pairs (-> the minhash/ngram/
+# simhash/dedup_components family), the record-linkage tight branch,
+# and global_row_number (-> vocab_build, zipf_law_fit).
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "dedup_canonical_docs",
+    "dedup_components",
+    "dedup_components_lss",
+    "dedup_pipeline_summary",
+    "minhash_jaccard_estimate",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "record_linkage_blocked",
+    "rollup_nation_brand",
+    "simhash_near_dup_pairs",
+    "vocab_build",
+    "zipf_law_fit",
+)
 
 
 def _driver_order(names) -> list[str]:

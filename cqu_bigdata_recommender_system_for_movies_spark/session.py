@@ -52,3 +52,24 @@ def get_spark(app_name: str = "cqu-bigdata-spark-engine") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
+    """Current shuffle-partition count as an int, resilient to non-numeric
+    conf values.
+
+    ``spark.sql.shuffle.partitions`` is not guaranteed numeric — managed
+    runtimes set it to ``"auto"`` under AQE auto-tuning (ADVICE r9). Every
+    call site that needs a concrete task count for a pinned
+    ``repartition(N, ...)`` goes through here: non-numeric conf falls back
+    to ``defaultParallelism`` (the cluster's actual slot count — the right
+    fan-out anchor when the runtime is auto-tuning), then to ``default``.
+    """
+    raw = spark.conf.get("spark.sql.shuffle.partitions", str(default))
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            return default

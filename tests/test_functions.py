@@ -109,3 +109,37 @@ def test_salted_topk_rejects_reserved_columns(spark, sf_dir):
     r = ratings(spark, sf_dir).withColumn("rnk", F.lit(1))
     with pytest.raises(ValueError, match="rnk"):
         salted_topk(r, ["item_id"], [F.desc("rating")], 5, F.col("user_id"))
+
+
+def test_shuffle_partitions_helper_handles_non_numeric_conf(spark):
+    """ADVICE r9: managed runtimes set spark.sql.shuffle.partitions to
+    "auto" under AQE auto-tuning; the shared helper must fall back to
+    defaultParallelism instead of raising ValueError."""
+    from cqu_bigdata_recommender_system_for_movies_spark.session import shuffle_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    assert shuffle_partitions(spark) == int(prev)
+
+    # OSS Spark type-checks this conf as int, so "auto" can only appear on
+    # managed runtimes — simulate one with a stub that mirrors the API.
+    class _Conf:
+        def get(self, key, default=None):
+            return "auto"
+
+    class _Ctx:
+        defaultParallelism = 7
+
+    class _FakeSpark:
+        conf = _Conf()
+        sparkContext = _Ctx()
+
+    assert shuffle_partitions(_FakeSpark()) == 7
+
+    class _NoCtx:
+        conf = _Conf()
+
+        @property
+        def sparkContext(self):
+            raise RuntimeError("no context")
+
+    assert shuffle_partitions(_NoCtx(), default=13) == 13

@@ -592,7 +592,7 @@ def test_next_window_plan_comment_is_exact():
     never = [n for n in QUERIES if n not in checked and n not in set(DRIVER_CHECK_FIRST)]
     with open(reg.__file__) as f:
         src = f.read()
-    comment = src[src.index("# r9 fill") : src.index("R9_WINDOW: tuple")]
+    comment = src[src.index("# r10 fill") : src.index("R10_CHANGED_HEAD: tuple")]
     # Tokenize the comment into identifiers rather than substring-matching:
     # a name that is a substring of another listed name (e.g. "foo" inside
     # "foo_bar") must NOT count as present (ADVICE r5).
@@ -604,16 +604,16 @@ def test_next_window_plan_comment_is_exact():
         f"registry's next-window plan comment omits never-driver-checked "
         f"queries: {missing} — add them so the rotation stays exact"
     )
-    # VERDICT r7 #3 / r8 #1: every query whose implementation or oracle
-    # changed in round 8 OUTSIDE the r8 window must be pinned by name at
-    # the head of the r9 plan so its stale green row gets refreshed first.
-    changed_r8 = [
-        "record_linkage_blocked",
-        "simhash_near_dup_pairs",
-    ]
-    unpinned = [n for n in changed_r8 if n not in tokens]
+    # VERDICT r9 #1: every query whose implementation or oracle changed
+    # in round 9 OUTSIDE the r9 window must be pinned by name at the
+    # head of the r10 plan so its stale green row gets refreshed first.
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        R10_CHANGED_HEAD,
+    )
+
+    unpinned = [n for n in R10_CHANGED_HEAD if n not in tokens]
     assert not unpinned, (
-        f"r9-fill plan comment must name the round-8 changed queries for "
+        f"r10-fill plan comment must name the round-9 changed queries for "
         f"re-verification; missing: {unpinned}"
     )
 
@@ -687,7 +687,6 @@ def test_r9_window_pin():
     import re
 
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
-        DRIVER_CHECK_FIRST,
         DRIVER_WINDOW,
         QUERIES,
         R8_WINDOW,
@@ -695,7 +694,8 @@ def test_r9_window_pin():
     )
 
     all_queries()  # populate the registry
-    assert DRIVER_CHECK_FIRST == R9_WINDOW  # the r9 rotation is live
+    # (the r9 rotation completed in CORRECTNESS_r09 — 50/50 green; the
+    # window is kept as data because the r10 pin rule excludes its names)
     changed_r8 = ("record_linkage_blocked", "simhash_near_dup_pairs")
     assert len(R9_WINDOW) == DRIVER_WINDOW
     assert len(set(R9_WINDOW)) == len(R9_WINDOW)
@@ -723,6 +723,114 @@ def test_r9_window_pin():
     assert R9_WINDOW == expect, (
         "pinned R9_WINDOW deviates from the oldest-green-first rule: "
         f"{[(a, b) for a, b in zip(R9_WINDOW, expect) if a != b]}"
+    )
+
+
+def test_r10_window_pin():
+    """VERDICT r9 #1: pin the EXACT r10 window at the start of round 10.
+    Recompute it from the stated rule — the eight changed queries at the
+    head (seven whose implementation/oracle changed in round 9 outside
+    the r9 window, in VERDICT r9's stated order, plus rollup_nation_brand
+    whose forced customer/part broadcasts drop in round 10 itself), then
+    oldest-green-first (last driver round ascending over
+    CORRECTNESS_r01..r09, NAME tie-break, R9_WINDOW names excluded since
+    their r9 rows are freshest) — and assert the pinned tuple matches
+    bit for bit."""
+    import glob
+    import json
+    import os
+    import re
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        DRIVER_WINDOW,
+        QUERIES,
+        R9_WINDOW,
+        R10_CHANGED_HEAD,
+        R10_WINDOW,
+    )
+
+    all_queries()  # populate the registry
+    assert DRIVER_CHECK_FIRST == R10_WINDOW  # the r10 rotation is live
+    assert len(R10_WINDOW) == DRIVER_WINDOW
+    assert len(set(R10_WINDOW)) == len(R10_WINDOW)
+    assert R10_WINDOW[: len(R10_CHANGED_HEAD)] == R10_CHANGED_HEAD
+    unknown = [n for n in R10_WINDOW if n not in QUERIES]
+    assert not unknown, f"r10 window names unregistered queries: {unknown}"
+    overlap = set(R10_WINDOW) & set(R9_WINDOW)
+    assert not overlap, (
+        f"r10 window repeats r9-window names whose rows are freshest: {overlap}"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    rest = [
+        n
+        for n in QUERIES
+        if n not in set(R10_CHANGED_HEAD) and n not in set(R9_WINDOW)
+    ]
+    rest.sort(key=lambda n: (last.get(n, 99), n))
+    expect = R10_CHANGED_HEAD + tuple(
+        rest[: DRIVER_WINDOW - len(R10_CHANGED_HEAD)]
+    )
+    assert R10_WINDOW == expect, (
+        "pinned R10_WINDOW deviates from the oldest-green-first rule: "
+        f"{[(a, b) for a, b in zip(R10_WINDOW, expect) if a != b]}"
+    )
+
+
+def test_changed_queries_are_manifested():
+    """VERDICT r9 #3: the rotation pin must be mechanical, not
+    reconstructed by hand at pin time (that slip happened twice — r8's
+    simhash omission, r9's seven stale rows). plans/query_manifest.json
+    freezes every registered query's implementation hash (transitive
+    in-package closure: own source incl. decorators/oracle, every
+    referenced same-module top-level def/constant, and the same across
+    package import edges — see plans/manifest.py) at the round-start
+    tree. Any commit that drifts a query's hash MUST name it in
+    registry.CHANGED_THIS_ROUND in the same commit; the set equality
+    here keeps the tuple exact in both directions, so the r11 window
+    head (CHANGED_THIS_ROUND minus R10_WINDOW) is derived from data."""
+    import json
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.manifest import (
+        MANIFEST_PATH,
+        compute_query_hashes,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        CHANGED_THIS_ROUND,
+        QUERIES,
+    )
+
+    computed = compute_query_hashes()
+    with open(MANIFEST_PATH) as f:
+        baseline = json.load(f)
+    removed = sorted(n for n in baseline if n not in computed)
+    assert not removed, (
+        f"queries deleted since the manifest froze — refresh it: {removed}"
+    )
+    changed = {n for n, h in computed.items() if baseline.get(n) != h}
+    declared = set(CHANGED_THIS_ROUND)
+    undeclared = sorted(changed - declared)
+    assert not undeclared, (
+        "implementation hash drifted without a CHANGED_THIS_ROUND entry — "
+        "append these names in the SAME commit as the change so the next "
+        f"round's window head stays mechanical: {undeclared}"
+    )
+    stale = sorted(declared - changed)
+    assert not stale, (
+        "CHANGED_THIS_ROUND names queries whose hash matches the frozen "
+        f"manifest (change reverted, or name never drifted): {stale}"
+    )
+    # the static register() scan and the live registry must agree
+    all_queries()
+    assert set(computed) == set(QUERIES), (
+        "static manifest scan and live registry disagree: "
+        f"{sorted(set(computed) ^ set(QUERIES))}"
     )
 
 
@@ -1317,3 +1425,29 @@ def test_unpartitioned_window_detector_fires(spark):
         "rn", F.row_number().over(Window.partitionBy("k").orderBy("v"))
     )
     assert not _unpartitioned_ordered_windows(_plan(good))
+
+
+def test_bench_inline_rotation_walks_the_map():
+    """VERDICT r8 #7: the driver-visible ≤1600-byte bench line used to cap
+    to the slowest queries, showing the judge the same ~45 names every
+    round. The inline candidate order must (a) keep the slowest-N anchor
+    fixed regardless of round, (b) rotate the remainder by round so the
+    union across rounds covers everything."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    timings = {f"q{i:03d}": float(200 - i) for i in range(120)}
+    c10, a10 = bench._inline_candidates(timings, 10)
+    c11, _ = bench._inline_candidates(timings, 11)
+    assert a10 == 20
+    assert c10[:20] == c11[:20]  # anchor fixed
+    assert c10[20:] != c11[20:]  # tail rotated
+    assert sorted(c10) == sorted(c11) == sorted(timings)  # nothing dropped
+    # a ~45-name budget slice walks the non-anchor map across rounds
+    union = set()
+    for rnd in range(10, 20):
+        cand, _ = bench._inline_candidates(timings, rnd)
+        union |= set(cand[:45])
+    assert len(union) > 45 * 2

@@ -107,3 +107,50 @@ def test_no_row_at_a_time_python_udfs():
     assert not offenders, (
         f"row-at-a-time Python UDF in the package (use Arrow surfaces): {offenders}"
     )
+
+
+# Fact / growing-dimension tables: every one of these scales with the
+# data volume, so a forced broadcast hint on them is an executor-OOM at
+# 100x where AQE would pick a sort-merge join on its own (VERDICT r8 #3
+# fixed four sites; VERDICT r9 #1 caught a fifth in rollup_nation_brand
+# and asked for this package-wide tripwire). Bounded broadcasts —
+# 1-row scalars, the 25-row nation dim, boundary/histogram tables,
+# top-K candidate pools — use other variable names and stay legal.
+GROWING_TABLES = frozenset(
+    {"customer", "part", "supplier", "orders", "lineitem",
+     "documents", "embeddings", "events", "ratings"}
+)
+
+
+def test_no_forced_broadcast_of_growing_tables():
+    offenders = []
+    for py in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call) or not node.args:
+                continue
+            callee = node.func
+            name = (
+                callee.attr
+                if isinstance(callee, ast.Attribute)
+                else callee.id
+                if isinstance(callee, ast.Name)
+                else None
+            )
+            if name != "broadcast":
+                continue
+            arg = node.args[0]
+            # F.broadcast(customer) — a bare name bound to a growing table
+            if isinstance(arg, ast.Name) and arg.id in GROWING_TABLES:
+                offenders.append(f"{py.relative_to(PKG)}:{node.lineno} ({arg.id})")
+            # F.broadcast(load(spark, sf_dir, "customer")) — inline load
+            if isinstance(arg, ast.Call):
+                for sub in ast.walk(arg):
+                    if isinstance(sub, ast.Constant) and sub.value in GROWING_TABLES:
+                        offenders.append(
+                            f"{py.relative_to(PKG)}:{node.lineno} (load '{sub.value}')"
+                        )
+    assert not offenders, (
+        "forced broadcast of a table that grows with scale factor — drop "
+        f"the hint and let AQE pick the strategy: {offenders}"
+    )
