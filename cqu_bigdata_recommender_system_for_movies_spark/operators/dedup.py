@@ -864,7 +864,11 @@ _CC_ORACLE = f"""
     "2 driver-synchronized jobs per round). Edge set materialized once; "
     "rounds needed = component diameter (near-dup clusters are shallow). "
     "The oracle computes the same components with a recursive CTE. "
-    "component = min doc_id in the group (the canonical survivor).",
+    "component = min doc_id in the group (the canonical survivor). "
+    "Scale note (r10 100x probe): identical output to dedup_components_lss "
+    "but 8.8x slower (293 s vs 33 s) — propagation re-joins the FULL edge "
+    "set every round while LSS contracts it; at 100 TB prefer the _lss "
+    "variant, this one is the cross-check.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized edge set — every propagation round reuses it, and
