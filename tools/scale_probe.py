@@ -47,22 +47,68 @@ DEFAULT_PROBE = [
 ]
 
 
+def _run_one(spark, sf_dir: str, name: str) -> dict:
+    fn = all_queries()[name]
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    sec = round(time.perf_counter() - t0, 2)
+    # separate count pass: the row figure is the growth evidence
+    rows = df.count()
+    return {"sec": sec, "rows": rows}
+
+
 def main() -> None:
-    sf_dir = sys.argv[1]
-    names = sys.argv[2:] or DEFAULT_PROBE
-    spark = get_spark("scale-probe")
-    queries = all_queries()
-    results: dict[str, dict] = {}
+    args = [a for a in sys.argv[1:] if a != "--one-session"]
+    one_session = "--one-session" in sys.argv[1:]
+    sf_dir = args[0]
+    names = args[1:] or DEFAULT_PROBE
+
+    if one_session:
+        spark = get_spark("scale-probe")
+        results: dict[str, dict] = {}
+        for name in names:
+            results[name] = _run_one(spark, sf_dir, name)
+            print(json.dumps({"query": name, **results[name]}), flush=True)
+        print(json.dumps({"sf_dir": sf_dir, "results": results}))
+        return
+
+    # Default (round 10): one SUBPROCESS per query. Probing two
+    # corpus-scale pair joins back-to-back in one 8g/32-thread local JVM
+    # at 100x OOMs an executor thread (the r9 ngram admits real postings,
+    # so its join leaves a fragmented old gen + retained signature
+    # checkpoint for whoever runs next) even though every query passes
+    # solo — a harness heap ceiling, not an engine plan defect: on a
+    # cluster each executor JVM is its own heap and sequential queries
+    # don't stack working sets. Fresh process per query keeps the
+    # documented DEFAULT_PROBE recipe runnable at any replica factor;
+    # --one-session restores the shared-session behavior (faster, and it
+    # exercises the in-session signature-table reuse).
+    import subprocess
+
+    results = {}
     for name in names:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        sec = round(time.perf_counter() - t0, 2)
-        # separate count pass: the row figure is the growth evidence
-        rows = df.count()
-        results[name] = {"sec": sec, "rows": rows}
-        print(json.dumps({"query": name, "sec": sec, "rows": rows}), flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one-session", sf_dir, name],
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.splitlines())
+                if ln.startswith('{"query"')
+            ),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            results[name] = {"error": (proc.stderr or "no output")[-500:]}
+            print(json.dumps({"query": name, "error": True}), flush=True)
+            continue
+        rec = json.loads(line)
+        rec.pop("query", None)
+        results[name] = rec
+        print(json.dumps({"query": name, **rec}), flush=True)
     print(json.dumps({"sf_dir": sf_dir, "results": results}))
 
 
