@@ -162,6 +162,9 @@ HEADLINE = [
     # re-plan and the newly oracle'd stateful fold)
     "quality_quartile_stats",
     "streaming_interest_fold",
+    # round-10 addition — APPENDED (new operator: online near-dup
+    # detection via per-bucket fingerprint state)
+    "streaming_simhash_dedup",
 ]
 
 

@@ -287,6 +287,8 @@ R9_WINDOW: tuple[str, ...] = (
 # to the 50-slot window: zorder_layout_stats (the last r4 row, promised
 # this rotation since the r9 pin correction), the r5 rows
 # alphabetically, then the first r6 row (ann_ivf_multiprobe_topk).
+# Never-driver-checked (registered mid-round-10, after this pin froze;
+# r11 head candidates via CHANGED_THIS_ROUND): streaming_simhash_dedup.
 R10_CHANGED_HEAD: tuple[str, ...] = (
     "approx_aggregates",
     "ngram_jaccard_pairs",
@@ -364,8 +366,11 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # session.shuffle_partitions helper (ADVICE r9) replaced the fragile
 # int(conf.get(...)) parse inside _bucket_pairs (-> the minhash/ngram/
 # simhash/dedup_components family), the record-linkage tight branch,
-# and global_row_number (-> vocab_build, zipf_law_fit).
+# and global_row_number (-> vocab_build, zipf_law_fit). NEW in r10:
+# streaming_simhash_dedup (online near-dup detection, streaming/
+# simdedup.py) — no driver row yet, r11 window head candidate.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_simhash_dedup",
     "dedup_canonical_docs",
     "dedup_components",
     "dedup_components_lss",

@@ -1167,3 +1167,64 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return survivors.join(audit, ["user_id", "event_type"])
+
+
+def _simdedup_oracle() -> str:
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.dedup import (
+        HAMMING_MAX,
+        _simhash_value_sql,
+    )
+
+    return f"""
+    WITH {_simhash_value_sql()}
+    SELECT a.doc_id AS doc_id,
+           COALESCE(MIN(b.doc_id), CAST(-1 AS BIGINT)) AS dup_of
+    FROM sim a LEFT JOIN sim b
+      ON b.doc_id < a.doc_id
+     AND bit_count(xor(a.sim, b.sim)) <= {HAMMING_MAX}
+    GROUP BY a.doc_id
+    """
+
+
+@register(
+    "streaming_simhash_dedup",
+    oracle=_simdedup_oracle(),
+    doc="ONLINE near-dup detection — the streaming twin of "
+    "simhash_near_dup_pairs: documents arrive in 3 real micro-batches "
+    "(staged slices, maxFilesPerTrigger=1) and each is checked against "
+    "the fingerprints of everything already ingested. Per-row SimHash "
+    "(streaming/simdedup.py:fingerprint_col — no aggregation needed to "
+    "fingerprint a stream), Manku 4x16 band keys, per-(band, block) "
+    "applyInPandasWithState keeping the (doc_id, fp) index; lossless by "
+    "the same pigeonhole as the batch side. Emissions are "
+    "(dup_id, of_id) with dup_id > of_id, so min(of_id) per doc "
+    "converges to the batch LEFT-JOIN-min oracle regardless of how the "
+    "stream is split into batches: for any qualifying pair, whichever "
+    "side arrives later finds the other in state. dup_of = -1 marks a "
+    "doc with no smaller near-duplicate.",
+)
+def streaming_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.simdedup import (
+        dedup_stream,
+        with_fingerprint,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # stage the corpus as 3 files so availableNow + maxFilesPerTrigger=1
+    # yields 3 real micro-batches and state genuinely crosses batches
+    stage_dir = tempfile.mkdtemp(prefix="spark_graft_simdedup_src_")
+    docs.withColumn("slice", F.pmod("doc_id", F.lit(3))).repartition(
+        3, "slice"
+    ).drop("slice").write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage_dir)
+    with _stream_state_partitions(spark):
+        emissions = _run_to_memory(dedup_stream(stream), "update")
+    mins = emissions.groupBy("dup_id").agg(F.min("of_id").alias("dup_of"))
+    # every fingerprinted doc appears in the answer; -1 = no smaller near-dup
+    base = with_fingerprint(docs).select("doc_id")
+    return base.join(mins, base.doc_id == mins.dup_id, "left").select(
+        "doc_id",
+        F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
+    )

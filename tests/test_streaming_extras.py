@@ -241,3 +241,62 @@ def test_upsert_merge_is_actually_incremental(spark, sf_dir):
     assert len(LAST_UPSERT_VERSIONS) >= 2, (
         f"only {LAST_UPSERT_VERSIONS} micro-batches — merge path never ran"
     )
+
+
+# --- round-10: streaming SimHash near-dup detection ------------------------
+
+
+def test_rowwise_fingerprint_matches_batch(spark, sf_dir):
+    """The streaming-safe per-row fingerprint (one aggregate/zip_with fold
+    over the distinct token-hash array) must equal the hash-verified batch
+    groupBy-majority fingerprint doc for doc — same distinct rule, same
+    majority rule (2*p >= n ⇔ sum(±1) >= 0), same bit order."""
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import all_queries
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.simdedup import (
+        with_fingerprint,
+    )
+
+    rowwise = {
+        r.doc_id: r.fp for r in with_fingerprint(load(spark, sf_dir, "documents")).collect()
+    }
+    batch = {
+        r.doc_id: r.simhash
+        for r in all_queries()["simhash_fingerprint"](spark, sf_dir).collect()
+    }
+    assert rowwise == batch
+
+
+def test_streaming_simhash_dedup_crosses_batches(spark, sf_dir):
+    """The detector's answer must (a) be non-vacuous, (b) include pairs
+    whose two docs arrived in DIFFERENT micro-batches (slices are
+    pmod(doc_id, 3), so doc_id % 3 != dup_of % 3 proves the fingerprint
+    state genuinely crossed a batch boundary), and (c) agree with the
+    independent batch pair enumeration (simhash_near_dup_pairs -> per-doc
+    min smaller partner) — a cross-implementation check beyond the shared
+    DuckDB oracle."""
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import all_queries
+
+    q = all_queries()
+    got = {r.doc_id: r.dup_of for r in q["streaming_simhash_dedup"](spark, sf_dir).collect()}
+    dups = {d: o for d, o in got.items() if o >= 0}
+    assert dups, "no near-dups detected — vacuous at this sf"
+    assert any(d % 3 != o % 3 for d, o in dups.items()), (
+        "every detected pair arrived in the same micro-batch slice — "
+        "cross-batch state was never exercised"
+    )
+    pairs = q["simhash_near_dup_pairs"](spark, sf_dir).collect()
+    expect: dict[int, int] = {}
+    for r in pairs:
+        a, b = sorted((r.doc_a, r.doc_b))
+        expect[b] = min(expect.get(b, a), a)
+    assert dups == expect
+    # every fingerprinted doc gets exactly one answer row
+    assert len(got) == with_fingerprint_count(spark, sf_dir)
+
+
+def with_fingerprint_count(spark, sf_dir) -> int:
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.simdedup import (
+        with_fingerprint,
+    )
+
+    return with_fingerprint(load(spark, sf_dir, "documents")).count()
