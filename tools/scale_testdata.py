@@ -53,16 +53,25 @@ def _offset(col: pa.ChunkedArray, delta: int) -> pa.ChunkedArray:
     return pc.add(col, pa.scalar(delta, type=col.type))
 
 
-def scale(src: str, dst: str, k: int) -> None:
+def scale(src: str, dst: str, k: int, only: list[str] | None = None) -> None:
+    """Replicate every table K-fold into dst; ``only`` restricts the
+    OUTPUT to a subset (e.g. just ``documents`` for a 1000x text-family
+    probe that would be too large to build for all ten tables). Any
+    table a selected table references by FK is still read for its key
+    base, so offsets stay identical to a full build at the same K."""
     os.makedirs(dst, exist_ok=True)
-    tables = {name: pq.read_table(f"{src}/{name}.parquet") for name in LAYOUT}
+    selected = dict(LAYOUT) if only is None else {n: LAYOUT[n] for n in only}
+    need = set(selected)
+    for _, fks in selected.values():
+        need |= set(fks.values())
+    tables = {name: pq.read_table(f"{src}/{name}.parquet") for name in sorted(need)}
     # One key base per REFERENCED table so pk and fk shift in lockstep.
     base = {
         name: pc.max(t[pk]).as_py() + 1
         for name, t in tables.items()
         if (pk := LAYOUT[name][0]) is not None
     }
-    for name, t in tables.items():
+    for name, t in ((n, tables[n]) for n in selected):
         pk, fks = LAYOUT[name]
         if pk is None and not fks:  # shared dim
             pq.write_table(t, f"{dst}/{name}.parquet")
@@ -84,5 +93,6 @@ def scale(src: str, dst: str, k: int) -> None:
 
 
 if __name__ == "__main__":
+    # usage: scale_testdata.py SRC DST K [table ...]
     src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    scale(src, dst, k)
+    scale(src, dst, k, only=sys.argv[4:] or None)
