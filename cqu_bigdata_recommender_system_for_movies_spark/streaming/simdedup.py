@@ -60,21 +60,58 @@ from cqu_bigdata_recommender_system_for_movies_spark.operators.dedup import (
 
 BLOCK_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16: Manku's 4x16 layout
 
-# (band, block value) keyed buckets; state is parallel per-member arrays
+# State-sharding knob: logical (band, block-value) buckets are hashed
+# into this many state GROUPS, each holding its members as parallel
+# arrays tagged with their bucket id. Grouping state by the raw bucket
+# key costs one Python invocation + one state (de)serialization PER
+# BUCKET PER BATCH — ~20k near-singleton groups at sf0.1 made the query
+# take 74 s, all overhead. Sharding bounds the invocation count while
+# pair checks stay bucket-local inside each shard (the dict-by-bucket
+# below), so candidate volume — and losslessness — are untouched. At
+# 100 TB this is the state-store parallelism dial: raise it with the
+# cluster's state partitions; per-shard state stays corpus/SHARDS.
+STATE_SHARDS = 256
+
 OUTPUT_SCHEMA = "dup_id BIGINT, of_id BIGINT"
-STATE_SCHEMA = "ids ARRAY<BIGINT>, fps ARRAY<STRING>"
+# per-member parallel arrays: bucket id, doc id, fingerprint
+STATE_SCHEMA = "bks ARRAY<STRING>, ids ARRAY<BIGINT>, fps ARRAY<STRING>"
 
 
 def fingerprint_col() -> Column:
-    """64-char bit-0-first SimHash fingerprint of the ``text`` column,
-    computable per row (streaming-safe, no shuffle): identical output to
-    operators/dedup.py:simhash_fingerprint for every doc with >= 1 token
-    (docs with no tokens have NO fingerprint there; filter size > 0
-    before using this)."""
+    """64-char bit-0-first SimHash fingerprint from the ``__hvs``
+    distinct-token-hash array, computable per row (streaming-safe, no
+    shuffle): identical output to operators/dedup.py:simhash_fingerprint
+    for every doc with >= 1 token (docs with no tokens have NO
+    fingerprint there; filter on token presence before using this).
+
+    ONE ``aggregate`` expression carrying (n, per-bit counts) in a
+    struct accumulator and rendering the majority-rule bit string in the
+    FINISH lambda. The counts MUST NOT live in a separate projected
+    column: Catalyst's project collapse inlines a referenced column's
+    expression into every use site, and a ``__counts[b]`` reference
+    inside the 64-element transform re-ran the whole popcount fold 64x
+    per document (~10 ms/doc interpreted — higher-order functions don't
+    codegen), which made the streaming query 50 s at sf0.1. Single
+    expression = single fold."""
     return F.expr(
         """
-        concat_ws('', transform(sequence(0, 63), b ->
-            CASE WHEN 2 * __counts[b] >= __n THEN '1' ELSE '0' END))
+        aggregate(
+            __hvs,
+            named_struct(
+                'n', CAST(0 AS BIGINT),
+                'c', array_repeat(CAST(0 AS BIGINT), 64)),
+            (acc, x) -> named_struct(
+                'n', acc.n + 1,
+                'c', zip_with(
+                    acc.c,
+                    transform(sequence(0, 63), b ->
+                        CASE WHEN b < 32
+                             THEN shiftright(x.hv1, CAST(b AS INT)) & 1
+                             ELSE shiftright(x.hv2, CAST(b - 32 AS INT)) & 1
+                        END),
+                    (a, c) -> a + c)),
+            acc -> concat_ws('', transform(sequence(0, 63), b ->
+                CASE WHEN 2 * acc.c[b] >= acc.n THEN '1' ELSE '0' END)))
         """
     )
 
@@ -96,29 +133,16 @@ def token_hash_structs() -> Column:
 
 def with_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): per-row fingerprints for docs with >= 1 token. The
-    popcount fold is one ``aggregate`` over the distinct-hash array with
-    a 64-long accumulator — all JVM expression evaluation, usable under
-    a streaming plan because nothing aggregates across rows."""
-    counts = F.expr(
-        """
-        aggregate(
-            __hvs,
-            array_repeat(CAST(0 AS BIGINT), 64),
-            (acc, x) -> zip_with(
-                acc,
-                transform(sequence(0, 63), b ->
-                    CASE WHEN b < 32
-                         THEN shiftright(x.hv1, CAST(b AS INT)) & 1
-                         ELSE shiftright(x.hv2, CAST(b - 32 AS INT)) & 1
-                    END),
-                (a, c) -> a + c))
-        """
-    )
+    whole popcount fold + bit render is ONE ``aggregate`` expression
+    (see fingerprint_col for why it must not be split across projected
+    columns) — all JVM expression evaluation, usable under a streaming
+    plan because nothing aggregates across rows. The token-presence
+    filter tests the raw token array (no md5), so the hashed ``__hvs``
+    array is referenced exactly once."""
+    has_tokens = F.size(F.filter(F.split("text", " "), lambda w: w != "")) > 0
     return (
-        docs.withColumn("__hvs", token_hash_structs())
-        .withColumn("__n", F.size("__hvs"))
-        .filter(F.col("__n") > 0)
-        .withColumn("__counts", counts)
+        docs.filter(has_tokens)
+        .withColumn("__hvs", token_hash_structs())
         .select("doc_id", fingerprint_col().alias("fp"))
     )
 
@@ -144,29 +168,38 @@ def _fp_int(fp: str) -> int:
 
 
 def detect_bucket_dups(key, pdfs, state: GroupState):
-    """Per-(band, key) stateful detector. Emits (dup_id, of_id) rows with
-    dup_id > of_id for every near pair (hamming <= HAMMING_MAX) this
-    bucket witnesses; the caller's min(of_id)-per-dup_id aggregation is
-    micro-batch-split-invariant (module docstring)."""
+    """Per-shard stateful detector. Each shard accumulates the members of
+    the logical (band, block-value) buckets hashed into it; pair checks
+    are confined to members of the SAME bucket (the dict below). Emits
+    (dup_id, of_id) rows with dup_id > of_id for every near pair
+    (hamming <= HAMMING_MAX) witnessed; the caller's
+    min(of_id)-per-dup_id aggregation is micro-batch-split-invariant
+    (module docstring)."""
     if state.exists:
-        ids, fps = state.get
-        ids, fps = list(ids), list(fps)
+        bks, ids, fps = state.get
+        bks, ids, fps = list(bks), list(ids), list(fps)
     else:
-        ids, fps = [], []
-    # distinct-fingerprint view of the accumulated members
-    by_fp: dict[str, list[int]] = {}
-    for i, f in zip(ids, fps):
-        by_fp.setdefault(f, []).append(i)
-    fp_ints = {f: _fp_int(f) for f in by_fp}
+        bks, ids, fps = [], [], []
+    # per-bucket distinct-fingerprint view of the accumulated members
+    buckets: dict[str, dict[str, list[int]]] = {}
+    for bk, i, f in zip(bks, ids, fps):
+        buckets.setdefault(bk, {}).setdefault(f, []).append(i)
+    fp_ints: dict[str, int] = {}
     out_dup, out_of = [], []
     for pdf in pdfs:
         pdf = pdf.sort_values("doc_id")
-        for doc_id, fp in zip(pdf["doc_id"].tolist(), pdf["fp"].tolist()):
+        for bk, doc_id, fp in zip(
+            pdf["bk"].tolist(), pdf["doc_id"].tolist(), pdf["fp"].tolist()
+        ):
             v = fp_ints.get(fp)
             if v is None:
                 v = fp_ints[fp] = _fp_int(fp)
+            by_fp = buckets.setdefault(bk, {})
             for f, members in by_fp.items():
-                if bin((fp_ints[f] ^ v) & 0xFFFFFFFFFFFFFFFF).count("1") > HAMMING_MAX:
+                w = fp_ints.get(f)
+                if w is None:
+                    w = fp_ints[f] = _fp_int(f)
+                if bin((w ^ v) & 0xFFFFFFFFFFFFFFFF).count("1") > HAMMING_MAX:
                     continue
                 below = [m for m in members if m < doc_id]
                 if below:
@@ -177,27 +210,33 @@ def detect_bucket_dups(key, pdfs, state: GroupState):
                         out_dup.append(m)
                         out_of.append(doc_id)
             by_fp.setdefault(fp, []).append(doc_id)
+            bks.append(bk)
             ids.append(doc_id)
             fps.append(fp)
-    state.update((ids, fps))
+    state.update((bks, ids, fps))
     if out_dup:
         yield pd.DataFrame({"dup_id": out_dup, "of_id": out_of})
 
 
 def dedup_stream(stream_docs: DataFrame) -> DataFrame:
-    """Wire fingerprint -> banding -> per-bucket state onto a streaming
-    documents DataFrame; returns the (dup_id, of_id) emission stream."""
+    """Wire fingerprint -> banding -> sharded per-bucket state onto a
+    streaming documents DataFrame; returns the (dup_id, of_id) emission
+    stream."""
     from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
 
     ensure_shipped(stream_docs.sparkSession)
-    return (
-        banded(with_fingerprint(stream_docs))
-        .groupBy("band", "key")
-        .applyInPandasWithState(
-            detect_bucket_dups,
-            OUTPUT_SCHEMA,
-            STATE_SCHEMA,
-            "update",
-            GroupStateTimeout.NoTimeout,
-        )
+    keyed = banded(with_fingerprint(stream_docs)).select(
+        F.concat_ws(":", F.col("band").cast("string"), "key").alias("bk"),
+        "doc_id",
+        "fp",
+        F.pmod(F.xxhash64(F.col("band"), F.col("key")), F.lit(STATE_SHARDS)).alias(
+            "shard"
+        ),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        detect_bucket_dups,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
