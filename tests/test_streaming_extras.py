@@ -300,3 +300,29 @@ def with_fingerprint_count(spark, sf_dir) -> int:
     )
 
     return with_fingerprint(load(spark, sf_dir, "documents")).count()
+
+
+def test_with_fingerprint_edge_cases(spark):
+    """Empty-text docs have no fingerprint in the batch table (no token
+    rows survive the explode), so the streaming-safe per-row form must
+    exclude them too; identical texts must get identical fingerprints and
+    token ORDER/multiplicity must not matter (distinct-set semantics)."""
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.simdedup import (
+        with_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma  beta alpha alpha"),  # same token SET, order/dups differ
+            (3, ""),
+            (4, "   "),
+            (5, "alpha"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.fp for r in with_fingerprint(docs).collect()}
+    assert set(got) == {1, 2, 5}  # 3 and 4 have no tokens
+    assert got[1] == got[2]
+    assert got[1] != got[5]
+    assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
