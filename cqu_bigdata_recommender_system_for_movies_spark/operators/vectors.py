@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.session import shuffle_partitions
 from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
 from cqu_bigdata_recommender_system_for_movies_spark.tables import (
     RATINGS_SQL,
@@ -455,6 +456,81 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_IVF_CELLS = 16  # deterministic coarse quantizer: first 16 vectors as seeds
 
 
+def _ivf_assign_cells(emb: DataFrame, k: int) -> DataFrame:
+    """(vec_id, e, cells): each vector's top-k nearest coarse-quantizer
+    cells (descending cosine, ties to the smaller cid — the same order
+    as the oracles' ROW_NUMBER OVER (ORDER BY cos DESC, cid)).
+
+    MAP-SIDE: the N_IVF_CELLS seed rows are a bounded driver-side list
+    (production: sampled k-means centroids, equally driver-resident)
+    folded per row as one literal-array expression, so the corpus
+    embedding column never enters an exchange for the assignment. The
+    r10 1000x probe caught the previous broadcast cross-score +
+    window-argmin plan shuffling corpus x n_cells rows WITH their
+    embedding payloads — 16 GB / 298 s at 2M vectors for ann_ivf_topk;
+    this form halves that even on the interpreted expression path and
+    removes the corpus shuffle entirely.
+
+    The seed norms are precomputed into the literal (same left fold +
+    correctly-rounded sqrt the JVM would do, bit-identical), the row
+    norm is let-bound ONCE via a single-element transform lambda
+    (higher-order functions are interpreted with no CSE — an inline
+    sqrt(dot(e,e)) would re-run the 64-wide fold n_cells times/row),
+    and a pinned repartition precedes the CPU-dense fold because AQE
+    widens by bytes, not downstream CPU (one parquet file at the 1000x
+    replica scanned as ~3 partitions would starve 29 of 32 cores)."""
+    import math
+
+    spark = emb.sparkSession
+    seeds = (
+        emb.filter(F.col("vec_id") < N_IVF_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .collect()
+    )
+
+    def _norm(ce: list[float]) -> float:
+        acc = 0.0
+        for x in ce:
+            acc += x * x
+        return math.sqrt(acc)
+
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.ce]).alias("ce"),
+                F.lit(_norm(list(r.ce))).alias("nc"),
+            )
+            for r in sorted(seeds, key=lambda r: r.cid)
+        ]
+    )
+
+    def _scored(ne):
+        return F.transform(
+            cents_lit,
+            lambda c: F.struct(
+                (dot(F.col("e"), c["ce"]) / (ne * c["nc"] + F.lit(EPS))).alias("cos"),
+                (-c["cid"]).alias("negid"),
+            ),
+        )
+
+    # ascending array_sort on (cos, negid) then reverse = cos DESC with
+    # ties on negid DESC = cid ASC — the oracle's exact order
+    cells = F.element_at(
+        F.transform(
+            F.array(F.sqrt(dot("e", "e"))),
+            lambda ne: F.transform(
+                F.slice(F.reverse(F.array_sort(_scored(ne))), 1, k),
+                lambda s: -s["negid"],
+            ),
+        ),
+        1,
+    )
+    return emb.repartition(shuffle_partitions(spark)).select(
+        "vec_id", "e", cells.alias("cells")
+    )
+
+
 @register(
     "ann_ivf_topk",
     oracle=f"""
@@ -493,27 +569,28 @@ N_IVF_CELLS = 16  # deterministic coarse quantizer: first 16 vectors as seeds
     doc="Approximate nearest neighbors, IVF-style (north-star scale path "
     "beside sign-LSH): a deterministic coarse quantizer (the first "
     f"{N_IVF_CELLS} vectors as cell seeds) assigns every vector to its "
-    "nearest cell via a broadcast cross-score + window argmin — one "
-    "shuffle; candidates are cell-local only (single-probe). At scale the "
-    "seed set comes from a sampled k-means; the assign/probe plan is "
-    "identical. Top-3 cell-local neighbors for the first 50 ids.",
+    "nearest cell MAP-SIDE — the seeds are a bounded driver-side list "
+    "(production: sampled k-means centroids, equally driver-resident), "
+    "folded per row as one literal-array aggregate expression, so the "
+    "corpus embedding column never enters an exchange for the "
+    "assignment (the r10 1000x probe caught the previous broadcast "
+    "cross-score + window-argmin plan shuffling corpus x n_cells rows "
+    "WITH their embedding payloads — 16 GB at 2M vectors, 298 s; "
+    "map-side assign + the cell-local probe join runs the same query "
+    "in ~17 s). Candidates are cell-local only (single-probe). Top-3 "
+    "cell-local neighbors for the first 50 ids.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    cent = emb.filter(F.col("vec_id") < N_IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("cid")
-    )
+    # checkpoint: both sides of the cell-local probe join read the
+    # assignment — without it the corpus-sized map-side fold runs twice
+    # (measured 134 s vs 34 s at the 1000x replica)
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cid", cosine("e", "ce").alias("c_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "cid")
+        _ivf_assign_cells(emb, 1)
+        .select("vec_id", "e", F.element_at("cells", 1).alias("cid"))
+        .localCheckpoint(eager=False)
     )
     left = assigned.filter(F.col("vec_id") < 50).select(
         "vec_id", F.col("e").alias("e_a"), "cid"
@@ -1036,18 +1113,14 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < N_IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
     # Materialize the cell assignment: the encode pass, the query side,
     # and the candidate side all read it — without the checkpoint the
-    # corpus-sized assign (scan + broadcast score + window) re-runs three
+    # corpus-sized map-side assign (see _ivf_assign_cells) re-runs three
     # times. Production form: the persisted (vec_id, cell, codes) index
     # table every IVF-PQ system writes at build time.
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cid", cosine("e", "ce").alias("c_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", F.col("cid").alias("cell"))
+        _ivf_assign_cells(emb, 1)
+        .select("vec_id", "e", F.element_at("cells", 1).alias("cell"))
         .localCheckpoint(eager=False)
     )
 
@@ -1292,24 +1365,18 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    cent = emb.filter(F.col("vec_id") < N_IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    cells = _ivf_assign_cells(emb, IVF_N_PROBES).localCheckpoint(
+        eager=False  # probes AND assignment read it
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
-    scored = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cid", cosine("e", "ce").alias("c_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .localCheckpoint(eager=False)  # probes AND assignment read it
-    )
-    assigned = scored.filter(F.col("rn") == 1).select(
+    assigned = cells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("e_x"),
-        F.col("cid").alias("cid_x"),
+        F.element_at("cells", 1).alias("cid_x"),
     )
-    probes = scored.filter(
-        (F.col("rn") <= IVF_N_PROBES) & (F.col("vec_id") < 50)
-    ).select("vec_id", F.col("e").alias("e_q"), "cid")
+    probes = (
+        cells.filter(F.col("vec_id") < 50)
+        .select("vec_id", F.col("e").alias("e_q"), F.explode("cells").alias("cid"))
+    )
     pairs = probes.join(
         assigned,
         (F.col("cid") == F.col("cid_x")) & (F.col("vec_id") != F.col("neighbor_id")),

@@ -369,8 +369,16 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # and global_row_number (-> vocab_build, zipf_law_fit). NEW in r10:
 # streaming_simhash_dedup (online near-dup detection, streaming/
 # simdedup.py) — no driver row yet, r11 window head candidate.
+# And: the three IVF queries re-planned onto the shared map-side
+# literal-centroid assignment (_ivf_assign_cells), replacing the
+# corpus-embedding window shuffle — the r10 1000x probe finding.
+# ann_ivf_multiprobe_topk sits in R10_WINDOW so its r10 row covers the
+# change; the other two queue for r11.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe_topk",
+    "ivf_pq_topk",
     "dedup_canonical_docs",
     "dedup_components",
     "dedup_components_lss",

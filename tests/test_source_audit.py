@@ -37,6 +37,11 @@ COLLECT_WHITELIST = {
     ("operators/sketches.py", "bloom_semi_join_prune"),
     # d x d Gramian partials (embedding-dim-squared, data-size-free)
     ("operators/vectors.py", "embedding_pca_top_component_detail"),
+    # exactly N_IVF_CELLS coarse-quantizer seed rows (constant,
+    # data-size-free) — becomes the literal centroid array the map-side
+    # cell assignment folds over (production: sampled k-means centroids,
+    # equally driver-resident); shared by the three IVF queries
+    ("operators/vectors.py", "_ivf_assign_cells"),
     # one count per partition: the distributed-rank offset map
     ("operators/windows.py", "global_row_number"),
     # test-fixture staging for the binary-file source (not a hot path)
