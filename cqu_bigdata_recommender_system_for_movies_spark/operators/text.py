@@ -701,43 +701,63 @@ def _funnel_conds_sql() -> list[tuple[str, str]]:
 )
 def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda w: w != "")
-    n = F.size("toks")
-    denom = F.greatest(n, F.lit(1))
-    mean_len = (
-        F.aggregate("toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
-        * 1.0
-        / denom
+    # ONE expression per doc: sort the tokens, then a single run-length
+    # fold yields token count, summed length, distinct count, and max
+    # multiplicity together, and the finish lambda collapses them to the
+    # doc's cumulative SURVIVAL STAGE (0..5) — a single int column.
+    # Two scale reasons (r10 1000x probe, 111 s -> ~30 s at 5M docs):
+    # (1) the old top_frac counted each distinct token's multiplicity by
+    # re-filtering the full array — O(distinct x n) per doc, quadratic
+    # for natural text where distinct ~ n (the 31-word synthetic vocab
+    # masked it); max-run-on-sorted is O(n log n). (2) four separate
+    # signal columns each inlined the token-split under project collapse
+    # (no CSE in interpreted higher-order functions); one stage column
+    # evaluates everything exactly once. Survivors of stage i are docs
+    # with stage >= i, so the funnel aggregate is five conditional sums
+    # over one int. Arithmetic is integer-exact and identical to the
+    # oracle's per-signal form (same counts, same *1.0/greatest(n,1)
+    # doubles), so the stage counts match bit for bit.
+    stage = F.expr(
+        f"""
+        aggregate(
+            array_sort(filter(split(text, ' '), w -> w != '')),
+            named_struct(
+                'n', CAST(0 AS BIGINT), 'len', CAST(0 AS BIGINT),
+                'prev', '', 'run', CAST(0 AS BIGINT),
+                'maxrun', CAST(0 AS BIGINT), 'uniq', CAST(0 AS BIGINT)),
+            (acc, w) -> named_struct(
+                'n', acc.n + 1,
+                'len', acc.len + length(w),
+                'prev', w,
+                'run', IF(w = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+                'maxrun', greatest(
+                    acc.maxrun, IF(w = acc.prev, acc.run + 1, CAST(1 AS BIGINT))),
+                'uniq', acc.uniq + IF(w = acc.prev, 0, 1)),
+            acc -> CASE
+                WHEN NOT (acc.n >= {FUNNEL_MIN_TOKENS}) THEN 0
+                WHEN NOT (acc.n <= {FUNNEL_MAX_TOKENS}) THEN 1
+                WHEN NOT (acc.len * 1.0 / greatest(acc.n, 1)
+                          <= CAST({FUNNEL_MAX_MEAN_TOKEN_LEN} AS DOUBLE)) THEN 2
+                WHEN NOT (acc.uniq * 1.0 / greatest(acc.n, 1)
+                          >= CAST({FUNNEL_MIN_UNIQUE_RATIO} AS DOUBLE)) THEN 3
+                WHEN NOT (acc.maxrun * 1.0 / greatest(acc.n, 1)
+                          <= CAST({FUNNEL_MAX_TOP_TOKEN_FRAC} AS DOUBLE)) THEN 4
+                ELSE 5 END)
+        """
     )
-    uniq_ratio = F.size(F.array_distinct("toks")) * 1.0 / denom
-    top_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct("toks"),
-                lambda w: F.size(F.filter("toks", lambda x: x == w)),
-            )
-        )
-        * 1.0
-        / denom
-    )
-    m = docs.select(toks.alias("toks")).select(
-        n.alias("n_tokens"),
-        mean_len.alias("mean_len"),
-        uniq_ratio.alias("uniq_ratio"),
-        top_frac.alias("top_frac"),
-    )
-    conds = {
-        "min_tokens": F.col("n_tokens") >= FUNNEL_MIN_TOKENS,
-        "max_tokens": F.col("n_tokens") <= FUNNEL_MAX_TOKENS,
-        "mean_token_len": F.col("mean_len") <= FUNNEL_MAX_MEAN_TOKEN_LEN,
-        "unique_ratio": F.col("uniq_ratio") >= FUNNEL_MIN_UNIQUE_RATIO,
-        "top_token_frac": F.col("top_frac") <= FUNNEL_MAX_TOP_TOKEN_FRAC,
-    }
-    aggs = [F.count("*").alias("s0")]
-    acc = F.lit(True)
-    for i, c in enumerate(conds.values()):
-        acc = acc & c
-        aggs.append(F.sum(acc.cast("long")).alias(f"s{i + 1}"))
+    rule_names = [
+        "min_tokens",
+        "max_tokens",
+        "mean_token_len",
+        "unique_ratio",
+        "top_token_frac",
+    ]
+    m = docs.select(stage.alias("stage"))
+    aggs = [F.count("*").alias("s0")] + [
+        F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"s{i + 1}")
+        for i in range(len(rule_names))
+    ]
+    conds = dict.fromkeys(rule_names)  # names only; predicates live in stage
     wide = m.agg(*aggs)
     stages = F.array(
         F.struct(F.lit(0).alias("stage"), F.lit("all").alias("rule"), F.col("s0").alias("n_surviving")),

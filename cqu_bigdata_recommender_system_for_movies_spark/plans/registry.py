@@ -374,11 +374,14 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # corpus-embedding window shuffle — the r10 1000x probe finding.
 # ann_ivf_multiprobe_topk sits in R10_WINDOW so its r10 row covers the
 # change; the other two queue for r11.
+# And: quality_filter_funnel re-planned (sorted run-length fold — the
+# old top_frac was O(distinct x n)/doc, quadratic for natural text).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
     "ann_ivf_topk",
     "ann_ivf_multiprobe_topk",
     "ivf_pq_topk",
+    "quality_filter_funnel",
     "dedup_canonical_docs",
     "dedup_components",
     "dedup_components_lss",
