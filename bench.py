@@ -287,7 +287,16 @@ def _inline_candidates(
     anchor = by_cost[:anchor_n]
     rest = sorted(by_cost[anchor_n:])  # name axis — stable across jitter
     if rest:
-        off = (cur_round * 29) % len(rest)
+        # Stride must be coprime with len(rest) or the offset sequence
+        # has a short period and the rotation stalls on a fixed slice
+        # (ADVICE r10: a bare 29 stalls whenever 29 | len(rest)). Walk
+        # up from 29 to the nearest coprime stride.
+        import math
+
+        stride = 29
+        while math.gcd(stride, len(rest)) != 1:
+            stride += 1
+        off = (cur_round * stride) % len(rest)
         rest = rest[off:] + rest[:off]
     return anchor + rest, len(anchor)
 

@@ -59,6 +59,7 @@ class _Module:
 
     def __init__(self, modname: str, path: pathlib.Path):
         self.modname = modname
+        is_pkg = path.name == "__init__.py"
         src = path.read_text()
         self.lines = src.splitlines()
         self.tree = ast.parse(src)
@@ -84,11 +85,37 @@ class _Module:
                 self.defs.setdefault(node.target.id, []).append(
                     (node.lineno, node.end_lineno)
                 )
-            elif isinstance(node, ast.ImportFrom) and node.module:
+            elif isinstance(node, ast.ImportFrom):
                 mod = node.module
-                if node.level:  # relative import — resolve within the package
-                    mod = f"{PKG_NAME}.{mod}" if node.level == 1 else mod
-                if mod.startswith(PKG_NAME) and mod not in _EXCLUDED_MODULES:
+                if node.level:
+                    # Relative import — resolve against THIS module's
+                    # package path (ADVICE r10: anchoring at PKG_NAME
+                    # mapped `from .dedup import X` inside operators/ to
+                    # PKG.dedup, silently dropping the closure edge).
+                    # For module a.b.c (non-package), level L anchors at
+                    # a.b.c minus L trailing parts; a package's __init__
+                    # anchors one part higher (level 1 = itself).
+                    parts = self.modname.split(".")
+                    drop = node.level - (1 if is_pkg else 0)
+                    if not 0 <= drop < len(parts):
+                        raise ValueError(
+                            f"unresolvable relative import (level="
+                            f"{node.level}) in {modname}:{node.lineno}"
+                        )
+                    anchor = ".".join(parts[: len(parts) - drop])
+                    if node.module is None:
+                        # `from . import x` binds a MODULE, not a def —
+                        # attribute references through it are invisible
+                        # to the closure walk, so refuse loudly rather
+                        # than let a helper change go untracked.
+                        raise ValueError(
+                            f"`from . import ...` is untrackable for the "
+                            f"manifest closure — use an absolute "
+                            f"`from {anchor}.<mod> import name` in "
+                            f"{modname}:{node.lineno}"
+                        )
+                    mod = f"{anchor}.{node.module}"
+                if mod and mod.startswith(PKG_NAME) and mod not in _EXCLUDED_MODULES:
                     for alias in node.names:
                         self.pkg_imports[alias.asname or alias.name] = (
                             mod,

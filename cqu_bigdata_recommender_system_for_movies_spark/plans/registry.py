@@ -344,42 +344,30 @@ R10_WINDOW: tuple[str, ...] = R10_CHANGED_HEAD + (
     "ann_ivf_multiprobe_topk",
 )
 
-# Round 10 rotation (VERDICT r9 #1): burn the pinned window.
-DRIVER_CHECK_FIRST: tuple[str, ...] = R10_WINDOW
-DRIVER_CHECK_LAST: tuple[str, ...] = ()
-
-# Queries whose implementation hash (transitive in-package closure, see
-# plans/manifest.py) changed since the round-10 start tree (git 1a63280,
-# the tree the r9 driver verified; plans/query_manifest.json is frozen
-# there). VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as
-# any query/oracle/helper change — enforced by
-# tests/test_plans.py::test_changed_queries_are_manifested, which fails
-# on any hash drift not named here. The r11 window head is derived from
-# it mechanically: CHANGED_THIS_ROUND minus R10_WINDOW (in-window names
-# get fresh r10 rows at round end and need no r11 slot). At the start of
-# round 11: refresh the manifest (python -m
-# cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
-# refresh), pin R11_WINDOW, reset this tuple to ().
-#
-# r10 changes so far: rollup_nation_brand dropped its forced
-# customer/part broadcasts (VERDICT r9 #1); the shared
-# session.shuffle_partitions helper (ADVICE r9) replaced the fragile
-# int(conf.get(...)) parse inside _bucket_pairs (-> the minhash/ngram/
-# simhash/dedup_components family), the record-linkage tight branch,
-# and global_row_number (-> vocab_build, zipf_law_fit). NEW in r10:
-# streaming_simhash_dedup (online near-dup detection, streaming/
-# simdedup.py) — no driver row yet, r11 window head candidate.
-# And: the three IVF queries re-planned onto the shared map-side
-# literal-centroid assignment (_ivf_assign_cells), replacing the
-# corpus-embedding window shuffle — the r10 1000x probe finding.
-# ann_ivf_multiprobe_topk sits in R10_WINDOW so its r10 row covers the
-# change; the other two queue for r11.
-# And: quality_filter_funnel re-planned (sorted run-length fold — the
-# old top_frac was O(distinct x n)/doc, quadratic for natural text).
-CHANGED_THIS_ROUND: tuple[str, ...] = (
+# r11 fill — the EXACT round-11 window, pinned at the start of round 11
+# from the round-10 manifest (VERDICT r10 #1). Rule, recomputed and
+# asserted by tests/test_plans.py::test_r11_window_pin:
+# (a) head = the r10 CHANGED_THIS_ROUND tuple minus R10_WINDOW names
+# (in-window names got fresh r10 rows at round end), in tuple order:
+# streaming_simhash_dedup first (registered mid-round-10, NEVER
+# driver-checked), then ann_ivf_topk and ivf_pq_topk (re-planned onto
+# the map-side centroid assignment in r10, stale rows r08/r06),
+# quality_filter_funnel (sorted run-length fold rewrite, stale row
+# r09), and the nine names touched by the shared shuffle_partitions
+# helper / chunked _bucket_pairs: dedup_canonical_docs,
+# dedup_components, dedup_components_lss, dedup_pipeline_summary,
+# minhash_jaccard_estimate, record_linkage_blocked,
+# simhash_near_dup_pairs, vocab_build, zipf_law_fit.
+# (b) oldest-green-first re-confirmations (last driver round ascending
+# over CORRECTNESS_r01..r10, NAME as the tie-break — registry insertion
+# order varies with module import order, so it cannot anchor a pinned
+# list — R10_WINDOW names excluded since their r10 rows are freshest)
+# up to the 50-slot window: 37 r6-latest rows alphabetically, from
+# approx_topk_parts through streaming_approx_topk.
+# Never-driver-checked outside this window: none.
+R11_CHANGED_HEAD: tuple[str, ...] = (
     "streaming_simhash_dedup",
     "ann_ivf_topk",
-    "ann_ivf_multiprobe_topk",
     "ivf_pq_topk",
     "quality_filter_funnel",
     "dedup_canonical_docs",
@@ -387,13 +375,77 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_components_lss",
     "dedup_pipeline_summary",
     "minhash_jaccard_estimate",
-    "minhash_lsh_dedup",
-    "ngram_jaccard_pairs",
     "record_linkage_blocked",
-    "rollup_nation_brand",
     "simhash_near_dup_pairs",
     "vocab_build",
     "zipf_law_fit",
+)
+R11_WINDOW: tuple[str, ...] = R11_CHANGED_HEAD + (
+    "approx_topk_parts",
+    "arrow_vector_norms",
+    "auc_rank_sum",
+    "bigram_logprob_score",
+    "bloom_semi_join_prune",
+    "boolean_retrieval_and",
+    "bucketed_ratings_join",
+    "calibration_bins",
+    "correlation_matrix",
+    "covisitation_matrix",
+    "data_profile_summary",
+    "embedding_quantize_int8",
+    "eval_candidate_sampling",
+    "ewma_by_type",
+    "gap_fill_linear",
+    "gdpr_erasure_audit",
+    "graph_triangle_count",
+    "image_resize_stats",
+    "incremental_agg_merge",
+    "item_cooccurrence_jaccard",
+    "item_cooccurrence_topk",
+    "kcore_membership",
+    "lpa_communities",
+    "mad_outlier_counts",
+    "merge_upsert_snapshot",
+    "mixture_rebalance_weights",
+    "nearest_centroid_classify",
+    "next_item_training_pairs",
+    "ohlc_resample",
+    "pagerank_bipartite",
+    "quality_quartile_stats",
+    "random_walk_training_paths",
+    "rank_normalize_features",
+    "referential_integrity_audit",
+    "rfm_segmentation",
+    "scd2_priority_history",
+    "streaming_approx_topk",
+)
+
+# Round 11 rotation (VERDICT r10 #1): burn the pinned window.
+DRIVER_CHECK_FIRST: tuple[str, ...] = R11_WINDOW
+DRIVER_CHECK_LAST: tuple[str, ...] = ()
+
+# Queries whose implementation hash (transitive in-package closure, see
+# plans/manifest.py) changed since the round-11 start tree (the tree the
+# r10 driver verified; plans/query_manifest.json is frozen there).
+# VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as any
+# query/oracle/helper change — enforced by
+# tests/test_plans.py::test_changed_queries_are_manifested, which fails
+# on any hash drift not named here. The r12 window head is derived from
+# it mechanically: CHANGED_THIS_ROUND minus R11_WINDOW (in-window names
+# get fresh r11 rows at round end and need no r12 slot). At the start of
+# round 12: refresh the manifest (python -m
+# cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
+# refresh), pin R12_WINDOW, reset this tuple to ().
+#
+# r11 changes so far: streaming_simhash_dedup re-planned onto
+# fp-collapsed group state (VERDICT r10 #2 — state is O(distinct
+# fingerprints), exact-dup skew adds no entries; exactness kept via
+# group-correction emissions joined back on the doc fingerprint) and
+# its staging now partitionBy's the slice column so each micro-batch
+# is deterministic (ADVICE r10). In-window (R11_WINDOW head), so its
+# r11 row verifies the new plan.
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_simhash_dedup",
 )
 
 

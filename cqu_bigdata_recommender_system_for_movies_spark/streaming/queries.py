@@ -1195,13 +1195,16 @@ def _simdedup_oracle() -> str:
     "the fingerprints of everything already ingested. Per-row SimHash "
     "(streaming/simdedup.py:fingerprint_col — no aggregation needed to "
     "fingerprint a stream), Manku 4x16 band keys, per-(band, block) "
-    "applyInPandasWithState keeping the (doc_id, fp) index; lossless by "
-    "the same pigeonhole as the batch side. Emissions are "
-    "(dup_id, of_id) with dup_id > of_id, so min(of_id) per doc "
+    "applyInPandasWithState keeping fp-COLLAPSED group state "
+    "(fp -> (min_id, count), O(distinct fps) — exact-dup skew adds no "
+    "entries); lossless by the same pigeonhole as the batch side. "
+    "Emissions are direct rows (dup_id, of_id) plus group corrections "
+    "(grp=fp, of_id) that reach a group's larger members by joining "
+    "back on the doc fingerprint, so min over both kinds per doc "
     "converges to the batch LEFT-JOIN-min oracle regardless of how the "
     "stream is split into batches: for any qualifying pair, whichever "
-    "side arrives later finds the other in state. dup_of = -1 marks a "
-    "doc with no smaller near-duplicate.",
+    "side arrives later finds the other's group in state. dup_of = -1 "
+    "marks a doc with no smaller near-duplicate.",
 )
 def streaming_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.simdedup import (
@@ -1210,21 +1213,53 @@ def streaming_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    # stage the corpus as 3 files so availableNow + maxFilesPerTrigger=1
-    # yields 3 real micro-batches and state genuinely crosses batches
+    # stage the corpus so availableNow + maxFilesPerTrigger=1 yields 3
+    # real micro-batches and state genuinely crosses batches. partitionBy
+    # makes each slice ITS OWN file deterministically — a plain
+    # repartition(3, "slice") hash-partitions and can collide two slices
+    # into one file, voiding the cross-batch guarantee the pytest's
+    # doc_id % 3 != dup_of % 3 assertion relies on (ADVICE r10).
     stage_dir = tempfile.mkdtemp(prefix="spark_graft_simdedup_src_")
-    docs.withColumn("slice", F.pmod("doc_id", F.lit(3))).repartition(
+    docs.withColumn("slice", F.pmod("doc_id", F.lit(3)).cast("int")).repartition(
         3, "slice"
-    ).drop("slice").write.mode("overwrite").parquet(stage_dir)
-    stream = spark.readStream.schema(docs.schema).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(stage_dir)
+    ).write.mode("overwrite").partitionBy("slice").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(docs.schema.add("slice", "integer"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .drop("slice")
+    )
     with _stream_state_partitions(spark):
         emissions = _run_to_memory(dedup_stream(stream), "update")
-    mins = emissions.groupBy("dup_id").agg(F.min("of_id").alias("dup_of"))
+    # direct pair rows: the arriving doc's own best partner per bucket
+    direct = (
+        emissions.filter(F.col("dup_id").isNotNull())
+        .groupBy("dup_id")
+        .agg(F.min("of_id").alias("dup_of"))
+    )
+    # group corrections reach a group's LARGER members (incl. ones that
+    # arrived in earlier batches) by joining back on the exact
+    # fingerprint; min per group is valid because the per-doc filter
+    # of_id < doc_id keeps exactly the partners the group min represents
+    corr = (
+        emissions.filter(F.col("grp").isNotNull())
+        .groupBy("grp")
+        .agg(F.min("of_id").alias("corr_of"))
+    )
+    base = with_fingerprint(docs)  # (doc_id, fp)
+    corrected = (
+        base.join(corr, base.fp == corr.grp)
+        .where(F.col("corr_of") < F.col("doc_id"))
+        .select("doc_id", F.col("corr_of").alias("dup_of"))
+    )
+    mins = (
+        direct.select(F.col("dup_id").alias("doc_id"), "dup_of")
+        .unionByName(corrected)
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
     # every fingerprinted doc appears in the answer; -1 = no smaller near-dup
-    base = with_fingerprint(docs).select("doc_id")
-    return base.join(mins, base.doc_id == mins.dup_id, "left").select(
+    return base.select("doc_id").join(mins, "doc_id", "left").select(
         "doc_id",
         F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
     )

@@ -22,25 +22,40 @@ Design (Spark-first):
   key the state: a doc lands in 4 (band, block-value) buckets, and by
   pigeonhole every pair within hamming <= 3 shares at least one bucket,
   so per-bucket comparison is LOSSLESS for the <= 3 threshold.
-- ``applyInPandasWithState`` keeps (doc_id, fingerprint) per bucket.
-  Each incoming doc is compared against the bucket's accumulated
-  members grouped by DISTINCT fingerprint (one hamming test per
-  distinct fp, mirroring the batch side's rep collapse), then appended.
-  Emissions are (dup_id, of_id) with dup_id > of_id, so the
-  post-aggregation ``min(of_id) per dup_id`` converges to the batch
-  answer REGARDLESS of how the stream is micro-batched: for any
-  qualifying pair, whichever side arrives later finds the other in
-  state (same-batch rows are processed in ascending doc_id order).
+- ``applyInPandasWithState`` keeps ONE record per (bucket, distinct
+  fingerprint) GROUP: ``(fp, min_id, count)`` — the fp-collapse the
+  batch side's ``_simhash_groups`` applies, taken to its logical
+  conclusion (VERDICT r10 #2). No member ids are stored, and the
+  answer is still EXACT, because under the final ``min`` aggregation
+  only two facts about a group ever matter:
+  (a) an arriving doc d's best partner from a matching group is the
+      group MIN (its emission is ``(d, min_f)`` — any other member
+      m < d satisfies m >= min_f and cannot improve d's answer);
+  (b) members of a matching group that are LARGER than d (including
+      ones that join the group in the future — d is a genuine partner
+      of every present and future member, since all of them share the
+      group's exact fingerprint) gain d as a partner; that whole set
+      is addressed without enumeration by a group-level CORRECTION
+      record ``(grp=f, of_id=d)``, which the caller joins back to docs
+      on ``fp == f`` and filters to ``of_id < doc_id``.
+  Emissions therefore come in two kinds — direct ``(dup_id, of_id)``
+  rows and corrections ``(grp, of_id)`` — and ``min`` over their union
+  per doc converges to the batch LEFT-JOIN-min answer REGARDLESS of
+  how the stream is micro-batched: for any qualifying pair, whichever
+  side arrives later finds the other's group in state (same-batch rows
+  are processed in ascending doc_id order).
 
 Scale notes (100 TB):
-- State per bucket averages corpus / 2^16 per band; the state store
-  shards buckets across executors. Unbounded-history dedup is
-  inherently O(corpus) state — production would run the RocksDB state
-  store provider and, under exact-dup skew, collapse identical
-  fingerprints to (fp, min_id, count) exactly like the batch side's
-  ``_simhash_groups``; kept per-member here because the emitted
-  ``min(of_id)`` contract needs member ids and the test corpus is
-  bounded.
+- State per bucket is O(DISTINCT fingerprints in the bucket), not
+  O(members): exact-duplicate skew — the 100-TB failure mode, where a
+  boilerplate page repeats millions of times — adds ONE count
+  increment, not one state entry. The per-member form this replaced
+  grew state (and its per-batch reserialization) linearly with the
+  corpus even when every arrival was an exact dup.
+- Unbounded-history dedup still accumulates distinct-fp state without
+  bound; production would run the RocksDB state store provider so the
+  working set pages to disk, with STATE_SHARDS raised to the cluster's
+  state partitions.
 - Per-bucket work per doc is O(distinct fingerprints in bucket), the
   same bound the batch banded join has.
 """
@@ -72,9 +87,16 @@ BLOCK_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16: Manku's 4x16 layout
 # cluster's state partitions; per-shard state stays corpus/SHARDS.
 STATE_SHARDS = 256
 
-OUTPUT_SCHEMA = "dup_id BIGINT, of_id BIGINT"
-# per-member parallel arrays: bucket id, doc id, fingerprint
-STATE_SCHEMA = "bks ARRAY<STRING>, ids ARRAY<BIGINT>, fps ARRAY<STRING>"
+# dup_id set -> direct pair row; grp set (dup_id null) -> group
+# correction row "every doc with fp == grp and doc_id > of_id has
+# partner of_id" (module docstring (b))
+OUTPUT_SCHEMA = "dup_id BIGINT, of_id BIGINT, grp STRING"
+# per-(bucket, distinct-fingerprint) GROUP parallel arrays: bucket id,
+# fingerprint, group min doc id, member count (fp-collapse — state is
+# O(distinct fps), exact-dup skew adds no entries)
+STATE_SCHEMA = (
+    "bks ARRAY<STRING>, fps ARRAY<STRING>, mins ARRAY<BIGINT>, cnts ARRAY<BIGINT>"
+)
 
 
 def fingerprint_col() -> Column:
@@ -168,24 +190,28 @@ def _fp_int(fp: str) -> int:
 
 
 def detect_bucket_dups(key, pdfs, state: GroupState):
-    """Per-shard stateful detector. Each shard accumulates the members of
-    the logical (band, block-value) buckets hashed into it; pair checks
-    are confined to members of the SAME bucket (the dict below). Emits
-    (dup_id, of_id) rows with dup_id > of_id for every near pair
-    (hamming <= HAMMING_MAX) witnessed; the caller's
-    min(of_id)-per-dup_id aggregation is micro-batch-split-invariant
-    (module docstring)."""
+    """Per-shard stateful detector over fp-collapsed group state. Each
+    shard accumulates ``(fp -> (min_id, count))`` per logical
+    (band, block-value) bucket hashed into it; hamming checks are
+    confined to groups of the SAME bucket (the dict below). Per arriving
+    doc d it emits
+    - ONE direct row ``(d, best)`` where best = min over matching-group
+      mins below d (d's exact answer contribution from this bucket), and
+    - one correction row ``(grp=f, of_id=d)`` per matching group f,
+      addressing every f-member above d without enumerating members.
+    The caller's min aggregation over both kinds is
+    micro-batch-split-invariant and exactly equal to the batch
+    LEFT-JOIN-min answer (module docstring)."""
     if state.exists:
-        bks, ids, fps = state.get
-        bks, ids, fps = list(bks), list(ids), list(fps)
+        bks, fps, mins, cnts = (list(c) for c in state.get)
     else:
-        bks, ids, fps = [], [], []
-    # per-bucket distinct-fingerprint view of the accumulated members
+        bks, fps, mins, cnts = [], [], [], []
+    # per-bucket group view: bucket -> fp -> [min_id, count]
     buckets: dict[str, dict[str, list[int]]] = {}
-    for bk, i, f in zip(bks, ids, fps):
-        buckets.setdefault(bk, {}).setdefault(f, []).append(i)
+    for bk, f, mn, c in zip(bks, fps, mins, cnts):
+        buckets.setdefault(bk, {})[f] = [mn, c]
     fp_ints: dict[str, int] = {}
-    out_dup, out_of = [], []
+    out_dup, out_of, out_grp = [], [], []
     for pdf in pdfs:
         pdf = pdf.sort_values("doc_id")
         for bk, doc_id, fp in zip(
@@ -195,27 +221,44 @@ def detect_bucket_dups(key, pdfs, state: GroupState):
             if v is None:
                 v = fp_ints[fp] = _fp_int(fp)
             by_fp = buckets.setdefault(bk, {})
-            for f, members in by_fp.items():
+            best = None
+            for f, group in by_fp.items():
                 w = fp_ints.get(f)
                 if w is None:
                     w = fp_ints[f] = _fp_int(f)
                 if bin((w ^ v) & 0xFFFFFFFFFFFFFFFF).count("1") > HAMMING_MAX:
                     continue
-                below = [m for m in members if m < doc_id]
-                if below:
-                    out_dup.append(doc_id)
-                    out_of.append(min(below))
-                for m in members:
-                    if m > doc_id:
-                        out_dup.append(m)
-                        out_of.append(doc_id)
-            by_fp.setdefault(fp, []).append(doc_id)
+                if group[0] < doc_id and (best is None or group[0] < best):
+                    best = group[0]
+                out_dup.append(None)
+                out_of.append(doc_id)
+                out_grp.append(f)
+            if best is not None:
+                out_dup.append(doc_id)
+                out_of.append(best)
+                out_grp.append(None)
+            group = by_fp.get(fp)
+            if group is None:
+                by_fp[fp] = [doc_id, 1]
+            else:
+                group[0] = min(group[0], doc_id)
+                group[1] += 1
+    bks, fps, mins, cnts = [], [], [], []
+    for bk, by_fp in buckets.items():
+        for f, (mn, c) in by_fp.items():
             bks.append(bk)
-            ids.append(doc_id)
-            fps.append(fp)
-    state.update((bks, ids, fps))
-    if out_dup:
-        yield pd.DataFrame({"dup_id": out_dup, "of_id": out_of})
+            fps.append(f)
+            mins.append(mn)
+            cnts.append(c)
+    state.update((bks, fps, mins, cnts))
+    if out_of:
+        yield pd.DataFrame(
+            {
+                "dup_id": pd.array(out_dup, dtype="Int64"),
+                "of_id": out_of,
+                "grp": out_grp,
+            }
+        )
 
 
 def dedup_stream(stream_docs: DataFrame) -> DataFrame:

@@ -592,7 +592,7 @@ def test_next_window_plan_comment_is_exact():
     never = [n for n in QUERIES if n not in checked and n not in set(DRIVER_CHECK_FIRST)]
     with open(reg.__file__) as f:
         src = f.read()
-    comment = src[src.index("# r10 fill") : src.index("R10_CHANGED_HEAD: tuple")]
+    comment = src[src.index("# r11 fill") : src.index("R11_CHANGED_HEAD: tuple")]
     # Tokenize the comment into identifiers rather than substring-matching:
     # a name that is a substring of another listed name (e.g. "foo" inside
     # "foo_bar") must NOT count as present (ADVICE r5).
@@ -604,16 +604,16 @@ def test_next_window_plan_comment_is_exact():
         f"registry's next-window plan comment omits never-driver-checked "
         f"queries: {missing} — add them so the rotation stays exact"
     )
-    # VERDICT r9 #1: every query whose implementation or oracle changed
-    # in round 9 OUTSIDE the r9 window must be pinned by name at the
-    # head of the r10 plan so its stale green row gets refreshed first.
+    # VERDICT r10 #1: every query whose implementation or oracle changed
+    # in round 10 OUTSIDE the r10 window must be pinned by name at the
+    # head of the r11 plan so its stale green row gets refreshed first.
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
-        R10_CHANGED_HEAD,
+        R11_CHANGED_HEAD,
     )
 
-    unpinned = [n for n in R10_CHANGED_HEAD if n not in tokens]
+    unpinned = [n for n in R11_CHANGED_HEAD if n not in tokens]
     assert not unpinned, (
-        f"r10-fill plan comment must name the round-9 changed queries for "
+        f"r11-fill plan comment must name the round-10 changed queries for "
         f"re-verification; missing: {unpinned}"
     )
 
@@ -742,7 +742,6 @@ def test_r10_window_pin():
     import re
 
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
-        DRIVER_CHECK_FIRST,
         DRIVER_WINDOW,
         QUERIES,
         R9_WINDOW,
@@ -751,7 +750,8 @@ def test_r10_window_pin():
     )
 
     all_queries()  # populate the registry
-    assert DRIVER_CHECK_FIRST == R10_WINDOW  # the r10 rotation is live
+    # (the r10 rotation completed in CORRECTNESS_r10 — 50/50 green; the
+    # window is kept as data because the r11 pin rule excludes its names)
     assert len(R10_WINDOW) == DRIVER_WINDOW
     assert len(set(R10_WINDOW)) == len(R10_WINDOW)
     assert R10_WINDOW[: len(R10_CHANGED_HEAD)] == R10_CHANGED_HEAD
@@ -780,6 +780,93 @@ def test_r10_window_pin():
     assert R10_WINDOW == expect, (
         "pinned R10_WINDOW deviates from the oldest-green-first rule: "
         f"{[(a, b) for a, b in zip(R10_WINDOW, expect) if a != b]}"
+    )
+
+
+def test_r11_window_pin():
+    """VERDICT r10 #1: pin the EXACT r11 window at the start of round 11.
+    Recompute it from the stated rule — head = the r10
+    CHANGED_THIS_ROUND tuple minus R10_WINDOW names (the 13 queries whose
+    shipped implementation drifted in round 10 with no fresh driver row:
+    streaming_simhash_dedup was registered mid-round and never checked;
+    the rest carry r06–r09 rows predating their r10 re-plans), then
+    oldest-green-first (last driver round ascending over
+    CORRECTNESS_r01..r10, NAME tie-break, R10_WINDOW names excluded since
+    their r10 rows are freshest) — and assert the pinned tuple matches
+    bit for bit. The head order is itself data: the frozen r10 tuple's
+    order, reproduced here as a literal because CHANGED_THIS_ROUND was
+    reset to () at the same commit that pinned this window."""
+    import glob
+    import json
+    import os
+    import re
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        DRIVER_WINDOW,
+        QUERIES,
+        R10_WINDOW,
+        R11_CHANGED_HEAD,
+        R11_WINDOW,
+    )
+
+    all_queries()  # populate the registry
+    assert DRIVER_CHECK_FIRST == R11_WINDOW  # the r11 rotation is live
+    assert len(R11_WINDOW) == DRIVER_WINDOW
+    assert len(set(R11_WINDOW)) == len(R11_WINDOW)
+    assert R11_WINDOW[: len(R11_CHANGED_HEAD)] == R11_CHANGED_HEAD
+    # the r10 CHANGED_THIS_ROUND tuple, frozen at the r11 pin commit
+    changed_r10 = (
+        "streaming_simhash_dedup",
+        "ann_ivf_topk",
+        "ann_ivf_multiprobe_topk",
+        "ivf_pq_topk",
+        "quality_filter_funnel",
+        "dedup_canonical_docs",
+        "dedup_components",
+        "dedup_components_lss",
+        "dedup_pipeline_summary",
+        "minhash_jaccard_estimate",
+        "minhash_lsh_dedup",
+        "ngram_jaccard_pairs",
+        "record_linkage_blocked",
+        "rollup_nation_brand",
+        "simhash_near_dup_pairs",
+        "vocab_build",
+        "zipf_law_fit",
+    )
+    expect_head = tuple(n for n in changed_r10 if n not in set(R10_WINDOW))
+    assert R11_CHANGED_HEAD == expect_head, (
+        "r11 head deviates from CHANGED_THIS_ROUND(r10) minus R10_WINDOW: "
+        f"{[(a, b) for a, b in zip(R11_CHANGED_HEAD, expect_head) if a != b]}"
+    )
+    unknown = [n for n in R11_WINDOW if n not in QUERIES]
+    assert not unknown, f"r11 window names unregistered queries: {unknown}"
+    overlap = set(R11_WINDOW) & set(R10_WINDOW)
+    assert not overlap, (
+        f"r11 window repeats r10-window names whose rows are freshest: {overlap}"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rnd > 10:
+            continue  # the pin froze on the r01..r10 rows
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    rest = [
+        n
+        for n in QUERIES
+        if n not in set(R11_CHANGED_HEAD) and n not in set(R10_WINDOW)
+    ]
+    rest.sort(key=lambda n: (last.get(n, 99), n))
+    expect = R11_CHANGED_HEAD + tuple(
+        rest[: DRIVER_WINDOW - len(R11_CHANGED_HEAD)]
+    )
+    assert R11_WINDOW == expect, (
+        "pinned R11_WINDOW deviates from the oldest-green-first rule: "
+        f"{[(a, b) for a, b in zip(R11_WINDOW, expect) if a != b]}"
     )
 
 
@@ -1054,9 +1141,10 @@ def test_bench_regressions_skip_cross_sf(tmp_path, monkeypatch):
     record taken at a DIFFERENT scale factor (an sf0.01 smoke vs the
     driver's sf0.1 record flagged nonsense ratios)."""
     import json
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
     rec = {"queries": {"q1": 1.0}, "sf": 0.1}
@@ -1433,9 +1521,10 @@ def test_bench_inline_rotation_walks_the_map():
     round. The inline candidate order must (a) keep the slowest-N anchor
     fixed regardless of round, (b) rotate the remainder by round so the
     union across rounds covers everything."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
     timings = {f"q{i:03d}": float(200 - i) for i in range(120)}
