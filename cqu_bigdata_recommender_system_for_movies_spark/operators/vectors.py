@@ -456,34 +456,41 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_IVF_CELLS = 16  # deterministic coarse quantizer: first 16 vectors as seeds
 
 
-def _ivf_assign_cells(emb: DataFrame, k: int) -> DataFrame:
+def _ivf_assign_cells(emb: DataFrame, k: int, n_cells: int = N_IVF_CELLS) -> DataFrame:
     """(vec_id, e, cells): each vector's top-k nearest coarse-quantizer
     cells (descending cosine, ties to the smaller cid — the same order
     as the oracles' ROW_NUMBER OVER (ORDER BY cos DESC, cid)).
 
-    MAP-SIDE: the N_IVF_CELLS seed rows are a bounded driver-side list
+    MAP-SIDE: the n_cells seed rows are a bounded driver-side list
     (production: sampled k-means centroids, equally driver-resident)
-    folded per row as one literal-array expression, so the corpus
-    embedding column never enters an exchange for the assignment. The
-    r10 1000x probe caught the previous broadcast cross-score +
-    window-argmin plan shuffling corpus x n_cells rows WITH their
-    embedding payloads — 16 GB / 298 s at 2M vectors for ann_ivf_topk;
-    this form halves that even on the interpreted expression path and
-    removes the corpus shuffle entirely.
+    shipped ONCE as a single-row broadcast relation and cross-joined in
+    (BroadcastNestedLoopJoin over exactly one row — the same shape as
+    the epoch-anchor scalars), then folded per row as one array
+    expression. There is no corpus x n_cells exchange; the one exchange
+    is the pinned 1x-corpus round-robin repartition for parallelism
+    (ADVICE r10 — the r10 1000x probe caught the previous broadcast
+    cross-score + window-argmin plan shuffling corpus x n_cells rows
+    WITH their embedding payloads, 16 GB / 298 s at 2M vectors for
+    ann_ivf_topk). An earlier form inlined the centroids as literal
+    expression NODES (n_cells x dim of them): fine at 16 cells, but a
+    realistic 4096-cell quantizer would put ~260k literals in the plan
+    and choke Catalyst before the executors see a row (VERDICT r10 #3)
+    — the broadcast row keeps plan size independent of n_cells
+    (tests/test_plans.py::test_ivf_assign_plan_size_independent_of_cells).
 
-    The seed norms are precomputed into the literal (same left fold +
-    correctly-rounded sqrt the JVM would do, bit-identical), the row
-    norm is let-bound ONCE via a single-element transform lambda
+    The seed norms are precomputed into the broadcast row (same left
+    fold + correctly-rounded sqrt the JVM would do, bit-identical), the
+    row norm is let-bound ONCE via a single-element transform lambda
     (higher-order functions are interpreted with no CSE — an inline
     sqrt(dot(e,e)) would re-run the 64-wide fold n_cells times/row),
-    and a pinned repartition precedes the CPU-dense fold because AQE
+    and the pinned repartition precedes the CPU-dense fold because AQE
     widens by bytes, not downstream CPU (one parquet file at the 1000x
     replica scanned as ~3 partitions would starve 29 of 32 cores)."""
     import math
 
     spark = emb.sparkSession
     seeds = (
-        emb.filter(F.col("vec_id") < N_IVF_CELLS)
+        emb.filter(F.col("vec_id") < n_cells)
         .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
         .collect()
     )
@@ -494,20 +501,21 @@ def _ivf_assign_cells(emb: DataFrame, k: int) -> DataFrame:
             acc += x * x
         return math.sqrt(acc)
 
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r.ce]).alias("ce"),
-                F.lit(_norm(list(r.ce))).alias("nc"),
+    cents_df = spark.createDataFrame(
+        [
+            (
+                [
+                    (int(r.cid), [float(x) for x in r.ce], _norm(list(r.ce)))
+                    for r in sorted(seeds, key=lambda r: r.cid)
+                ],
             )
-            for r in sorted(seeds, key=lambda r: r.cid)
-        ]
+        ],
+        schema="__cents array<struct<cid:int,ce:array<double>,nc:double>>",
     )
 
     def _scored(ne):
         return F.transform(
-            cents_lit,
+            F.col("__cents"),
             lambda c: F.struct(
                 (dot(F.col("e"), c["ce"]) / (ne * c["nc"] + F.lit(EPS))).alias("cos"),
                 (-c["cid"]).alias("negid"),
@@ -526,8 +534,10 @@ def _ivf_assign_cells(emb: DataFrame, k: int) -> DataFrame:
         ),
         1,
     )
-    return emb.repartition(shuffle_partitions(spark)).select(
-        "vec_id", "e", cells.alias("cells")
+    return (
+        emb.repartition(shuffle_partitions(spark))
+        .crossJoin(F.broadcast(cents_df))
+        .select("vec_id", "e", cells.alias("cells"))
     )
 
 
@@ -571,14 +581,15 @@ def _ivf_assign_cells(emb: DataFrame, k: int) -> DataFrame:
     f"{N_IVF_CELLS} vectors as cell seeds) assigns every vector to its "
     "nearest cell MAP-SIDE — the seeds are a bounded driver-side list "
     "(production: sampled k-means centroids, equally driver-resident), "
-    "folded per row as one literal-array aggregate expression, so the "
-    "corpus embedding column never enters an exchange for the "
-    "assignment (the r10 1000x probe caught the previous broadcast "
-    "cross-score + window-argmin plan shuffling corpus x n_cells rows "
-    "WITH their embedding payloads — 16 GB at 2M vectors, 298 s; "
-    "map-side assign + the cell-local probe join runs the same query "
-    "in ~17 s). Candidates are cell-local only (single-probe). Top-3 "
-    "cell-local neighbors for the first 50 ids.",
+    "shipped once as a single-row broadcast relation and folded per row "
+    "as one array expression. No corpus x n_cells exchange; the one "
+    "exchange is a pinned 1x-corpus repartition for parallelism (the "
+    "r10 1000x probe caught the previous broadcast cross-score + "
+    "window-argmin plan shuffling corpus x n_cells rows WITH their "
+    "embedding payloads — 16 GB at 2M vectors, 298 s; map-side assign "
+    "+ the cell-local probe join runs the same query in ~17 s). "
+    "Candidates are cell-local only (single-probe). Top-3 cell-local "
+    "neighbors for the first 50 ids.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(

@@ -444,8 +444,17 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # its staging now partitionBy's the slice column so each micro-batch
 # is deterministic (ADVICE r10). In-window (R11_WINDOW head), so its
 # r11 row verifies the new plan.
+# And: the three IVF queries' shared _ivf_assign_cells ships centroids
+# as a single-row broadcast relation instead of literal expression
+# nodes (VERDICT r10 #3 — plan size now independent of n_cells);
+# ann_ivf_topk and ivf_pq_topk are in the R11_WINDOW head,
+# ann_ivf_multiprobe_topk's r10 row predates this so it queues for r12
+# unless re-pinned.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe_topk",
+    "ivf_pq_topk",
 )
 
 

@@ -1222,6 +1222,61 @@ def test_ivf_pq_broadcasts_codebooks(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_assign_plan_size_independent_of_cells(spark):
+    """VERDICT r10 #3: the coarse-quantizer centroids ride a single-row
+    broadcast relation, not literal expression nodes — a realistic
+    4096-cell quantizer would otherwise put ~260k literals in the plan
+    and choke Catalyst. Raising the cell count 16x (16 -> 256) on a
+    synthetic corpus must leave the analyzed-plan text essentially the
+    same size (only the n_cells filter constant changes), and the
+    assignment itself must stay correct at the bigger cell count."""
+    from pyspark.sql import functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        _ivf_assign_cells,
+    )
+
+    emb = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.col("id") * (i + 1) % 97).cast("double")
+                for i in range(8)
+            ]
+        ).alias("e"),
+    )
+    plan_16 = _ivf_assign_cells(emb, 1, n_cells=16)._jdf.queryExecution().analyzed().toString()
+    plan_256 = _ivf_assign_cells(emb, 1, n_cells=256)._jdf.queryExecution().analyzed().toString()
+    assert len(plan_256) < len(plan_16) + 1_000, (
+        f"plan grew with n_cells ({len(plan_16)} -> {len(plan_256)} chars) — "
+        "centroids are back in the expression tree"
+    )
+    # correctness spot-check at 256 cells: every vector's assigned cell
+    # must be its true argmax-cosine seed (ties to the smaller cid)
+    import math
+
+    rows = emb.collect()
+    seeds = {int(r.vec_id): list(r.e) for r in rows if r.vec_id < 256}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb + 1e-8)
+
+    expect = {
+        int(r.vec_id): min(
+            seeds, key=lambda c: (-cos(list(r.e), seeds[c]), c)
+        )
+        for r in rows
+    }
+    got = {
+        int(r.vec_id): int(r.cells[0])
+        for r in _ivf_assign_cells(emb, 1, n_cells=256).collect()
+    }
+    assert got == expect
+
+
 def test_auc_windows_compacted_scores(spark, sf_dir):
     """The cumulative window must run over the per-(day, score) compacted
     table: exactly one scan, and the aggregate shuffle precedes the
