@@ -450,11 +450,20 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # ann_ivf_topk and ivf_pq_topk are in the R11_WINDOW head,
 # ann_ivf_multiprobe_topk's r10 row predates this so it queues for r12
 # unless re-pinned.
+# And: dedup_components' per-round convergence collect retired (VERDICT
+# r10 #7) — the changed total now rides the observe() metric channel of
+# the same count that materializes the round's checkpoint; whitelist
+# entry removed from tests/test_source_audit.py. Closure reaches
+# dedup_canonical_docs and dedup_pipeline_summary (all three in the
+# R11_WINDOW head).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
     "ann_ivf_topk",
     "ann_ivf_multiprobe_topk",
     "ivf_pq_topk",
+    "dedup_components",
+    "dedup_canonical_docs",
+    "dedup_pipeline_summary",
 )
 
 

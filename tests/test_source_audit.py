@@ -26,8 +26,6 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "cqu_bigdata_recommender_sys
 # (module path relative to the package, enclosing function) -> why it is
 # allowed to materialize on the driver. The bound is what matters.
 COLLECT_WHITELIST = {
-    # one int per iteration: label-propagation convergence check
-    ("operators/dedup.py", "dedup_components"),
     # one row of corpus-level constants for the signature table
     ("operators/dedup.py", "signature"),
     # scoped-conf demonstration query materializes its (5-row) answer
@@ -37,10 +35,11 @@ COLLECT_WHITELIST = {
     ("operators/sketches.py", "bloom_semi_join_prune"),
     # d x d Gramian partials (embedding-dim-squared, data-size-free)
     ("operators/vectors.py", "embedding_pca_top_component_detail"),
-    # exactly N_IVF_CELLS coarse-quantizer seed rows (constant,
-    # data-size-free) — becomes the literal centroid array the map-side
-    # cell assignment folds over (production: sampled k-means centroids,
-    # equally driver-resident); shared by the three IVF queries
+    # exactly n_cells coarse-quantizer seed rows (constant,
+    # data-size-free) — becomes the single-row broadcast centroid
+    # relation the map-side cell assignment folds over (production:
+    # sampled k-means centroids, equally driver-resident); shared by
+    # the three IVF queries
     ("operators/vectors.py", "_ivf_assign_cells"),
     # one count per partition: the distributed-rank offset map
     ("operators/windows.py", "global_row_number"),

@@ -1,0 +1,117 @@
+"""State-growth probe for streaming_simhash_dedup (VERDICT r10 #2).
+
+The registered query's memory sink collects the full emission stream, so
+past ~10x the harness — not the engine — is the bound. This probe runs
+ONLY the engine side: it stages a documents replica as N slice files,
+runs the fingerprint -> banding -> sharded stateful detector with a
+foreachBatch counting sink (nothing collected), and records per
+micro-batch what actually matters for the 100-TB verdict on this
+component:
+
+- addBatch wall time        (does per-batch cost grow with corpus?)
+- state rows / state bytes  (does state grow with DISTINCT fps or with
+                             members? fp-collapse means the former)
+- emission rows             (direct pairs + group corrections)
+
+Usage:
+    python tools/scale_testdata.py /root/testdata/sf0.1 /tmp/sf100x_docs 1000 documents
+    python tools/probe_simdedup_scale.py /tmp/sf100x_docs [n_slices]
+
+Prints one JSON line per micro-batch and a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.session import get_spark
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100x_docs"
+    n_slices = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    spark = get_spark("simdedup-scale-probe")
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _stream_state_partitions,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.simdedup import (
+        dedup_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    stage_dir = tempfile.mkdtemp(prefix="simdedup_probe_src_")
+    t0 = time.perf_counter()
+    docs.withColumn(
+        "slice", F.pmod("doc_id", F.lit(n_slices)).cast("int")
+    ).repartition(n_slices, "slice").write.mode("overwrite").partitionBy(
+        "slice"
+    ).parquet(stage_dir)
+    print(
+        json.dumps({"staged_sec": round(time.perf_counter() - t0, 1)}), flush=True
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema.add("slice", "integer"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .drop("slice")
+    )
+
+    emitted = {"rows": 0}
+
+    def count_only(batch_df, batch_id):
+        emitted["rows"] += batch_df.count()
+
+    t0 = time.perf_counter()
+    with _stream_state_partitions(spark):
+        q = (
+            dedup_stream(stream)
+            .writeStream.foreachBatch(count_only)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
+    total = round(time.perf_counter() - t0, 1)
+
+    curve = []
+    for p in progress:
+        state = (p.get("stateOperators") or [{}])[0]
+        row = {
+            "batch": p.get("batchId"),
+            "input_rows": p.get("numInputRows"),
+            "add_batch_ms": (p.get("durationMs") or {}).get("addBatch"),
+            "state_rows": state.get("numRowsTotal"),
+            "state_mb": round((state.get("memoryUsedBytes") or 0) / 1e6, 1),
+        }
+        curve.append(row)
+        print(json.dumps(row), flush=True)
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n_slices": n_slices,
+                "total_sec": total,
+                "emitted_rows": emitted["rows"],
+                "batches": len(curve),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
