@@ -45,19 +45,33 @@ Design (Spark-first):
   side arrives later finds the other's group in state (same-batch rows
   are processed in ascending doc_id order).
 
-Scale notes (100 TB):
+Scale notes (100 TB) — r11 1000x probe evidence
+(tools/probe_simdedup_scale.py, 5M docs = 1000x sf0.1 documents, 10
+micro-batches of 500k):
 - State per bucket is O(DISTINCT fingerprints in the bucket), not
   O(members): exact-duplicate skew — the 100-TB failure mode, where a
   boilerplate page repeats millions of times — adds ONE count
-  increment, not one state entry. The per-member form this replaced
-  grew state (and its per-batch reserialization) linearly with the
-  corpus even when every arrival was an exact dup.
+  increment, not one state entry. Measured: 5M docs (1000 byte-exact
+  replicas of 4,992 texts, 3,905 distinct fingerprints) end at ~3.7 MB
+  of store-reported state across 256 shard rows; the per-member form
+  this replaced would have held 20M member entries and reserialized
+  them every batch.
+- Per-batch cost tracks GROUPS, not corpus: addBatch grew 21 s -> 52 s
+  across the probe only because the slice staging (pmod by id, replica
+  offsets a multiple of the slice count) feeds each batch a fresh
+  tenth of the distinct fingerprints; emissions saturate at ~24
+  rows/doc (4 bucket rows x ~4.8 matching groups + per-bucket directs)
+  once all groups are seen, per the banded structure. A same-sized
+  batch of pure re-arrivals costs the saturated floor, not O(corpus).
+- The probe's first run found the OTHER defect: the fingerprint fold
+  (~1 ms/doc interpreted HOF) ran at the source stage's parallelism —
+  ONE task under maxFilesPerTrigger=1 — serializing 500k-doc batches
+  onto one core (>500 s/batch). dedup_stream now pins a full-width
+  repartition ahead of the fold: 21 s/batch.
 - Unbounded-history dedup still accumulates distinct-fp state without
   bound; production would run the RocksDB state store provider so the
   working set pages to disk, with STATE_SHARDS raised to the cluster's
   state partitions.
-- Per-bucket work per doc is O(distinct fingerprints in bucket), the
-  same bound the batch banded join has.
 """
 
 from __future__ import annotations
@@ -263,12 +277,32 @@ def detect_bucket_dups(key, pdfs, state: GroupState):
 
 def dedup_stream(stream_docs: DataFrame) -> DataFrame:
     """Wire fingerprint -> banding -> sharded per-bucket state onto a
-    streaming documents DataFrame; returns the (dup_id, of_id) emission
-    stream."""
+    streaming documents DataFrame; returns the emission stream (direct
+    pair rows + group corrections, see module docstring).
+
+    The pinned repartition ahead of the fingerprint fold is the r11
+    1000x probe finding (the streaming twin of the r10 IVF lesson): the
+    fold costs ~1 ms/doc of interpreted higher-order-function CPU, and
+    it must run BEFORE the shard exchange (the shard key derives from
+    the fingerprint), so without the repartition its parallelism is
+    whatever the source stage had — ONE task per file under
+    maxFilesPerTrigger=1, serializing a 500k-doc micro-batch onto one
+    core while 31 idle. One cheap text-bytes exchange buys
+    cluster-wide fingerprinting."""
+    from cqu_bigdata_recommender_system_for_movies_spark.session import (
+        shuffle_partitions,
+    )
     from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
 
-    ensure_shipped(stream_docs.sparkSession)
-    keyed = banded(with_fingerprint(stream_docs)).select(
+    spark = stream_docs.sparkSession
+    ensure_shipped(spark)
+    # full machine width, NOT the (deliberately small) state-partition
+    # pin that _stream_state_partitions puts in shuffle.partitions while
+    # this plan is built — the fold is pure map work and wants every core
+    n_fold = max(shuffle_partitions(spark), spark.sparkContext.defaultParallelism)
+    keyed = banded(
+        with_fingerprint(stream_docs.repartition(n_fold))
+    ).select(
         F.concat_ws(":", F.col("band").cast("string"), "key").alias("bk"),
         "doc_id",
         "fp",

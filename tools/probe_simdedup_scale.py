@@ -67,10 +67,12 @@ def main() -> None:
         .drop("slice")
     )
 
-    emitted = {"rows": 0}
+    emitted = {"rows": 0, "per_batch": {}}
 
     def count_only(batch_df, batch_id):
-        emitted["rows"] += batch_df.count()
+        n = batch_df.count()
+        emitted["rows"] += n
+        emitted["per_batch"][int(batch_id)] = n
 
     t0 = time.perf_counter()
     with _stream_state_partitions(spark):
@@ -97,6 +99,9 @@ def main() -> None:
             "add_batch_ms": (p.get("durationMs") or {}).get("addBatch"),
             "state_rows": state.get("numRowsTotal"),
             "state_mb": round((state.get("memoryUsedBytes") or 0) / 1e6, 1),
+            "updates_ms": state.get("allUpdatesTimeMs"),
+            "commit_ms": state.get("commitTimeMs"),
+            "emitted": emitted["per_batch"].get(p.get("batchId")),
         }
         curve.append(row)
         print(json.dumps(row), flush=True)

@@ -1,0 +1,176 @@
+"""Engine-side scale probe for the stateful streaming families
+(VERDICT r10 #5): windowed aggregation and the watermarked
+stream-stream join, which until r11 had 10x evidence only.
+
+Like probe_simdedup_scale.py, this avoids the registered queries'
+memory sink (the harness bound past ~10x): events are staged as N
+slice files, each query runs with a foreachBatch counting sink, and
+the per-micro-batch progress — addBatch time, state rows, state bytes
+— is what the 100-TB verdict needs: windowed-agg state must stay
+bounded by (windows x event types), and join state by the watermark
+horizon, regardless of corpus size.
+
+Usage:
+    python tools/scale_testdata.py /root/testdata/sf0.1 /tmp/sf10x_events 100 events customer
+    python tools/probe_streaming_scale.py /tmp/sf10x_events [n_slices] [query ...]
+
+Queries: window_counts, stream_stream_join (default: both).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.session import get_spark
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+
+def _staged_stream(spark, sf_dir: str, n_slices: int):
+    """events staged as n_slices files -> one micro-batch per file."""
+    events = load(spark, sf_dir, "events")
+    stage_dir = tempfile.mkdtemp(prefix="streaming_probe_src_")
+    events.withColumn(
+        "slice", F.pmod("event_id", F.lit(n_slices)).cast("int")
+    ).repartition(n_slices, "slice").write.mode("overwrite").partitionBy(
+        "slice"
+    ).parquet(stage_dir)
+    return (
+        spark.readStream.schema(events.schema.add("slice", "integer"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .drop("slice")
+    )
+
+
+def _window_counts(stream):
+    # mirror of streaming/queries.py:streaming_window_counts
+    return (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    ), "complete"
+
+
+def _stream_stream_join(stream):
+    # mirror of streaming/queries.py:streaming_stream_stream_join
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 days")
+    )
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 days")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.round("p_value", 4).alias("purchase_value"),
+    )
+    return joined, "append"
+
+
+BUILDERS = {
+    "window_counts": _window_counts,
+    "stream_stream_join": _stream_stream_join,
+}
+
+
+def _run_one(spark, stream, name: str) -> None:
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _stream_state_partitions,
+    )
+
+    df, mode = BUILDERS[name](stream)
+    emitted = {"rows": 0}
+
+    def count_only(batch_df, batch_id):
+        emitted["rows"] += batch_df.count()
+
+    t0 = time.perf_counter()
+    with _stream_state_partitions(spark):
+        q = (
+            df.writeStream.foreachBatch(count_only)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
+    total = round(time.perf_counter() - t0, 1)
+
+    for p in progress:
+        state = (p.get("stateOperators") or [{}])[0]
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "batch": p.get("batchId"),
+                    "input_rows": p.get("numInputRows"),
+                    "add_batch_ms": (p.get("durationMs") or {}).get("addBatch"),
+                    "state_rows": state.get("numRowsTotal"),
+                    "state_mb": round(
+                        (state.get("memoryUsedBytes") or 0) / 1e6, 1
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "total_sec": total,
+                "emitted_rows": emitted["rows"],
+                "batches": len(progress),
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10x_events"
+    n_slices = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    names = sys.argv[3:] or list(BUILDERS)
+
+    spark = get_spark("streaming-scale-probe")
+    for name in names:
+        stream = _staged_stream(spark, sf_dir, n_slices)
+        _run_one(spark, stream, name)
+
+
+if __name__ == "__main__":
+    main()
