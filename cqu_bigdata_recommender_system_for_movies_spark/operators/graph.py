@@ -22,6 +22,7 @@ lineage).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,12 +44,23 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration probes it from both directions, so without the checkpoint
     the distinct (and the ratings join under it) would re-run per
     iteration — at scale this is the persisted edge table every graph
-    job starts from."""
+    job starts from.
+
+    SERIALIZED storage (r11 100x probe finding): the default
+    deserialized localCheckpoint holds one UnsafeRow OBJECT per edge —
+    ~60-70 B of heap + GC pressure for a 16-byte payload — and at the
+    100x replica (60M ratings) that plus AQE's broadcast score tables
+    pushed ppr_seeded_items over the shared 8g local heap.
+    MEMORY_AND_DISK (PySpark's serialized level; _DESER is the
+    object form) packs the same rows into block-sized byte
+    buffers (~3x smaller, near-zero GC scan cost) and spills under
+    pressure; with it the whole graph family runs the 100x replica in
+    the default harness heap."""
     return (
         ratings(spark, sf_dir)
         .select(F.col("user_id").alias("u"), F.col("item_id").alias("i"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -293,7 +305,9 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(du.filter(F.col("du_d") >= KCORE_K), "u")
             .join(di.filter(F.col("di_d") >= KCORE_K), "i")
             .select("u", "i")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         )
     fu = e.groupBy("u").agg(F.count("*").alias("degree"))
     fi = e.groupBy("i").agg(F.count("*").alias("degree"))

@@ -456,6 +456,12 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # entry removed from tests/test_source_audit.py. Closure reaches
 # dedup_canonical_docs and dedup_pipeline_summary (all three in the
 # R11_WINDOW head).
+# And: the graph family's edge-list (and kcore's per-round peeled)
+# localCheckpoints switched to SERIALIZED storage — the r11 100x events
+# probe OOM'd ppr_seeded_items on the deserialized per-row objects
+# (result-neutral; storage level only). ppr_seeded_items is the one
+# name outside R11_WINDOW -> r12 head candidate; the other four are
+# in-window fills.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
     "ann_ivf_topk",
@@ -464,6 +470,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_components",
     "dedup_canonical_docs",
     "dedup_pipeline_summary",
+    "kcore_membership",
+    "lpa_communities",
+    "pagerank_bipartite",
+    "ppr_seeded_items",
+    "random_walk_training_paths",
 )
 
 

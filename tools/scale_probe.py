@@ -102,7 +102,11 @@ def main() -> None:
             None,
         )
         if proc.returncode != 0 or line is None:
-            results[name] = {"error": (proc.stderr or "no output")[-500:]}
+            err = proc.stderr or "no output"
+            # the Python traceback (with the Py4J error MESSAGE at its
+            # head) beats the tail of a Java stack for diagnosis
+            tb = err.rfind("Traceback")
+            results[name] = {"error": err[tb : tb + 800] if tb >= 0 else err[-800:]}
             print(json.dumps({"query": name, "error": True}), flush=True)
             continue
         rec = json.loads(line)
