@@ -367,6 +367,16 @@ EXPECTED_SHIFTS = {
 # availableNow drain pays per-micro-batch scheduling overhead that
 # varies with JVM state, so a 1.3-1.5x single-shot flag on a streaming
 # entry with no code diff is noise, not regression.
+#
+# Round-11 isolation runs of the three r10 drifts (VERDICT r10 #4;
+# fresh session, calibration 0.221 vs the r10 record's 0.227, 3 reps,
+# sf0.1, zero code diff on all three): streaming_interest_fold
+# 5.21 cold -> 1.87 / 1.81 warm (r10 in-suite record 2.87, the r9
+# record 2.02 — warm floor beats both), item_adamic_adar_topk
+# 2.78 -> 1.70 / 1.51 (record 2.34), theil_sen_slope_robust
+# 3.24 -> 2.19 / 2.10 (record 3.42). All three warm floors sit well
+# under their flagged records at matched calibration: suite-context /
+# first-run variance, no code cause, regression map clean.
 
 
 def _regressions(
