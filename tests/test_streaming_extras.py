@@ -302,6 +302,185 @@ def with_fingerprint_count(spark, sf_dir) -> int:
     return with_fingerprint(load(spark, sf_dir, "documents")).count()
 
 
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState stand-in for driving
+    detect_bucket_dups in-process (exists/get/update is all it uses)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_simhash_group_state_split_invariant_randomized():
+    """Property test of the fp-collapsed detector (VERDICT r10 #2): for
+    random fingerprint corpora with heavy exact-dup skew and random
+    ARRIVAL ORDER / micro-batch splits (including ids arriving out of
+    order — the case the group-correction channel exists for), the
+    min-aggregated answer over direct + correction emissions must equal
+    the brute-force all-pairs hamming oracle, for every split."""
+    import random
+
+    import pandas as pd
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BANDS,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.simdedup import (
+        BLOCK_BITS,
+        detect_bucket_dups,
+    )
+
+    def fp_str(v: int) -> str:
+        return "".join("1" if (v >> b) & 1 else "0" for b in range(64))
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        # clustered fingerprints: few base patterns, small flips, heavy
+        # exact duplication — near-dups guaranteed, skew guaranteed
+        bases = [rng.getrandbits(64) for _ in range(4)]
+        docs = []
+        for doc_id in range(90):
+            v = rng.choice(bases)
+            for _ in range(rng.randrange(0, 5)):
+                v ^= 1 << rng.randrange(64)
+            docs.append((doc_id, v))
+        # brute-force oracle over the full corpus
+        expect = {}
+        for d, v in docs:
+            below = [
+                o
+                for o, w in docs
+                if o < d and bin(v ^ w).count("1") <= HAMMING_MAX
+            ]
+            expect[d] = min(below) if below else -1
+
+        # random arrival order, random batch split
+        order = docs[:]
+        rng.shuffle(order)
+        splits = sorted(rng.sample(range(1, len(order)), 3))
+        batches = [
+            order[i:j]
+            for i, j in zip([0] + splits, splits + [len(order)])
+        ]
+        state = _FakeGroupState()
+        direct: dict[int, int] = {}
+        corr: dict[str, int] = {}
+        for batch in batches:
+            rows = []
+            for d, v in batch:
+                f = fp_str(v)
+                for b in range(SIMHASH_BANDS):
+                    rows.append(
+                        (f"{b}:{f[b * BLOCK_BITS:(b + 1) * BLOCK_BITS]}", d, f)
+                    )
+            pdf = pd.DataFrame(rows, columns=["bk", "doc_id", "fp"])
+            for out in detect_bucket_dups(None, [pdf], state):
+                for dup, of, grp in zip(
+                    out["dup_id"].tolist(), out["of_id"].tolist(), out["grp"].tolist()
+                ):
+                    if grp is None:
+                        dup = int(dup)
+                        direct[dup] = min(direct.get(dup, of), int(of))
+                    else:
+                        corr[grp] = min(corr.get(grp, of), int(of))
+        got = {}
+        for d, v in docs:
+            best = direct.get(d)
+            c = corr.get(fp_str(v))
+            if c is not None and c < d and (best is None or c < best):
+                best = c
+            got[d] = best if best is not None else -1
+        assert got == expect, f"seed {seed}: split {splits} diverged"
+
+
+def test_streaming_simhash_recovers_from_checkpoint(spark, sf_dir):
+    """Fault tolerance for the online dedup index: the first half of the
+    corpus (by doc_id) streams under a checkpoint, the query stops, the
+    second half lands in the source dir, and the RESTARTED query must
+    answer second-half docs against the checkpointed fingerprint groups
+    — every second-half doc whose nearest partner is a first-half doc
+    proves the index came back from state, not from a re-read."""
+    import shutil
+    import tempfile
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        all_queries,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _stream_state_partitions,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.simdedup import (
+        dedup_stream,
+        with_fingerprint,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.agg(F.percentile_approx("doc_id", 0.5).alias("m")).collect()[0].m
+    base = tempfile.mkdtemp(prefix="spark_graft_simdedup_ckpt_")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.parquet(src)
+
+    direct: dict[int, int] = {}
+    corr: dict[str, int] = {}
+
+    def sink(batch_df, batch_id):
+        for row in batch_df.collect():  # test-only materialization
+            if row.grp is None:
+                d = int(row.dup_id)
+                direct[d] = min(direct.get(d, row.of_id), int(row.of_id))
+            else:
+                corr[row.grp] = min(corr.get(row.grp, row.of_id), int(row.of_id))
+
+    def run_once():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        with _stream_state_partitions(spark):
+            q = (
+                dedup_stream(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+
+    run_once()  # index the first half, commit offsets + groups
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode("append").parquet(src)
+    direct.clear()
+    corr.clear()  # keep only post-restart emissions
+    run_once()  # restart: groups must come back from the checkpoint
+
+    fps = {r.doc_id: r.fp for r in with_fingerprint(docs).collect()}
+    expect: dict[int, int] = {}
+    for r in all_queries()["simhash_near_dup_pairs"](spark, sf_dir).collect():
+        a, b = sorted((r.doc_a, r.doc_b))
+        expect[b] = min(expect.get(b, a), a)
+    late = [d for d in fps if d > cut]
+    cross = [d for d in late if expect.get(d, -1) >= 0 and expect[d] <= cut]
+    assert cross, "no second-half doc pairs back to the first half — vacuous"
+    for d in late:
+        best = direct.get(d)
+        c = corr.get(fps[d])
+        if c is not None and c < d and (best is None or c < best):
+            best = c
+        assert (best if best is not None else -1) == expect.get(d, -1), d
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_with_fingerprint_edge_cases(spark):
     """Empty-text docs have no fingerprint in the batch table (no token
     rows survive the explode), so the streaming-safe per-row form must
