@@ -21,6 +21,7 @@ affine hashes ``(a*v + b) % P`` — exact in both engines.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -817,7 +818,10 @@ def _pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             key,
             ngram_jaccard_pairs(spark, sf_dir)
             .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True),
+            # serialized: the edge list is corpus-sized (27M rows at the
+            # 100x replica) and a DESERIALIZED checkpoint costs ~60-70 B
+            # of heap per 16-byte row — the r11 probe OOM'd LSS on it
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK),
         )
     return _PAIRS_CACHE[key]
 
@@ -867,17 +871,39 @@ _CC_ORACLE = f"""
     "rounds needed = component diameter (near-dup clusters are shallow). "
     "The oracle computes the same components with a recursive CTE. "
     "component = min doc_id in the group (the canonical survivor). "
-    "Scale note (r10 100x probe): identical output to dedup_components_lss "
-    "but 8.8x slower (293 s vs 33 s) — propagation re-joins the FULL edge "
-    "set every round while LSS contracts it; at 100 TB prefer the _lss "
-    "variant, this one is the cross-check.",
+    "Scale note (r11): the r10 probe measured the old loop 8.8x slower "
+    "than LSS because every round re-shuffled the FULL edge set; the "
+    "loop now joins only the FRONTIER (labels that changed last round) "
+    "against an edge set hash-partitioned once on the probe key, and "
+    "at the 100x replica the warm loop beats LSS (21.3 s vs 26.9 s on "
+    "the shared pair cache — cold runs of either are dominated by the "
+    "~290 s ngram pair generation both consume). LSS keeps the "
+    "O(log n)-round guarantee for pathological deep-chain components; "
+    "for shallow near-dup clusters both are production-viable, and "
+    "they still cross-check bit-for-bit.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # materialized edge set — every propagation round reuses it, and
-    # lineage truncation keeps round N's plan from embedding rounds 1..N-1
+    from pyspark.sql import Observation
+
+    from cqu_bigdata_recommender_system_for_movies_spark.session import (
+        shuffle_partitions,
+    )
+
+    # materialized edge set, HASH-PARTITIONED ON THE PROBE KEY (doc_b)
+    # once: the checkpointed LogicalRDD keeps its outputPartitioning, so
+    # every round's frontier join reuses it and only the (shrinking)
+    # frontier side shuffles — the r10 100x probe measured the old
+    # full-edge-reshuffle-per-round plan 8.8x slower than LSS, and the
+    # per-round edge shuffle was that gap. Serialized storage per the
+    # r11 graph-family finding.
+    n = shuffle_partitions(spark)
     edges = _pair_edges(spark, sf_dir)
-    und = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    und = (
+        edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .repartition(n, "doc_b")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         und.select(F.col("doc_a").alias("node"))
@@ -885,12 +911,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    from pyspark.sql import Observation
-
+    # FRONTIER propagation: a node's label can only improve through a
+    # neighbor whose label improved last round (round 1: every node is
+    # fresh), so each round joins the edge set against the changed
+    # subset only. An unchanged neighbor's label was already absorbed
+    # the round after it last changed — the classic BFS-wave argument;
+    # the full-propagation fixpoint is reached with the same round
+    # count and a fraction of the join traffic.
+    frontier = labels
     changed = 1
     for _ in range(MAX_CC_ITERATIONS):
         nbr_min = (
-            und.join(labels, und.doc_b == labels.node)
+            und.join(frontier, und.doc_b == frontier.node)
             .groupBy(und.doc_a.alias("node"))
             .agg(F.min("lbl").alias("nmin"))
         )
@@ -913,6 +945,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).count()
         changed = obs.get["changed"] or 0
         labels = new.select("node", "lbl")
+        frontier = new.filter("changed").select("node", "lbl")
         if changed == 0:
             break
     if changed != 0:
@@ -967,7 +1000,9 @@ def dedup_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical (u < v) edge set; self-loops dropped
     edges = pairs.select(
         F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
     def signature(e: DataFrame):
         # order-insensitive identity of the edge set, computed by the same
@@ -1009,7 +1044,7 @@ def dedup_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
         sig = signature(new_edges)
         edges = new_edges

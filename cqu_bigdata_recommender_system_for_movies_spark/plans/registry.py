@@ -462,12 +462,20 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # (result-neutral; storage level only). ppr_seeded_items is the one
 # name outside R11_WINDOW -> r12 head candidate; the other four are
 # in-window fills.
+# And: dedup_components re-planned onto FRONTIER propagation over a
+# doc_b-partitioned edge set (warm loop now 21.3 s vs LSS 26.9 s at the
+# 100x replica — the r10 8.8x gap closed), and the corpus-sized pair/
+# edge checkpoints (shared _pair_edges cache, LSS's canonical +
+# per-round edge sets) store SERIALIZED — the 100x probe OOM'd LSS on
+# the deserialized form. All four dedup names already head R11_WINDOW;
+# dedup_components_lss joins them via the _pair_edges closure.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
     "ann_ivf_topk",
     "ann_ivf_multiprobe_topk",
     "ivf_pq_topk",
     "dedup_components",
+    "dedup_components_lss",
     "dedup_canonical_docs",
     "dedup_pipeline_summary",
     "kcore_membership",
