@@ -368,6 +368,18 @@ EXPECTED_SHIFTS = {
 # varies with JVM state, so a 1.3-1.5x single-shot flag on a streaming
 # entry with no code diff is noise, not regression.
 #
+# Round-11 deliberate re-plan costs at sf0.1 (not regressions):
+# streaming_simhash_dedup 6.44 -> ~10.8 raw (~1.24x calibration-
+# normalized) — the per-micro-batch full-width repartition ahead of the
+# fingerprint fold plus the group-correction join in the final
+# aggregation are fixed costs a 5k-doc corpus cannot amortize; the same
+# repartition is what turns a 1000x batch from >500 s (one task per
+# source file) into 21 s, and the fp-collapsed state is what bounds
+# state at O(distinct fps). See SCALE_r11.json. dedup_components'
+# up-front doc_b repartition+checkpoint of the edge set is the same
+# class (~0.9-1.1x normalized at sf0.1; warm loop 21.3 s vs LSS 26.9 s
+# at the 100x replica where the old loop took ~290 s).
+#
 # Round-11 isolation runs of the three r10 drifts (VERDICT r10 #4;
 # fresh session, calibration 0.221 vs the r10 record's 0.227, 3 reps,
 # sf0.1, zero code diff on all three): streaming_interest_fold
