@@ -404,6 +404,43 @@ def test_simhash_group_state_split_invariant_randomized():
         assert got == expect, f"seed {seed}: split {splits} diverged"
 
 
+def test_streaming_simhash_under_rocksdb_provider(spark, sf_dir):
+    """The scale notes name the RocksDB state store as the production
+    path (state pages to disk instead of living in the HDFS-backed
+    in-memory maps). The provider ships with Spark 4 — so run the
+    detector under it and require the exact batch answer: the claim is
+    tested, not aspirational. providerClass is read at query START, so
+    setting it on the shared session scopes it to this run."""
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        all_queries,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = {
+            r.doc_id: r.dup_of
+            for r in all_queries()["streaming_simhash_dedup"](spark, sf_dir).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    expect: dict[int, int] = {}
+    for r in all_queries()["simhash_near_dup_pairs"](spark, sf_dir).collect():
+        a, b = sorted((r.doc_a, r.doc_b))
+        expect[b] = min(expect.get(b, a), a)
+    assert got and all(
+        dup_of == expect.get(d, -1) for d, dup_of in got.items()
+    )
+
+
 def test_streaming_simhash_recovers_from_checkpoint(spark, sf_dir):
     """Fault tolerance for the online dedup index: the first half of the
     corpus (by doc_id) streams under a checkpoint, the query stops, the

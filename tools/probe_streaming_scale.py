@@ -33,10 +33,44 @@ from cqu_bigdata_recommender_system_for_movies_spark.session import get_spark
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
 
-def _staged_stream(spark, sf_dir: str, n_slices: int):
-    """events staged as n_slices files -> one micro-batch per file."""
+def _staged_stream(spark, sf_dir: str, n_slices: int, by_time: bool = False):
+    """events staged as n_slices files -> one micro-batch per file.
+
+    by_time=False (default) slices by pmod(event_id): every batch spans
+    the full time range, so the watermark pins at global-max - horizon
+    after batch 0 and join state accumulates — the worst case.
+    by_time=True slices by equal-width time buckets: batches arrive in
+    event-time order like a real stream, the watermark advances every
+    batch, and stateful operators must show BOUNDED state (eviction
+    keeps only the horizon) — the claim that matters at 100 TB/day."""
     events = load(spark, sf_dir, "events")
     stage_dir = tempfile.mkdtemp(prefix="streaming_probe_src_")
+    if by_time:
+        # the file source orders batches by file MODIFICATION time, so
+        # time-ordered arrival needs sequential one-file-per-slice
+        # writes, not a single partitionBy job (whose files share mtime)
+        lo, hi = events.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).collect()[0]
+        span = max(hi - lo + 1, 1)
+        staged = events.withColumn(
+            "slice",
+            F.least(
+                F.lit(n_slices - 1),
+                ((F.unix_micros("ts") - F.lit(lo)) * n_slices / F.lit(span)).cast(
+                    "int"
+                ),
+            ),
+        ).localCheckpoint(eager=True)
+        for s in range(n_slices):
+            staged.filter(F.col("slice") == s).drop("slice").coalesce(
+                1
+            ).write.mode("append").parquet(stage_dir)
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
     events.withColumn(
         "slice", F.pmod("event_id", F.lit(n_slices)).cast("int")
     ).repartition(n_slices, "slice").write.mode("overwrite").partitionBy(
@@ -162,13 +196,15 @@ def _run_one(spark, stream, name: str) -> None:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10x_events"
-    n_slices = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    names = sys.argv[3:] or list(BUILDERS)
+    args = [a for a in sys.argv[1:] if a != "--by-time"]
+    by_time = "--by-time" in sys.argv[1:]
+    sf_dir = args[0] if args else "/tmp/sf10x_events"
+    n_slices = int(args[1]) if len(args) > 1 else 10
+    names = args[2:] or list(BUILDERS)
 
     spark = get_spark("streaming-scale-probe")
     for name in names:
-        stream = _staged_stream(spark, sf_dir, n_slices)
+        stream = _staged_stream(spark, sf_dir, n_slices, by_time=by_time)
         _run_one(spark, stream, name)
 
 
