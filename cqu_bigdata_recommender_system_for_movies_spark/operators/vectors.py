@@ -587,7 +587,9 @@ def _ivf_assign_cells(emb: DataFrame, k: int, n_cells: int = N_IVF_CELLS) -> Dat
     "r10 1000x probe caught the previous broadcast cross-score + "
     "window-argmin plan shuffling corpus x n_cells rows WITH their "
     "embedding payloads — 16 GB at 2M vectors, 298 s; map-side assign "
-    "+ the cell-local probe join runs the same query in ~17 s). "
+    "+ the cell-local probe join runs the same query in ~17 s per "
+    "execution — 34 s under the probe convention, which executes "
+    "twice: noop sink + count). "
     "Candidates are cell-local only (single-probe). Top-3 cell-local "
     "neighbors for the first 50 ids.",
 )
