@@ -133,9 +133,21 @@ def _stream_stream_join(stream):
     return joined, "append"
 
 
+def _interest_fold(stream):
+    # mirror of streaming/queries.py:streaming_interest_fold — per-user
+    # interest-vector state (the reference's lambda=0.05 fold) via
+    # applyInPandasWithState; state rows = distinct users seen
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+        interest_fold_stream,
+    )
+
+    return interest_fold_stream(stream, output_mode="update"), "update"
+
+
 BUILDERS = {
     "window_counts": _window_counts,
     "stream_stream_join": _stream_stream_join,
+    "interest_fold": _interest_fold,
 }
 
 
