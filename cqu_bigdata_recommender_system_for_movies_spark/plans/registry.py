@@ -420,70 +420,98 @@ R11_WINDOW: tuple[str, ...] = R11_CHANGED_HEAD + (
     "streaming_approx_topk",
 )
 
-# Round 11 rotation (VERDICT r10 #1): burn the pinned window.
-DRIVER_CHECK_FIRST: tuple[str, ...] = R11_WINDOW
+# r12 fill — the EXACT round-12 window, pinned at the start of round 12
+# from the round-11 manifest (VERDICT r11 #2). Rule, recomputed and
+# asserted by tests/test_plans.py::test_r12_window_pin:
+# (a) head = the r11 CHANGED_THIS_ROUND tuple minus R11_WINDOW names
+# (in-window names got fresh r11 rows at round end), in tuple order:
+# ann_ivf_multiprobe_topk (broadcast-centroid _ivf_assign_cells swap,
+# row predates it at r10) and ppr_seeded_items (serialized-checkpoint
+# storage-level change, latest row r07).
+# (b) oldest-green-first re-confirmations (last driver round ascending
+# over CORRECTNESS_r01..r11, NAME as the tie-break — registry insertion
+# order varies with module import order, so it cannot anchor a pinned
+# list — R11_WINDOW names excluded since their r11 rows are freshest)
+# up to the 50-slot window: the four remaining r6-latest rows
+# (streaming_socket_parse_records, streaming_upsert_merge,
+# temporal_holdout_split, two_phase_topk), then the first 44 r7-latest
+# rows alphabetically, from ab_test_zscore through
+# theil_sen_slope_robust.
+# Never-driver-checked outside this window: none.
+R12_CHANGED_HEAD: tuple[str, ...] = (
+    "ann_ivf_multiprobe_topk",
+    "ppr_seeded_items",
+)
+R12_WINDOW: tuple[str, ...] = R12_CHANGED_HEAD + (
+    "streaming_socket_parse_records",
+    "streaming_upsert_merge",
+    "temporal_holdout_split",
+    "two_phase_topk",
+    "ab_test_zscore",
+    "ansi_try_functions_suite",
+    "asof_join_next_order",
+    "benford_law_audit",
+    "bootstrap_mean_ci",
+    "chi_square_independence",
+    "class_tfidf_top_terms",
+    "cms_user_frequency",
+    "collation_case_insensitive_group",
+    "column_entropy_profile",
+    "compaction_bin_packing",
+    "csv_corrupt_record_audit",
+    "data_expectations_audit",
+    "decayed_popularity_topk",
+    "dynamic_partition_pruning_join",
+    "embedding_label_drift",
+    "event_spike_detection",
+    "event_transition_probs",
+    "file_metadata_columns",
+    "frequent_event_paths",
+    "histogram_quantile_sketch",
+    "item_adamic_adar_topk",
+    "item_knn_graph",
+    "join_size_estimation_audit",
+    "kmv_intersection_estimate",
+    "ks_test_source_drift",
+    "lateral_join_top_orders",
+    "linear_regression_closed_form",
+    "mutual_information_type_hour",
+    "null_semantics_suite",
+    "observed_metrics_audit",
+    "parquet_agg_pushdown_stats",
+    "phrase_retrieval_topdocs",
+    "prefix_filter_jaccard_join",
+    "rec_diversity_metrics",
+    "scd2_point_in_time_join",
+    "schema_evolution_merge_read",
+    "source_lang_kl_divergence",
+    "source_shingle_containment",
+    "sql_udf_revenue",
+    "streaming_dedup_within_watermark",
+    "streaming_stream_stream_left_join",
+    "target_encoding_oof",
+    "theil_sen_slope_robust",
+)
+
+# Round 12 rotation (VERDICT r11 #2): burn the pinned window.
+DRIVER_CHECK_FIRST: tuple[str, ...] = R12_WINDOW
 DRIVER_CHECK_LAST: tuple[str, ...] = ()
 
 # Queries whose implementation hash (transitive in-package closure, see
-# plans/manifest.py) changed since the round-11 start tree (the tree the
-# r10 driver verified; plans/query_manifest.json is frozen there).
+# plans/manifest.py) changed since the round-12 start tree (the tree the
+# r11 driver verified; plans/query_manifest.json is frozen there).
 # VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as any
 # query/oracle/helper change — enforced by
 # tests/test_plans.py::test_changed_queries_are_manifested, which fails
-# on any hash drift not named here. The r12 window head is derived from
-# it mechanically: CHANGED_THIS_ROUND minus R11_WINDOW (in-window names
-# get fresh r11 rows at round end and need no r12 slot). At the start of
-# round 12: refresh the manifest (python -m
+# on any hash drift not named here. The r13 window head is derived from
+# it mechanically: CHANGED_THIS_ROUND minus R12_WINDOW (in-window names
+# get fresh r12 rows at round end and need no r13 slot). At the start of
+# round 13: refresh the manifest (python -m
 # cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
-# refresh), pin R12_WINDOW, reset this tuple to ().
+# refresh), pin R13_WINDOW, reset this tuple to ().
 #
-# r11 changes so far: streaming_simhash_dedup re-planned onto
-# fp-collapsed group state (VERDICT r10 #2 — state is O(distinct
-# fingerprints), exact-dup skew adds no entries; exactness kept via
-# group-correction emissions joined back on the doc fingerprint) and
-# its staging now partitionBy's the slice column so each micro-batch
-# is deterministic (ADVICE r10). In-window (R11_WINDOW head), so its
-# r11 row verifies the new plan.
-# And: the three IVF queries' shared _ivf_assign_cells ships centroids
-# as a single-row broadcast relation instead of literal expression
-# nodes (VERDICT r10 #3 — plan size now independent of n_cells);
-# ann_ivf_topk and ivf_pq_topk are in the R11_WINDOW head,
-# ann_ivf_multiprobe_topk's r10 row predates this so it queues for r12
-# unless re-pinned.
-# And: dedup_components' per-round convergence collect retired (VERDICT
-# r10 #7) — the changed total now rides the observe() metric channel of
-# the same count that materializes the round's checkpoint; whitelist
-# entry removed from tests/test_source_audit.py. Closure reaches
-# dedup_canonical_docs and dedup_pipeline_summary (all three in the
-# R11_WINDOW head).
-# And: the graph family's edge-list (and kcore's per-round peeled)
-# localCheckpoints switched to SERIALIZED storage — the r11 100x events
-# probe OOM'd ppr_seeded_items on the deserialized per-row objects
-# (result-neutral; storage level only). ppr_seeded_items is the one
-# name outside R11_WINDOW -> r12 head candidate; the other four are
-# in-window fills.
-# And: dedup_components re-planned onto FRONTIER propagation over a
-# doc_b-partitioned edge set (warm loop now 21.3 s vs LSS 26.9 s at the
-# 100x replica — the r10 8.8x gap closed), and the corpus-sized pair/
-# edge checkpoints (shared _pair_edges cache, LSS's canonical +
-# per-round edge sets) store SERIALIZED — the 100x probe OOM'd LSS on
-# the deserialized form. All four dedup names already head R11_WINDOW;
-# dedup_components_lss joins them via the _pair_edges closure.
-CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "streaming_simhash_dedup",
-    "ann_ivf_topk",
-    "ann_ivf_multiprobe_topk",
-    "ivf_pq_topk",
-    "dedup_components",
-    "dedup_components_lss",
-    "dedup_canonical_docs",
-    "dedup_pipeline_summary",
-    "kcore_membership",
-    "lpa_communities",
-    "pagerank_bipartite",
-    "ppr_seeded_items",
-    "random_walk_training_paths",
-)
+# r12 changes so far: none.
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def _driver_order(names) -> list[str]:

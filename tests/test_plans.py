@@ -593,7 +593,7 @@ def test_next_window_plan_comment_is_exact():
     never = [n for n in QUERIES if n not in checked and n not in set(DRIVER_CHECK_FIRST)]
     with open(reg.__file__) as f:
         src = f.read()
-    comment = src[src.index("# r11 fill") : src.index("R11_CHANGED_HEAD: tuple")]
+    comment = src[src.index("# r12 fill") : src.index("R12_CHANGED_HEAD: tuple")]
     # Tokenize the comment into identifiers rather than substring-matching:
     # a name that is a substring of another listed name (e.g. "foo" inside
     # "foo_bar") must NOT count as present (ADVICE r5).
@@ -606,15 +606,15 @@ def test_next_window_plan_comment_is_exact():
         f"queries: {missing} — add them so the rotation stays exact"
     )
     # VERDICT r10 #1: every query whose implementation or oracle changed
-    # in round 10 OUTSIDE the r10 window must be pinned by name at the
-    # head of the r11 plan so its stale green row gets refreshed first.
+    # in round 11 OUTSIDE the r11 window must be pinned by name at the
+    # head of the r12 plan so its stale green row gets refreshed first.
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
-        R11_CHANGED_HEAD,
+        R12_CHANGED_HEAD,
     )
 
-    unpinned = [n for n in R11_CHANGED_HEAD if n not in tokens]
+    unpinned = [n for n in R12_CHANGED_HEAD if n not in tokens]
     assert not unpinned, (
-        f"r11-fill plan comment must name the round-10 changed queries for "
+        f"r12-fill plan comment must name the round-11 changed queries for "
         f"re-verification; missing: {unpinned}"
     )
 
@@ -812,7 +812,8 @@ def test_r11_window_pin():
     )
 
     all_queries()  # populate the registry
-    assert DRIVER_CHECK_FIRST == R11_WINDOW  # the r11 rotation is live
+    # (the r11 rotation was live through round 11; DRIVER_CHECK_FIRST now
+    # points at R12_WINDOW — asserted by test_r12_window_pin)
     assert len(R11_WINDOW) == DRIVER_WINDOW
     assert len(set(R11_WINDOW)) == len(R11_WINDOW)
     assert R11_WINDOW[: len(R11_CHANGED_HEAD)] == R11_CHANGED_HEAD
@@ -868,6 +869,91 @@ def test_r11_window_pin():
     assert R11_WINDOW == expect, (
         "pinned R11_WINDOW deviates from the oldest-green-first rule: "
         f"{[(a, b) for a, b in zip(R11_WINDOW, expect) if a != b]}"
+    )
+
+
+def test_r12_window_pin():
+    """VERDICT r11 #2: pin the EXACT r12 window at the start of round 12.
+    Recompute it from the stated rule — head = the r11
+    CHANGED_THIS_ROUND tuple minus R11_WINDOW names (the two queries
+    whose shipped implementation drifted in round 11 with no fresh
+    driver row: ann_ivf_multiprobe_topk's r10 row predates the
+    broadcast-centroid assignment swap; ppr_seeded_items' r07 row
+    predates the serialized-checkpoint storage change), then
+    oldest-green-first (last driver round ascending over
+    CORRECTNESS_r01..r11, NAME tie-break, R11_WINDOW names excluded
+    since their r11 rows are freshest) — and assert the pinned tuple
+    matches bit for bit. The head order is itself data: the frozen r11
+    tuple's order, reproduced here as a literal because
+    CHANGED_THIS_ROUND was reset to () at the same commit that pinned
+    this window."""
+    import glob
+    import json
+    import os
+    import re
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        DRIVER_WINDOW,
+        QUERIES,
+        R11_WINDOW,
+        R12_CHANGED_HEAD,
+        R12_WINDOW,
+    )
+
+    all_queries()  # populate the registry
+    assert DRIVER_CHECK_FIRST == R12_WINDOW  # the r12 rotation is live
+    assert len(R12_WINDOW) == DRIVER_WINDOW
+    assert len(set(R12_WINDOW)) == len(R12_WINDOW)
+    assert R12_WINDOW[: len(R12_CHANGED_HEAD)] == R12_CHANGED_HEAD
+    # the r11 CHANGED_THIS_ROUND tuple, frozen at the r12 pin commit
+    changed_r11 = (
+        "streaming_simhash_dedup",
+        "ann_ivf_topk",
+        "ann_ivf_multiprobe_topk",
+        "ivf_pq_topk",
+        "dedup_components",
+        "dedup_components_lss",
+        "dedup_canonical_docs",
+        "dedup_pipeline_summary",
+        "kcore_membership",
+        "lpa_communities",
+        "pagerank_bipartite",
+        "ppr_seeded_items",
+        "random_walk_training_paths",
+    )
+    expect_head = tuple(n for n in changed_r11 if n not in set(R11_WINDOW))
+    assert R12_CHANGED_HEAD == expect_head, (
+        "r12 head deviates from CHANGED_THIS_ROUND(r11) minus R11_WINDOW: "
+        f"{[(a, b) for a, b in zip(R12_CHANGED_HEAD, expect_head) if a != b]}"
+    )
+    unknown = [n for n in R12_WINDOW if n not in QUERIES]
+    assert not unknown, f"r12 window names unregistered queries: {unknown}"
+    overlap = set(R12_WINDOW) & set(R11_WINDOW)
+    assert not overlap, (
+        f"r12 window repeats r11-window names whose rows are freshest: {overlap}"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rnd > 11:
+            continue  # the pin froze on the r01..r11 rows
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    rest = [
+        n
+        for n in QUERIES
+        if n not in set(R12_CHANGED_HEAD) and n not in set(R11_WINDOW)
+    ]
+    rest.sort(key=lambda n: (last.get(n, 99), n))
+    expect = R12_CHANGED_HEAD + tuple(
+        rest[: DRIVER_WINDOW - len(R12_CHANGED_HEAD)]
+    )
+    assert R12_WINDOW == expect, (
+        "pinned R12_WINDOW deviates from the oldest-green-first rule: "
+        f"{[(a, b) for a, b in zip(R12_WINDOW, expect) if a != b]}"
     )
 
 
