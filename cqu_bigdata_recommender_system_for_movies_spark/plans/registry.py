@@ -510,8 +510,16 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
 # refresh), pin R13_WINDOW, reset this tuple to ().
 #
-# r12 changes so far: none.
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+# r12 changes so far:
+# streaming_simhash_dedup's staging builds its readStream schema from a
+# COPY of docs.schema (ADVICE r11 — StructType.add mutates self and
+# DataFrame.schema is cached, so the old form left the batch DataFrame
+# with a phantom "slice" field). Result-neutral: the schema VALUE the
+# stream reads with is identical. Outside R12_WINDOW (fresh r11 row)
+# -> r13 head candidate.
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_simhash_dedup",
+)
 
 
 def _driver_order(names) -> list[str]:

@@ -37,6 +37,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cqu_bigdata_recommender_system_for_movies_spark.operators.windows import (
     SESSION_GAP_MIN,
@@ -1223,8 +1224,12 @@ def streaming_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.withColumn("slice", F.pmod("doc_id", F.lit(3)).cast("int")).repartition(
         3, "slice"
     ).write.mode("overwrite").partitionBy("slice").parquet(stage_dir)
+    # build the read schema from a COPY: StructType.add mutates self, and
+    # DataFrame.schema is cached, so adding to docs.schema directly would
+    # leave docs with a phantom "slice" field (ADVICE r11)
+    read_schema = T.StructType(list(docs.schema.fields)).add("slice", "integer")
     stream = (
-        spark.readStream.schema(docs.schema.add("slice", "integer"))
+        spark.readStream.schema(read_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
         .drop("slice")

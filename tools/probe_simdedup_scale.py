@@ -31,6 +31,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cqu_bigdata_recommender_system_for_movies_spark.session import get_spark
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load
@@ -61,7 +62,7 @@ def main() -> None:
     )
 
     stream = (
-        spark.readStream.schema(docs.schema.add("slice", "integer"))
+        spark.readStream.schema(T.StructType(list(docs.schema.fields)).add("slice", "integer"))
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
         .drop("slice")

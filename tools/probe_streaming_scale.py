@@ -28,6 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cqu_bigdata_recommender_system_for_movies_spark.session import get_spark
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load
@@ -77,7 +78,7 @@ def _staged_stream(spark, sf_dir: str, n_slices: int, by_time: bool = False):
         "slice"
     ).parquet(stage_dir)
     return (
-        spark.readStream.schema(events.schema.add("slice", "integer"))
+        spark.readStream.schema(T.StructType(list(events.schema.fields)).add("slice", "integer"))
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
         .drop("slice")
