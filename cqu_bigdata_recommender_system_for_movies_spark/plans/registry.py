@@ -517,8 +517,19 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # with a phantom "slice" field). Result-neutral: the schema VALUE the
 # stream reads with is identical. Outside R12_WINDOW (fresh r11 row)
 # -> r13 head candidate.
+# And: the interest fold's per-user state is SHARDED (VERDICT r11 #1 —
+# users hash into STATE_SHARDS groups, each a user -> (n_events, vector)
+# dict, the simdedup pattern; the r11 100x probe measured ~120 s per
+# 3.3M-row batch of per-group machinery over 150k near-singleton user
+# groups). Emitted rows are identical — one per user seen in the batch,
+# same cumulative fold; the list_reduce oracle is untouched. Closure
+# reaches streaming_interest_fold and streaming_recommend_emit (both
+# consume interest_fold_stream); both outside R12_WINDOW (r8 rows)
+# -> r13 head candidates.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
+    "streaming_interest_fold",
+    "streaming_recommend_emit",
 )
 
 

@@ -9,10 +9,22 @@ micro-batch) and kept state in an external DB with a per-event
 read-modify-write.
 
 Here the fold runs as proper distributed streaming state:
-``groupBy(user_id).applyInPandasWithState`` — state is the interest vector,
-partitioned by user across executors; each micro-batch folds *all* of a
-user's events in event-time order. No external round-trips; state lives in
-the engine's state store and scales with the number of keys.
+``groupBy(shard).applyInPandasWithState`` with users HASH-SHARDED into
+STATE_SHARDS state groups, each holding a ``user -> (n_events, vector)``
+dict as parallel arrays — the same sharding that took simdedup's
+per-bucket state from 74 s of per-group overhead to 6 s at sf0.1
+(VERDICT r11 #1). Grouping state by the raw user key costs one Python
+invocation + one state (de)serialization PER USER PER BATCH; the r11
+100x probe measured ~120 s per 3.3M-row batch over 150k near-singleton
+user groups, all machinery. Sharding bounds the invocation count at
+STATE_SHARDS while the fold itself stays per-user inside each shard
+(dict lookup + the same closed-form numpy fold), so emitted rows — one
+per user seen in the batch, cumulative n_events, unrounded vector — are
+IDENTICAL to the per-user-keyed form. Each micro-batch folds *all* of a
+user's events in event-time order. No external round-trips; state lives
+in the engine's state store; per-shard state is users/STATE_SHARDS. At
+100 TB, STATE_SHARDS is the state-store parallelism dial — raise it
+with the cluster's state partitions.
 """
 
 from __future__ import annotations
@@ -47,6 +59,21 @@ STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("interest", ArrayType(DoubleType())),
+    ]
+)
+
+# State-sharding knob (VERDICT r11 #1, simdedup.py:STATE_SHARDS pattern):
+# users hash into this many state GROUPS, each holding its users'
+# accumulators as parallel arrays. Bounds per-batch Python invocations
+# and state (de)serializations at STATE_SHARDS instead of |users|.
+STATE_SHARDS = 256
+
+# per-shard user -> (n_events, interest) dict as parallel arrays
+SHARD_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("vecs", ArrayType(ArrayType(DoubleType()))),
     ]
 )
 
@@ -90,42 +117,79 @@ def fold_events(interest: np.ndarray, events: pd.DataFrame) -> np.ndarray:
     return interest * np.prod(a) + contrib
 
 
-def update_interest(
+def update_interest_shard(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """applyInPandasWithState callback: fold the batch into per-user state."""
+    """applyInPandasWithState callback over a SHARD of users: fold each
+    user's batch rows into its accumulator in the shard's
+    ``user -> (n_events, vector)`` dict, then emit one row per user seen
+    in this batch — the exact rows the per-user-keyed form emitted.
+
+    Chunks are concatenated BEFORE the per-user fold: the recurrence is
+    order-dependent, and a user's rows may straddle Arrow chunks in
+    arbitrary order, so each user must fold over its complete
+    (ts, event_id)-sorted batch slice (fold_events sorts). A shard's
+    batch slice is batch_rows/STATE_SHARDS — bounded, not corpus-sized.
+    """
     if state.exists:
-        n_events, interest_list = state.get
-        interest = np.array(interest_list)
-    else:
-        n_events, interest = 0, np.zeros(DIM)
-    for pdf in pdfs:
-        interest = fold_events(interest, pdf)
-        n_events += len(pdf)
-    state.update((n_events, [float(x) for x in interest]))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n_events],
-            "interest": [[float(x) for x in interest]],
+        users, ns, vecs = state.get
+        table: dict[int, tuple[int, list[float]]] = {
+            int(u): (int(n), v) for u, n, v in zip(users, ns, vecs)
         }
+    else:
+        table = {}
+    chunks = list(pdfs)
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    out_users: list[int] = []
+    out_ns: list[int] = []
+    out_vecs: list[list[float]] = []
+    for uid, events in pdf.groupby("user_id", sort=False):
+        uid = int(uid)
+        prev = table.get(uid)
+        if prev is None:
+            n_events, interest = 0, np.zeros(DIM)
+        else:
+            n_events, interest = prev[0], np.array(prev[1])
+        interest = fold_events(interest, events)
+        n_events += len(events)
+        vec = [float(x) for x in interest]
+        table[uid] = (n_events, vec)
+        out_users.append(uid)
+        out_ns.append(n_events)
+        out_vecs.append(vec)
+    state.update(
+        (
+            list(table.keys()),
+            [n for n, _ in table.values()],
+            [v for _, v in table.values()],
+        )
     )
+    if out_users:
+        yield pd.DataFrame(
+            {"user_id": out_users, "n_events": out_ns, "interest": out_vecs}
+        )
 
 
 def interest_fold_stream(stream_df, output_mode: str = "update"):
-    """Wire the stateful fold onto a streaming events DataFrame."""
+    """Wire the sharded stateful fold onto a streaming events DataFrame:
+    users hash into STATE_SHARDS state groups (module docstring)."""
+    from pyspark.sql import functions as F
+
     from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
 
     ensure_shipped(stream_df.sparkSession)
     return (
         stream_df.select("user_id", "ts", "event_id", "event_type", "value")
-        .groupBy("user_id")
+        .withColumn(
+            "shard", F.pmod(F.xxhash64(F.col("user_id")), F.lit(STATE_SHARDS))
+        )
+        .groupBy("shard")
         .applyInPandasWithState(
-            update_interest,
+            update_interest_shard,
             OUTPUT_SCHEMA,
-            STATE_SCHEMA,
+            SHARD_STATE_SCHEMA,
             output_mode,
             GroupStateTimeout.NoTimeout,
         )
