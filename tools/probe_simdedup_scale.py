@@ -37,11 +37,26 @@ from cqu_bigdata_recommender_system_for_movies_spark.session import get_spark
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100x_docs"
-    n_slices = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if a != "--rocksdb"]
+    rocksdb = "--rocksdb" in sys.argv[1:]
+    sf_dir = args[0] if args else "/tmp/sf100x_docs"
+    n_slices = int(args[1]) if len(args) > 1 else 10
 
     spark = get_spark("simdedup-scale-probe")
+    if rocksdb:
+        # providerClass is read at query START (pinned by
+        # tests/test_streaming_extras.py), so a session-level set here
+        # governs the probe run — the production state-paging config
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        print(json.dumps({"state_store": "rocksdb"}), flush=True)
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
         _stream_state_partitions,
     )

@@ -208,14 +208,28 @@ def _run_one(spark, stream, name: str) -> None:
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--by-time"]
+    args = [a for a in sys.argv[1:] if a not in ("--by-time", "--rocksdb")]
     by_time = "--by-time" in sys.argv[1:]
+    rocksdb = "--rocksdb" in sys.argv[1:]
     sf_dir = args[0] if args else "/tmp/sf10x_events"
     n_slices = int(args[1]) if len(args) > 1 else 10
     names = args[2:] or list(BUILDERS)
 
     spark = get_spark("streaming-scale-probe")
+    if rocksdb:
+        # providerClass is read at query START (pinned by
+        # tests/test_streaming_extras.py), so a session-level set here
+        # governs the probe run — the production state-paging config
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        print(json.dumps({"state_store": "rocksdb"}), flush=True)
     for name in names:
         stream = _staged_stream(spark, sf_dir, n_slices, by_time=by_time)
         _run_one(spark, stream, name)
