@@ -118,6 +118,87 @@ def test_tws_fold_equals_group_state_fold(spark, sf_dir):
     assert tws == legacy
 
 
+def test_sharded_fold_split_invariant_randomized():
+    """Property test of the SHARDED fold callback (VERDICT r11 #1): for
+    random event corpora, random user->shard mixes, random TIME-ORDERED
+    micro-batch splits (batch boundaries respect the global (ts,
+    event_id) order, as the file source's per-slice staging does), and
+    random Arrow-chunk sub-splits WITHIN a batch (chunks arrive in
+    arbitrary order — the case the concat-before-fold exists for), the
+    final per-user (n_events, vector) must equal the naive sequential
+    recurrence over each user's full event history — the exact oracle
+    the registered query is hashed against."""
+    import random
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+        update_interest_shard,
+    )
+
+    class _FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    types = list(EVENT_TYPES) + ["unknown_type"]
+    for seed in range(5):
+        rng = random.Random(seed)
+        n_users, n_events = rng.randrange(3, 8), rng.randrange(40, 120)
+        rows = [
+            (
+                rng.randrange(n_users),          # user_id
+                rng.randrange(1000),             # ts
+                eid,                             # event_id (unique)
+                rng.choice(types),               # event_type
+                round(rng.uniform(0.0, 250.0), 3),  # value
+            )
+            for eid in range(n_events)
+        ]
+        events_pd = pd.DataFrame(
+            rows, columns=["user_id", "ts", "event_id", "event_type", "value"]
+        )
+        expected = _expected_interest(events_pd)
+
+        # time-ordered global order, random batch cuts
+        ordered = events_pd.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cuts = sorted(rng.sample(range(1, n_events), min(3, n_events - 1)))
+        batches = [
+            ordered.iloc[i:j]
+            for i, j in zip([0] + cuts, cuts + [n_events])
+        ]
+        state = _FakeGroupState()
+        last: dict[int, tuple[int, list[float]]] = {}
+        for batch in batches:
+            # shuffle rows within the batch and sub-split into chunks:
+            # the callback must re-establish per-user event-time order
+            shuffled = batch.sample(frac=1.0, random_state=seed)
+            k = rng.randrange(1, 4)
+            chunks = [
+                shuffled.iloc[i::k].reset_index(drop=True) for i in range(k)
+            ]
+            for out in update_interest_shard((0,), iter(chunks), state):
+                for uid, n, vec in zip(
+                    out["user_id"], out["n_events"], out["interest"]
+                ):
+                    last[int(uid)] = (int(n), list(vec))
+        assert set(last) == set(expected), f"seed {seed}"
+        for uid, exp_vec in expected.items():
+            n, vec = last[uid]
+            assert n == int((events_pd.user_id == uid).sum()), f"seed {seed}"
+            assert np.array(vec) == pytest.approx(exp_vec, abs=1e-9), (
+                f"seed {seed}, user {uid}"
+            )
+
+
 def test_stateful_fold_recovers_from_checkpoint(spark, sf_dir):
     """ST3 fault tolerance: applyInPandasWithState's per-key state must
     survive a query RESTART. The earlier half of events (by event time)
