@@ -135,9 +135,9 @@ def _stream_stream_join(stream):
 
 
 def _interest_fold(stream):
-    # mirror of streaming/queries.py:streaming_interest_fold — per-user
-    # interest-vector state (the reference's lambda=0.05 fold) via
-    # applyInPandasWithState; state rows = distinct users seen
+    # mirror of streaming/queries.py:streaming_interest_fold — sharded
+    # per-user interest-vector state (the reference's lambda=0.05 fold)
+    # via applyInPandasWithState; state rows = STATE_SHARDS groups
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
         interest_fold_stream,
     )
@@ -150,6 +150,94 @@ BUILDERS = {
     "stream_stream_join": _stream_stream_join,
     "interest_fold": _interest_fold,
 }
+
+
+def _run_recommend_emit(spark, sf_dir: str, n_slices: int) -> None:
+    """ST6 at scale: the full real-time recommender loop — sharded fold
+    emissions crossJoin'd per batch against the broadcast item-profile
+    dim with a per-user top-10 window — engine-side only (the per-batch
+    parquet write of the registered query is replaced by a count, so
+    the measured cost is fold + score + rank, not sink I/O). Separate
+    from BUILDERS because it needs sf_dir for the static dim."""
+    from pyspark.sql import Window
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        cosine,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+        interest_fold_stream,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _stream_state_partitions,
+        item_profiles,
+    )
+
+    profiles = item_profiles(spark, sf_dir).localCheckpoint(eager=True)
+    n_items = profiles.count()
+    stream = _staged_stream(spark, sf_dir, n_slices)
+    emitted = {"rows": 0}
+
+    def score_and_count(batch_df, batch_id):
+        batch_df = batch_df.withColumn(
+            "interest", F.transform("interest", lambda x: F.round(x, 6))
+        )
+        scored = batch_df.crossJoin(F.broadcast(profiles)).select(
+            "user_id",
+            "item_ref",
+            F.round(cosine("interest", "profile"), 6).alias("score"),
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("score"), F.asc("item_ref")
+        )
+        top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= 10
+        )
+        emitted["rows"] += top.count()
+
+    t0 = time.perf_counter()
+    with _stream_state_partitions(spark):
+        q = (
+            interest_fold_stream(stream, output_mode="update")
+            .writeStream.foreachBatch(score_and_count)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
+    total = round(time.perf_counter() - t0, 1)
+    for p in progress:
+        state = (p.get("stateOperators") or [{}])[0]
+        print(
+            json.dumps(
+                {
+                    "query": "recommend_emit",
+                    "batch": p.get("batchId"),
+                    "input_rows": p.get("numInputRows"),
+                    "add_batch_ms": (p.get("durationMs") or {}).get("addBatch"),
+                    "state_rows": state.get("numRowsTotal"),
+                    "state_mb": round(
+                        (state.get("memoryUsedBytes") or 0) / 1e6, 1
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "query": "recommend_emit",
+                "total_sec": total,
+                "emitted_rows": emitted["rows"],
+                "n_items": n_items,
+                "batches": len(progress),
+            }
+        ),
+        flush=True,
+    )
 
 
 def _run_one(spark, stream, name: str) -> None:
@@ -231,6 +319,9 @@ def main() -> None:
         )
         print(json.dumps({"state_store": "rocksdb"}), flush=True)
     for name in names:
+        if name == "recommend_emit":
+            _run_recommend_emit(spark, sf_dir, n_slices)
+            continue
         stream = _staged_stream(spark, sf_dir, n_slices, by_time=by_time)
         _run_one(spark, stream, name)
 
