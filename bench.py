@@ -40,6 +40,7 @@ HEADLINE = [
     "simhash_fingerprint",
     "ann_ivf_topk",
     "streaming_recommend_emit",
+    "streaming_recommend_candidates",
     "tfidf_top_terms",
     "doc_chunk_overlap",
     "cdc_latest_state",

@@ -437,7 +437,10 @@ R11_WINDOW: tuple[str, ...] = R11_CHANGED_HEAD + (
 # temporal_holdout_split, two_phase_topk), then the first 44 r7-latest
 # rows alphabetically, from ab_test_zscore through
 # theil_sen_slope_robust.
-# Never-driver-checked outside this window: none.
+# Never-driver-checked outside this window:
+# streaming_recommend_candidates (registered mid-round-12 — the
+# candidate-pruned ST6 loop; named in CHANGED_THIS_ROUND, so it heads
+# the r13 window first by the r11 rule: never-checked precedes changed).
 R12_CHANGED_HEAD: tuple[str, ...] = (
     "ann_ivf_multiprobe_topk",
     "ppr_seeded_items",
@@ -526,10 +529,18 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # reaches streaming_interest_fold and streaming_recommend_emit (both
 # consume interest_fold_stream); both outside R12_WINDOW (r8 rows)
 # -> r13 head candidates.
+# And: streaming_recommend_candidates is NEW this round (streaming/
+# candidates.py — the candidate-generation pruning SCALE_r12's
+# recommend_emit_100x reading names as the 100 TB knob: per batch,
+# users score only the items in their REC_NPROBE nearest quantizer
+# cells instead of the full catalog). Registered mid-round-12, never
+# driver-checked -> r13 head FIRST (the r11 rule: never-checked
+# precedes changed).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
     "streaming_interest_fold",
     "streaming_recommend_emit",
+    "streaming_recommend_candidates",
 )
 
 
@@ -588,5 +599,6 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.operators.sketches  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.graph  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.stattests  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates  # noqa: F401
 
     _LOADED = True

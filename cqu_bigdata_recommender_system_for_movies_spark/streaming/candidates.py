@@ -1,0 +1,336 @@
+"""Candidate-generation pruning for the real-time recommender (ST6 + M8
+at catalog scale — the beyond-reference scale path SCALE_r12's
+recommend_emit_100x reading names).
+
+The reference's streaming loop (streaming_rec.py:106-126) scores every
+updated user against EVERY item profile — fine for its ~100-movie
+catalog, but the scoring side of the registered full loop
+(`streaming_recommend_emit`) is users x catalog per micro-batch: a
+1M-item catalog at 100 TB turns each batch into a trillion-cosine
+cross join. The production fix is the one the ANN family already
+provides offline (operators/vectors.py `_ivf_assign_cells`): a coarse
+quantizer over the ITEM side, so each user scores only the items in the
+cells nearest their interest vector.
+
+`streaming_recommend_candidates` is that loop end to end:
+
+- the item-profile dim is assigned ONCE to its nearest quantizer cell
+  (deterministic seeds: the N_REC_CELLS smallest item_refs, shipped as
+  a single-row broadcast relation — production: sampled k-means
+  centroids, equally driver-resident);
+- per micro-batch, each updated user's (rounded) interest vector is
+  assigned map-side to its REC_NPROBE nearest cells (multiprobe, the
+  same recall dial tools/probe_ivf_multiprobe.py curves offline);
+- scoring joins users to items ON THE CELL KEY — per-batch work drops
+  from users x catalog to users x (catalog/N_REC_CELLS x REC_NPROBE),
+  and the catalog side stays a broadcast dim while it fits (beyond
+  that, the cell key is exactly the hash-join key you'd shuffle on).
+
+Everything downstream (cosine, 6-dp rounding, per-user top-10 window,
+append sink, latest-batch snapshot) is byte-identical to the full
+loop's proven pipeline, so the two queries differ ONLY in the candidate
+set. The DuckDB oracle replays the complete fold + quantizer + pruned
+scoring, making the approximation itself exact-checked: the engine must
+prune to precisely the cells the oracle computes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+    EPS,
+    cosine,
+    dot,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+    interest_fold_stream,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+    _events_stream,
+    item_profiles,
+)
+
+# The events fixture's item domain is a fixed ~100-item catalog at every
+# sf (item_ref = props.$.k in 0..99), so the quantizer width is a
+# constant here; production derives it from catalog size the way
+# derive_n_planes does from corpus size (cells ~ sqrt(catalog)).
+N_REC_CELLS = 8
+REC_NPROBE = 2
+
+
+def _centroid_relation(profiles: DataFrame) -> DataFrame:
+    """The quantizer seeds as a single-row broadcast relation
+    `__cents array<struct<cid,ce,nc>>` — exactly n_cells item-profile
+    rows (constant, data-size-free), the `_ivf_assign_cells` pattern:
+    plan size stays independent of the cell count, and the seed norms
+    are precomputed with the same left fold + correctly-rounded sqrt
+    the JVM (and the oracle's list_reduce + sqrt) would produce."""
+    spark = profiles.sparkSession
+    seeds = (
+        profiles.filter(F.col("item_ref") < N_REC_CELLS)
+        .select(F.col("item_ref").alias("cid"), F.col("profile").alias("ce"))
+        .collect()
+    )
+
+    def _norm(ce: list[float]) -> float:
+        acc = 0.0
+        for x in ce:
+            acc += x * x
+        return math.sqrt(acc)
+
+    return spark.createDataFrame(
+        [
+            (
+                [
+                    (int(r.cid), [float(x) for x in r.ce], _norm(list(r.ce)))
+                    for r in sorted(seeds, key=lambda r: r.cid)
+                ],
+            )
+        ],
+        schema="__cents array<struct<cid:int,ce:array<double>,nc:double>>",
+    )
+
+
+def _nearest_cells(vec_col: str, k: int):
+    """Column expression: the top-k quantizer cells of `vec_col` against
+    the broadcast `__cents` row (cosine DESC, ties to the smaller cid —
+    the oracle's ROW_NUMBER ORDER BY cos DESC, cid). Map-side: one
+    let-bound row norm (higher-order functions have no CSE), one fold
+    over the n_cells structs, ascending array_sort on (cos, -cid)
+    reversed = the exact oracle order."""
+
+    def _scored(ne):
+        return F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (dot(F.col(vec_col), c["ce"]) / (ne * c["nc"] + F.lit(EPS))).alias(
+                    "cos"
+                ),
+                (-c["cid"]).alias("negid"),
+            ),
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(F.sqrt(dot(vec_col, vec_col))),
+            lambda ne: F.transform(
+                F.slice(F.reverse(F.array_sort(_scored(ne))), 1, k),
+                lambda s: -s["negid"],
+            ),
+        ),
+        1,
+    )
+
+
+def item_cell_assignments(profiles: DataFrame) -> DataFrame:
+    """(item_ref, profile, cell): each catalog item's single nearest
+    quantizer cell — the offline half of the candidate index, computed
+    once per (re)build, not per batch."""
+    cents = _centroid_relation(profiles)
+    return (
+        profiles.crossJoin(F.broadcast(cents))
+        .select(
+            "item_ref",
+            "profile",
+            F.element_at(_nearest_cells("profile", 1), 1).alias("cell"),
+        )
+    )
+
+
+@register(
+    "streaming_recommend_candidates",
+    # Same determinism argument as streaming_recommend_emit: each user's
+    # LAST batch emission carries their full-fold interest vector, so the
+    # batch twin — fold, round, quantize, cell-pruned cosine, top-10 —
+    # IS the oracle. The quantizer is replayed exactly: seed profiles,
+    # left-fold dots, sqrt norms, cos DESC / cid ASC ranking; the engine
+    # must select precisely the oracle's cells or rows hash-mismatch.
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               list(
+                   [value / 50.0,
+                    CAST(list_position(
+                        ['click', 'error', 'purchase', 'signup', 'view'],
+                        event_type) - 1 AS DOUBLE)]
+                   ORDER BY ts, event_id) AS evs
+        FROM events GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id,
+               list_transform(
+                   list_reduce(
+                       list_prepend([0.0, 0.0, 0.0, 0.0, 0.0], evs),
+                       (acc, x) -> list_transform([1, 2, 3, 4, 5],
+                           i -> acc[i] * (1 - 0.05 * x[1])
+                                + CASE WHEN x[2] = i - 1
+                                       THEN 0.05 * x[1] ELSE 0.0 END)),
+                   v -> ROUND(v, 6)) AS interest
+        FROM per_user
+    ),
+    profiles AS (
+        SELECT item_ref,
+               [SUM(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) / COUNT(*),
+                SUM(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) / COUNT(*),
+                SUM(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) / COUNT(*),
+                SUM(CASE WHEN event_type = 'signup' THEN 1.0 ELSE 0.0 END) / COUNT(*),
+                SUM(CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END) / COUNT(*)
+               ] AS profile
+        FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER)
+                         AS item_ref,
+                     event_type
+              FROM events)
+        WHERE item_ref IS NOT NULL
+        GROUP BY item_ref
+    ),
+    cent AS (
+        SELECT item_ref AS cid, profile AS ce,
+               sqrt(list_reduce(
+                   list_prepend(0.0, list_transform(profile, x -> x * x)),
+                   (acc, x) -> acc + x)) AS nc
+        FROM profiles WHERE item_ref < {N_REC_CELLS}
+    ),
+    item_cells AS (
+        SELECT item_ref, profile, cid AS cell FROM (
+            SELECT p.item_ref, p.profile, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.item_ref
+                       ORDER BY
+                           list_reduce(list_prepend(0.0,
+                               list_transform([1,2,3,4,5],
+                                   i -> p.profile[i] * c.ce[i])),
+                               (acc, x) -> acc + x)
+                           / (sqrt(list_reduce(list_prepend(0.0,
+                                  list_transform(p.profile, x -> x * x)),
+                                  (acc, x) -> acc + x)) * c.nc + 1e-8)
+                           DESC, c.cid
+                   ) AS rn
+            FROM profiles p CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    user_cells AS (
+        SELECT user_id, interest, cid AS cell FROM (
+            SELECT f.user_id, f.interest, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.user_id
+                       ORDER BY
+                           list_reduce(list_prepend(0.0,
+                               list_transform([1,2,3,4,5],
+                                   i -> f.interest[i] * c.ce[i])),
+                               (acc, x) -> acc + x)
+                           / (sqrt(list_reduce(list_prepend(0.0,
+                                  list_transform(f.interest, x -> x * x)),
+                                  (acc, x) -> acc + x)) * c.nc + 1e-8)
+                           DESC, c.cid
+                   ) AS rn
+            FROM folded f CROSS JOIN cent c
+        ) WHERE rn <= {REC_NPROBE}
+    ),
+    scored AS (
+        SELECT u.user_id, i.item_ref,
+               ROUND(
+                 list_reduce(list_prepend(0.0,
+                     list_transform([1,2,3,4,5],
+                         j -> u.interest[j] * i.profile[j])),
+                     (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_prepend(0.0,
+                        list_transform([1,2,3,4,5],
+                            j -> u.interest[j] * u.interest[j])),
+                        (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_prepend(0.0,
+                        list_transform([1,2,3,4,5],
+                            j -> i.profile[j] * i.profile[j])),
+                        (acc, x) -> acc + x))
+                    + 1e-8), 6) AS score
+        FROM user_cells u JOIN item_cells i ON u.cell = i.cell
+    ),
+    ranked AS (
+        SELECT user_id, item_ref, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY score DESC, item_ref ASC
+               ) AS INTEGER) AS rnk
+        FROM scored
+    )
+    SELECT user_id, item_ref, rnk, score FROM ranked WHERE rnk <= 10
+    """,
+    doc="ST6 + M8 with candidate-generation pruning (the 100 TB knob "
+    "SCALE_r12's recommend_emit_100x reading names): per micro-batch, "
+    "the stateful interest fold emits updated user vectors; each is "
+    f"assigned map-side to its {REC_NPROBE} nearest quantizer cells "
+    "(single-row broadcast centroid relation — the _ivf_assign_cells "
+    "pattern), scored by cosine ONLY against the catalog items assigned "
+    "to those cells (cell-key join, broadcast dim), top-10 per user, "
+    "appended to a recommendations table. Per-batch scoring work is "
+    f"users x (catalog/{N_REC_CELLS} x {REC_NPROBE}) instead of the full "
+    "loop's users x catalog. Returns the final recommendations (latest "
+    "batch per user); the oracle replays fold + quantizer + pruned "
+    "scoring exactly.",
+)
+def streaming_recommend_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    # The candidate index is built ONCE (foreachBatch re-evaluates every
+    # closed-over DataFrame per micro-batch without the checkpoint —
+    # same pin as streaming_recommend_emit's profile dim).
+    profiles = item_profiles(spark, sf_dir).localCheckpoint(eager=True)
+    cents = _centroid_relation(profiles)
+    item_cells = item_cell_assignments(profiles).localCheckpoint(eager=True)
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_cand_recs_")
+    shutil.rmtree(out_dir, ignore_errors=True)  # foreachBatch appends fresh
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        # round BEFORE both quantizing and scoring: the oracle's fold ->
+        # round -> (assign, cosine) pipeline runs on identical doubles.
+        rounded = batch_df.withColumn(
+            "interest", F.transform("interest", lambda x: F.round(x, 6))
+        )
+        probed = (
+            rounded.crossJoin(F.broadcast(cents))
+            .select(
+                "user_id",
+                "interest",
+                _nearest_cells("interest", REC_NPROBE).alias("cells"),
+            )
+            .withColumn("cell", F.explode("cells"))
+        )
+        # items carry ONE cell each and users probe distinct cells, so
+        # the cell join emits each (user, item) candidate at most once.
+        scored = probed.join(F.broadcast(item_cells), "cell").select(
+            "user_id",
+            "item_ref",
+            F.round(cosine("interest", "profile"), 6).alias("score"),
+        )
+        w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_ref"))
+        top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= 10
+        )
+        (
+            top.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    folded = interest_fold_stream(stream, output_mode="update")
+    q = (
+        folded.writeStream.foreachBatch(emit)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    recs = spark.read.parquet(out_dir)
+    last = recs.groupBy("user_id").agg(F.max("batch_id").alias("batch_id"))
+    return recs.join(last, ["user_id", "batch_id"]).select(
+        "user_id", "item_ref", "rnk", "score"
+    )

@@ -542,3 +542,120 @@ def test_with_fingerprint_edge_cases(spark):
     assert got[1] == got[2]
     assert got[1] != got[5]
     assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
+
+
+# ---------------------------------------------------------------------------
+# Candidate-pruned recommender (streaming/candidates.py)
+# ---------------------------------------------------------------------------
+
+
+def _cosine_exact(a, b):
+    """Bit-exact twin of operators.vectors.cosine: left-fold dots (the
+    F.aggregate order), correctly-rounded sqrt (math.sqrt = JVM sqrt)."""
+    import math
+
+    d = _fold_sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(_fold_sum(x * x for x in a))
+    nb = math.sqrt(_fold_sum(x * x for x in b))
+    return d / (na * nb + EPS)
+
+
+def _expected_candidate_recs(events_pd, n_cells, nprobe, k=10):
+    """Python twin of the candidate-pruned loop: quantizer seeds = the
+    n_cells smallest item_refs; items take their single nearest cell,
+    users probe their nprobe nearest (cos DESC, cid ASC ties); top-k over
+    the pruned candidate set only."""
+    profiles: dict[int, list[float]] = {}
+    ev = events_pd.copy()
+    ev["item_ref"] = ev["props"].map(
+        lambda s: json.loads(s).get("k") if s else None
+    )
+    typed = ev[ev["item_ref"].notna()]
+    for item, grp in typed.groupby("item_ref"):
+        n = len(grp)
+        profiles[int(item)] = [
+            (grp["event_type"] == t).sum() / n for t in EVENT_TYPES
+        ]
+    seeds = {cid: profiles[cid] for cid in profiles if cid < n_cells}
+
+    def top_cells(vec, m):
+        scored = sorted(
+            ((_cosine_exact(vec, ce), -cid) for cid, ce in seeds.items()),
+            reverse=True,
+        )
+        return [-negid for _, negid in scored[:m]]
+
+    item_cell = {item: top_cells(prof, 1)[0] for item, prof in profiles.items()}
+
+    out = {}
+    for uid, grp in events_pd.groupby("user_id"):
+        interest = fold_events(np.zeros(DIM), grp)
+        interest = [round(float(x), 6) for x in interest]
+        cells = set(top_cells(interest, nprobe))
+        cand = [item for item, c in item_cell.items() if c in cells]
+        scored = [
+            (round(_cosine_exact(interest, profiles[item]), 6), item)
+            for item in cand
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        out[uid] = [(item, rnk + 1, s) for rnk, (s, item) in enumerate(scored[:k])]
+    return out, item_cell
+
+
+def test_streaming_recommend_candidates_matches_pruned_batch_twin(spark, sf_dir):
+    """The pruned loop must equal the python twin EXACTLY on (user, item,
+    rank) — i.e. the engine probes precisely the twin's cells — and the
+    per-pair score must equal the full loop's cosine for that pair (the
+    pruning changes the candidate set, never a surviving pair's score)."""
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
+        N_REC_CELLS,
+        REC_NPROBE,
+        streaming_recommend_candidates,
+    )
+
+    got_rows = streaming_recommend_candidates(spark, sf_dir).collect()
+    events_pd = load(spark, sf_dir, "events").toPandas()
+    expected, item_cell = _expected_candidate_recs(
+        events_pd, N_REC_CELLS, REC_NPROBE
+    )
+
+    got: dict[int, list] = {}
+    for r in got_rows:
+        got.setdefault(r.user_id, []).append((r.rnk, r.item_ref, r.score))
+    for uid in got:
+        got[uid].sort()
+
+    assert set(got) == set(expected)
+    for uid, exp in expected.items():
+        rows = got[uid]
+        assert len(rows) == len(exp)
+        for (rnk, item, score), (e_item, e_rnk, e_score) in zip(rows, exp):
+            assert rnk == e_rnk
+            assert item == e_item, f"user {uid} rank {rnk}: {item} != {e_item}"
+            assert score == pytest.approx(e_score, abs=2e-6)
+
+    # the pruning is structural: no pair of probed cells covers the whole
+    # catalog, so every user scored strictly fewer than |catalog| items
+    from collections import Counter
+
+    cell_sizes = Counter(item_cell.values())
+    two_largest = sum(s for _, s in cell_sizes.most_common(REC_NPROBE))
+    assert two_largest < len(item_cell), (
+        "probing every cell — the quantizer degenerated to no pruning"
+    )
+
+
+def test_item_cell_assignments_match_twin(spark, sf_dir):
+    """The offline half of the candidate index: each catalog item's single
+    nearest quantizer cell, engine vs the bit-exact python twin."""
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
+        N_REC_CELLS,
+        REC_NPROBE,
+        item_cell_assignments,
+    )
+
+    profiles = item_profiles(spark, sf_dir)
+    got = {r.item_ref: r.cell for r in item_cell_assignments(profiles).collect()}
+    events_pd = load(spark, sf_dir, "events").toPandas()
+    _, item_cell = _expected_candidate_recs(events_pd, N_REC_CELLS, REC_NPROBE)
+    assert got == item_cell

@@ -152,7 +152,7 @@ BUILDERS = {
 }
 
 
-def _run_recommend_emit(spark, sf_dir: str, n_slices: int) -> None:
+def _run_recommend_emit(spark, sf_dir: str, n_slices: int, catalog_mult: int = 1) -> None:
     """ST6 at scale: the full real-time recommender loop — sharded fold
     emissions crossJoin'd per batch against the broadcast item-profile
     dim with a per-user top-10 window — engine-side only (the per-batch
@@ -172,7 +172,9 @@ def _run_recommend_emit(spark, sf_dir: str, n_slices: int) -> None:
         item_profiles,
     )
 
-    profiles = item_profiles(spark, sf_dir).localCheckpoint(eager=True)
+    profiles = _inflate_catalog(
+        spark, item_profiles(spark, sf_dir).localCheckpoint(eager=True), catalog_mult
+    )
     n_items = profiles.count()
     stream = _staged_stream(spark, sf_dir, n_slices)
     emitted = {"rows": 0}
@@ -230,6 +232,170 @@ def _run_recommend_emit(spark, sf_dir: str, n_slices: int) -> None:
         json.dumps(
             {
                 "query": "recommend_emit",
+                "total_sec": total,
+                "emitted_rows": emitted["rows"],
+                "n_items": n_items,
+                "batches": len(progress),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _inflate_catalog(spark, profiles, mult: int):
+    """Deterministically inflate the ~100-item profile dim by `mult`
+    (item_ref' = item_ref + 100*rep, per-ELEMENT multiplicative jitter
+    so replicas aren't colinear — a whole-vector scale would leave
+    cosine unchanged). This is the 100 TB catalog axis the registered
+    fixtures can't exercise: the events replica scales USERS/EVENTS,
+    this scales the ITEM side the scoring loop fans out over."""
+    if mult <= 1:
+        return profiles
+    reps = spark.range(mult).select(F.col("id").cast("int").alias("rep"))
+    return (
+        profiles.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("item_ref") + 100 * F.col("rep")).cast("int").alias("item_ref"),
+            F.transform(
+                "profile",
+                lambda x, i: x
+                * (
+                    1.0
+                    + F.pmod(
+                        F.xxhash64(F.col("item_ref") * 131 + F.col("rep") * 17 + i),
+                        F.lit(997),
+                    )
+                    / 10000.0
+                ),
+            ).alias("profile"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _run_recommend_candidates(
+    spark, sf_dir: str, n_slices: int, catalog_mult: int, n_cells: int
+) -> None:
+    """The candidate-pruned ST6 loop (streaming/candidates.py) at scale:
+    same sharded fold, but each user scores only the items in its
+    REC_NPROBE nearest quantizer cells instead of the full catalog —
+    per-batch scoring work is users x (catalog/n_cells x nprobe)
+    instead of users x catalog. Run beside recommend_emit at the same
+    --catalog-mult to measure the pruning win directly."""
+    from pyspark.sql import Window
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        cosine,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
+        REC_NPROBE,
+        _centroid_relation,
+        _nearest_cells,
+    )
+    import cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates as cand
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+        interest_fold_stream,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _stream_state_partitions,
+        item_profiles,
+    )
+
+    profiles = _inflate_catalog(
+        spark, item_profiles(spark, sf_dir).localCheckpoint(eager=True), catalog_mult
+    )
+    n_items = profiles.count()
+    # widen the quantizer to the probe's catalog (production sizes cells
+    # ~ sqrt(catalog)); the module constant targets the fixture catalog
+    prev_cells = cand.N_REC_CELLS
+    cand.N_REC_CELLS = n_cells
+    try:
+        cents = _centroid_relation(profiles)
+        item_cells = cand.item_cell_assignments(profiles).localCheckpoint(eager=True)
+    finally:
+        cand.N_REC_CELLS = prev_cells
+    sizes = sorted(
+        (r.n for r in item_cells.groupBy("cell").count().withColumnRenamed("count", "n").collect()),
+        reverse=True,
+    )
+    print(
+        json.dumps(
+            {
+                "query": "recommend_candidates",
+                "n_items": n_items,
+                "n_cells_used": len(sizes),
+                "largest_cells": sizes[:4],
+                "worst_candidates_per_user": sum(sizes[:REC_NPROBE]),
+            }
+        ),
+        flush=True,
+    )
+
+    stream = _staged_stream(spark, sf_dir, n_slices)
+    emitted = {"rows": 0}
+
+    def score_and_count(batch_df, batch_id):
+        rounded = batch_df.withColumn(
+            "interest", F.transform("interest", lambda x: F.round(x, 6))
+        )
+        probed = (
+            rounded.crossJoin(F.broadcast(cents))
+            .select(
+                "user_id",
+                "interest",
+                _nearest_cells("interest", REC_NPROBE).alias("cells"),
+            )
+            .withColumn("cell", F.explode("cells"))
+        )
+        scored = probed.join(F.broadcast(item_cells), "cell").select(
+            "user_id",
+            "item_ref",
+            F.round(cosine("interest", "profile"), 6).alias("score"),
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("score"), F.asc("item_ref")
+        )
+        top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= 10
+        )
+        emitted["rows"] += top.count()
+
+    t0 = time.perf_counter()
+    with _stream_state_partitions(spark):
+        q = (
+            interest_fold_stream(stream, output_mode="update")
+            .writeStream.foreachBatch(score_and_count)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
+    total = round(time.perf_counter() - t0, 1)
+    for p in progress:
+        state = (p.get("stateOperators") or [{}])[0]
+        print(
+            json.dumps(
+                {
+                    "query": "recommend_candidates",
+                    "batch": p.get("batchId"),
+                    "input_rows": p.get("numInputRows"),
+                    "add_batch_ms": (p.get("durationMs") or {}).get("addBatch"),
+                    "state_rows": state.get("numRowsTotal"),
+                    "state_mb": round(
+                        (state.get("memoryUsedBytes") or 0) / 1e6, 1
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "query": "recommend_candidates",
                 "total_sec": total,
                 "emitted_rows": emitted["rows"],
                 "n_items": n_items,
@@ -302,7 +468,15 @@ ROCKSDB_PROVIDER = (
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--by-time", "--rocksdb")]
+    catalog_mult, n_cells = 1, 0
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--catalog-mult="):
+            catalog_mult = int(a.split("=", 1)[1])
+        elif a.startswith("--cells="):
+            n_cells = int(a.split("=", 1)[1])
+        elif a not in ("--by-time", "--rocksdb"):
+            args.append(a)
     by_time = "--by-time" in sys.argv[1:]
     rocksdb = "--rocksdb" in sys.argv[1:]
     sf_dir = args[0] if args else "/tmp/sf10x_events"
@@ -320,7 +494,18 @@ def main() -> None:
         print(json.dumps({"state_store": "rocksdb"}), flush=True)
     for name in names:
         if name == "recommend_emit":
-            _run_recommend_emit(spark, sf_dir, n_slices)
+            _run_recommend_emit(spark, sf_dir, n_slices, catalog_mult)
+            continue
+        if name == "recommend_candidates":
+            _run_recommend_candidates(
+                spark,
+                sf_dir,
+                n_slices,
+                catalog_mult,
+                # default quantizer width ~ sqrt(catalog): 8 cells for the
+                # fixture's 100 items, 32 at 10x, 256 at 100x
+                n_cells or max(8, int(round((100 * catalog_mult) ** 0.5 / 4) * 4)),
+            )
             continue
         stream = _staged_stream(spark, sf_dir, n_slices, by_time=by_time)
         _run_one(spark, stream, name)
