@@ -1682,3 +1682,63 @@ def test_bench_inline_rotation_walks_the_map():
         cand, _ = bench._inline_candidates(timings, rnd)
         union |= set(cand[:45])
     assert len(union) > 45 * 2
+
+
+def test_candidate_loop_plan_shape(spark):
+    """The candidate-pruned recommender's per-batch scoring plan
+    (streaming/candidates.py): (a) the quantizer centroids ride the
+    single-row broadcast relation, so plan size is independent of the
+    cell count (the same guarantee test_ivf_assign_plan_size_... pins
+    for the offline family); (b) the cell-key candidate join is a
+    broadcast hash join, never a cartesian product — the whole point
+    is that scoring fans out users x cell-local items, not
+    users x catalog."""
+    from pyspark.sql import functions as F
+
+    import cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates as cand
+
+    profiles = spark.range(400).select(
+        F.col("id").cast("int").alias("item_ref"),
+        F.array(
+            *[((F.col("id") * (i + 3)) % 31 / 31.0).cast("double") for i in range(5)]
+        ).alias("profile"),
+    )
+
+    def assignment_plan_chars(n_cells: int) -> int:
+        prev = cand.N_REC_CELLS
+        cand.N_REC_CELLS = n_cells
+        try:
+            df = cand.item_cell_assignments(profiles)
+        finally:
+            cand.N_REC_CELLS = prev
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    small, big = assignment_plan_chars(8), assignment_plan_chars(64)
+    assert big < small + 1_000, (
+        f"assignment plan grew with n_cells ({small} -> {big} chars) — "
+        "centroids are back in the expression tree"
+    )
+
+    # batch twin of the foreachBatch scoring plan: probed users joined to
+    # cell-local items must compile to a broadcast hash join on `cell`
+    cents = cand._centroid_relation(profiles)
+    item_cells = cand.item_cell_assignments(profiles)
+    users = spark.range(50).select(
+        F.col("id").alias("user_id"),
+        F.array(*[(F.col("id") % (i + 2)).cast("double") for i in range(5)]).alias(
+            "interest"
+        ),
+    )
+    probed = (
+        users.crossJoin(F.broadcast(cents))
+        .select(
+            "user_id",
+            "interest",
+            cand._nearest_cells("interest", cand.REC_NPROBE).alias("cells"),
+        )
+        .withColumn("cell", F.explode("cells"))
+    )
+    scored = probed.join(F.broadcast(item_cells), "cell")
+    physical = scored._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
+    assert "BroadcastHashJoin" in physical, physical[:2000]
