@@ -439,8 +439,10 @@ R11_WINDOW: tuple[str, ...] = R11_CHANGED_HEAD + (
 # theil_sen_slope_robust.
 # Never-driver-checked outside this window:
 # streaming_recommend_candidates (registered mid-round-12 — the
-# candidate-pruned ST6 loop; named in CHANGED_THIS_ROUND, so it heads
-# the r13 window first by the r11 rule: never-checked precedes changed).
+# candidate-pruned ST6 loop) and als_user_fold_in (registered
+# mid-round-12 — closed-form ALS user fold-in); both named in
+# CHANGED_THIS_ROUND, so they head the r13 window first by the r11
+# rule: never-checked precedes changed.
 R12_CHANGED_HEAD: tuple[str, ...] = (
     "ann_ivf_multiprobe_topk",
     "ppr_seeded_items",
@@ -536,11 +538,18 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # cells instead of the full catalog). Registered mid-round-12, never
 # driver-checked -> r13 head FIRST (the r11 rule: never-checked
 # precedes changed).
+# And: als_user_fold_in is NEW this round (ml/foldin.py — closed-form
+# ridge fold-in of held-out users against the trained item factors,
+# the 100 TB alternative to the reference's full retrain; per-user
+# normal equations pre-aggregated JVM-side, batched numpy solve in
+# mapInPandas). Registered mid-round-12, never driver-checked ->
+# r13 head with streaming_recommend_candidates.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
     "streaming_interest_fold",
     "streaming_recommend_emit",
     "streaming_recommend_candidates",
+    "als_user_fold_in",
 )
 
 
@@ -600,5 +609,6 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.operators.graph  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.operators.stattests  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.ml.foldin  # noqa: F401
 
     _LOADED = True

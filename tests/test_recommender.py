@@ -235,3 +235,65 @@ def test_als_implicit_topk_shape(spark, sf_dir):
     inv = als_implicit_topk(spark, sf_dir).collect()[0]
     assert (inv.n_users, inv.n_rows) == (5, 25)
     assert inv.k_per_user and inv.scores_nonincreasing and inv.items_in_catalog
+
+
+def test_als_user_fold_in_solves_the_normal_equations(spark, sf_dir):
+    """Authoritative recomputation behind als_user_fold_in's band booleans
+    (the ALS-family contract): rebuild each fold-in user's ridge system
+    A = Y_u^T Y_u + reg*n_u*I, b = Y_u^T r_u from the raw joined rows in
+    python and assert the engine's solved factor satisfies A x = b to
+    float tolerance, plus the in-band RMSE the registered query asserts
+    as a boolean."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.foldin import (
+        HOLDOUT_MOD,
+        RANK,
+        REG,
+        _train_model,
+        fold_in_user_factors,
+    )
+
+    model = _train_model(spark, sf_dir)
+    factors = model.itemFactors.select(
+        F.col("id").alias("item_id"),
+        F.transform("features", lambda v: v.cast("double")).alias("f"),
+    )
+    joined = (
+        ratings(spark, sf_dir)
+        .select(
+            "user_id", "item_id", F.col("rating").cast("double").alias("rating")
+        )
+        .filter(F.col("user_id") % HOLDOUT_MOD == 0)
+        .join(factors, "item_id")
+    )
+    solved = {r.user_id: np.array(r.x) for r in fold_in_user_factors(joined).collect()}
+    rows = joined.collect()
+    assert solved and rows
+
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(solved) == set(by_user)
+
+    sq_err, n = 0.0, 0
+    for uid, urows in by_user.items():
+        Y = np.array([list(r.f) for r in urows])
+        rvec = np.array([r.rating for r in urows])
+        A = Y.T @ Y + REG * len(urows) * np.eye(RANK)
+        b = Y.T @ rvec
+        x = solved[uid]
+        assert np.allclose(A @ x, b, rtol=1e-8, atol=1e-8), f"user {uid}"
+        pred = Y @ x
+        sq_err += float(((pred - rvec) ** 2).sum())
+        n += len(urows)
+    rmse = (sq_err / n) ** 0.5
+    assert 0.0 < rmse < 25.0
+    # the per-user ridge fit must beat the constant global-mean predictor
+    # in-sample — a wrong A/b assembly or a mis-scaled reg shows up here
+    mean = float(np.mean([r.rating for r in rows]))
+    base = (
+        float(np.mean([(r.rating - mean) ** 2 for r in rows])) ** 0.5
+    )
+    assert rmse < base, f"fold-in rmse {rmse} not better than constant {base}"
