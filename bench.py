@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "streaming_recommend_emit",
     "streaming_recommend_candidates",
+    "streaming_online_ridge",
     "tfidf_top_terms",
     "doc_chunk_overlap",
     "cdc_latest_state",

@@ -439,8 +439,10 @@ R11_WINDOW: tuple[str, ...] = R11_CHANGED_HEAD + (
 # theil_sen_slope_robust.
 # Never-driver-checked outside this window:
 # streaming_recommend_candidates (registered mid-round-12 — the
-# candidate-pruned ST6 loop) and als_user_fold_in (registered
-# mid-round-12 — closed-form ALS user fold-in); both named in
+# candidate-pruned ST6 loop), als_user_fold_in (registered
+# mid-round-12 — closed-form ALS user fold-in), and
+# streaming_online_ridge (registered mid-round-12 — per-user
+# sufficient-statistics model state); all named in
 # CHANGED_THIS_ROUND, so they head the r13 window first by the r11
 # rule: never-checked precedes changed.
 R12_CHANGED_HEAD: tuple[str, ...] = (
@@ -544,12 +546,18 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # normal equations pre-aggregated JVM-side, batched numpy solve in
 # mapInPandas). Registered mid-round-12, never driver-checked ->
 # r13 head with streaming_recommend_candidates.
+# And: streaming_online_ridge is NEW this round (streaming/ridge.py —
+# per-user online ridge via sufficient-statistics state: 21 doubles/
+# user sharded into STATE_SHARDS groups, vectorized scatter-add +
+# stacked solves per batch; the streaming twin of ml/foldin.py).
+# Registered mid-round-12, never driver-checked -> r13 head.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
     "streaming_interest_fold",
     "streaming_recommend_emit",
     "streaming_recommend_candidates",
     "als_user_fold_in",
+    "streaming_online_ridge",
 )
 
 
@@ -610,5 +618,6 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.operators.stattests  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.ml.foldin  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.streaming.ridge  # noqa: F401
 
     _LOADED = True

@@ -270,3 +270,136 @@ def test_stateful_fold_recovers_from_checkpoint(spark, sf_dir):
         assert n_events == (events_pd.user_id == uid).sum()  # both halves
         assert np.array(vec) == pytest.approx(expected[uid], abs=1e-6)
     shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming online ridge (streaming/ridge.py)
+# ---------------------------------------------------------------------------
+
+
+def _batch_ridge(rows_pd):
+    """Brute-force twin: per user, A = sum x x^T, b = sum x*y over ALL
+    rows, theta = (A + reg*n*I)^-1 b."""
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ridge import (
+        DIM,
+        REG,
+    )
+
+    out = {}
+    for uid, grp in rows_pd.groupby("user_id"):
+        X = np.array([list(x) for x in grp["profile"]], dtype=np.float64)
+        y = grp["value"].to_numpy(dtype=np.float64)
+        A = X.T @ X + REG * len(grp) * np.eye(DIM)
+        b = X.T @ y
+        out[int(uid)] = (len(grp), np.linalg.solve(A, b))
+    return out
+
+
+def test_ridge_shard_split_invariant_randomized():
+    """Sufficient statistics are associative sums, so ANY batch split,
+    row order, and chunk sub-split must leave the final (n, theta)
+    equal to the all-rows closed form — tighter than the interest
+    fold's property (no ordering discipline to respect at all)."""
+    import random
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ridge import (
+        DIM,
+        update_ridge_shard,
+    )
+
+    class _FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    for seed in range(5):
+        rng = random.Random(1000 + seed)
+        n_users, n_rows = rng.randrange(3, 8), rng.randrange(40, 120)
+        rows = [
+            (
+                rng.randrange(n_users),
+                [round(rng.uniform(0.0, 1.0), 4) for _ in range(DIM)],
+                round(rng.uniform(0.0, 250.0), 3),
+            )
+            for _ in range(n_rows)
+        ]
+        rows_pd = pd.DataFrame(rows, columns=["user_id", "profile", "value"])
+        expected = _batch_ridge(rows_pd)
+
+        shuffled = rows_pd.sample(frac=1.0, random_state=seed).reset_index(
+            drop=True
+        )
+        cuts = sorted(rng.sample(range(1, n_rows), min(3, n_rows - 1)))
+        batches = [
+            shuffled.iloc[i:j] for i, j in zip([0] + cuts, cuts + [n_rows])
+        ]
+        state = _FakeGroupState()
+        last: dict[int, tuple[int, list[float]]] = {}
+        for batch in batches:
+            k = rng.randrange(1, 4)
+            chunks = [
+                batch.iloc[i::k].reset_index(drop=True) for i in range(k)
+            ]
+            for out in update_ridge_shard((0,), iter(chunks), state):
+                for uid, n, theta in zip(
+                    out["user_id"], out["n_events"], out["theta"]
+                ):
+                    last[int(uid)] = (int(n), list(theta))
+        assert set(last) == set(expected), f"seed {seed}"
+        for uid, (exp_n, exp_theta) in expected.items():
+            n, theta = last[uid]
+            assert n == exp_n, f"seed {seed}, user {uid}"
+            assert np.array(theta) == pytest.approx(exp_theta, rel=1e-9, abs=1e-9), (
+                f"seed {seed}, user {uid}"
+            )
+
+
+def test_streaming_online_ridge_matches_batch_twin(spark, sf_dir):
+    """The engine run end to end: each user's final theta must equal the
+    all-events closed form (A + reg*n*I) theta = b computed from the raw
+    events x profiles join, and carry the exact cumulative event count."""
+    from pyspark.sql import functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        item_profiles,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ridge import (
+        streaming_online_ridge_detail,
+    )
+
+    got = {
+        int(r.user_id): (int(r.n_events), list(r.theta))
+        for r in streaming_online_ridge_detail(spark, sf_dir).collect()
+    }
+    joined = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item_ref"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .filter(F.col("item_ref").isNotNull())
+        .join(item_profiles(spark, sf_dir), "item_ref")
+        .select("user_id", F.col("profile"), "value")
+    )
+    expected = _batch_ridge(joined.toPandas())
+    assert set(got) == set(expected)
+    for uid, (exp_n, exp_theta) in expected.items():
+        n, theta = got[uid]
+        assert n == exp_n, f"user {uid}"
+        # summation ORDER differs across micro-batches vs the single-pass
+        # twin; the reg*n diagonal keeps the systems well-conditioned, so
+        # ulp-level stat drift stays ulp-level in theta
+        assert np.array(theta) == pytest.approx(exp_theta, rel=1e-6, abs=1e-9), (
+            f"user {uid}"
+        )

@@ -406,6 +406,73 @@ def _run_recommend_candidates(
     )
 
 
+def _run_online_ridge(spark, sf_dir: str, n_slices: int) -> None:
+    """ST3+M model state at scale: the per-user ridge sufficient-statistics
+    fold (streaming/ridge.py — 21 doubles/user sharded into STATE_SHARDS
+    groups, vectorized scatter-add + stacked 5x5 solves per batch), with
+    a counting sink. State must stay 21 doubles x users regardless of
+    event volume; addBatch must track the batch's row count, not the
+    accumulated history."""
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _stream_state_partitions,
+        item_profiles,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ridge import (
+        ridge_fold_stream,
+    )
+
+    profiles = item_profiles(spark, sf_dir).localCheckpoint(eager=True)
+    stream = _staged_stream(spark, sf_dir, n_slices)
+    emitted = {"rows": 0}
+
+    def count_only(batch_df, batch_id):
+        emitted["rows"] += batch_df.count()
+
+    t0 = time.perf_counter()
+    with _stream_state_partitions(spark):
+        q = (
+            ridge_fold_stream(stream, profiles)
+            .writeStream.foreachBatch(count_only)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
+    total = round(time.perf_counter() - t0, 1)
+    for p in progress:
+        state = (p.get("stateOperators") or [{}])[0]
+        print(
+            json.dumps(
+                {
+                    "query": "online_ridge",
+                    "batch": p.get("batchId"),
+                    "input_rows": p.get("numInputRows"),
+                    "add_batch_ms": (p.get("durationMs") or {}).get("addBatch"),
+                    "state_rows": state.get("numRowsTotal"),
+                    "state_mb": round(
+                        (state.get("memoryUsedBytes") or 0) / 1e6, 1
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "query": "online_ridge",
+                "total_sec": total,
+                "emitted_rows": emitted["rows"],
+                "batches": len(progress),
+            }
+        ),
+        flush=True,
+    )
+
+
 def _run_one(spark, stream, name: str) -> None:
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
         _stream_state_partitions,
@@ -495,6 +562,9 @@ def main() -> None:
     for name in names:
         if name == "recommend_emit":
             _run_recommend_emit(spark, sf_dir, n_slices, catalog_mult)
+            continue
+        if name == "online_ridge":
+            _run_online_ridge(spark, sf_dir, n_slices)
             continue
         if name == "recommend_candidates":
             _run_recommend_candidates(
