@@ -34,6 +34,7 @@ HEADLINE = [
     "streaming_window_counts",
     "als_rmse",
     "als_user_fold_in",
+    "als_item_fold_in",
     # round-2 additions (r1 keys above unchanged for comparability)
     "sessionize_events",
     "asof_join_last_order",

@@ -66,15 +66,22 @@ def _train_model(spark: SparkSession, sf_dir: str):
     return _MODEL_CACHE[key]
 
 
-def fold_in_user_factors(joined: DataFrame, rank: int = RANK, reg: float = REG) -> DataFrame:
-    """(user_id, x): closed-form ridge factors for every user in `joined`
-    (columns user_id, rating, f = the rated item's factor array<double>).
+def fold_in_factors(
+    joined: DataFrame,
+    key_col: str = "user_id",
+    rank: int = RANK,
+    reg: float = REG,
+) -> DataFrame:
+    """(key_col, x): closed-form ridge factors for every key in `joined`
+    (columns key_col, rating, f = the counterpart side's factor
+    array<double>). Symmetric by construction — fold users against item
+    factors or items against user factors.
 
     Stage 1 — one aggregation: 55 Gramian sums (upper triangle of
-    sum f f^T), 10 rhs sums (sum f*r), and n_u, all JVM-side column
+    sum f f^T), 10 rhs sums (sum f*r), and n, all JVM-side column
     products with map-side partial aggregation.
     Stage 2 — one vectorized mapInPandas: stack each Arrow batch's
-    users into an (m, rank, rank) tensor and solve all m systems in a
+    keys into an (m, rank, rank) tensor and solve all m systems in a
     single np.linalg.solve call."""
     from cqu_bigdata_recommender_system_for_movies_spark.shipping import ensure_shipped
 
@@ -88,7 +95,7 @@ def fold_in_user_factors(joined: DataFrame, rank: int = RANK, reg: float = REG) 
     for i in range(rank):
         aggs.append(F.sum(F.col("f")[i] * F.col("rating")).alias(f"b_{i}"))
     aggs.append(F.count("*").cast("double").alias("n_u"))
-    normal = joined.groupBy("user_id").agg(*aggs)
+    normal = joined.groupBy(key_col).agg(*aggs)
 
     tri = [(i, j) for i in range(rank) for j in range(i, rank)]
 
@@ -111,12 +118,17 @@ def fold_in_user_factors(joined: DataFrame, rank: int = RANK, reg: float = REG) 
             b = np.stack([pdf[f"b_{i}"].to_numpy() for i in range(rank)], axis=1)
             x = np.linalg.solve(A, b)
             yield pd.DataFrame(
-                {"user_id": pdf["user_id"], "x": list(map(list, x))}
+                {key_col: pdf[key_col], "x": list(map(list, x))}
             )
 
     return normal.mapInPandas(
-        solve, schema="user_id long, x array<double>"
+        solve, schema=f"{key_col} long, x array<double>"
     )
+
+
+def fold_in_user_factors(joined: DataFrame, rank: int = RANK, reg: float = REG) -> DataFrame:
+    """(user_id, x): the user-side specialization of fold_in_factors."""
+    return fold_in_factors(joined, "user_id", rank, reg)
 
 
 @register(
@@ -180,6 +192,80 @@ def als_user_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.agg(
         F.count_distinct("user_id").cast("long").alias("n_new_users"),
+        F.count("*").cast("long").alias("n_scored_ratings"),
+        (
+            (F.sqrt(F.avg((F.col("pred") - F.col("rating")) ** 2)) > 0)
+            & (F.sqrt(F.avg((F.col("pred") - F.col("rating")) ** 2)) < 25)
+        ).alias("rmse_in_band"),
+    )
+
+
+def _train_model_item_holdout(spark: SparkSession, sf_dir: str):
+    """ALS fitted with the holdout ITEMS' ratings removed (so fold-in
+    items are genuinely unseen), cached per sf_dir."""
+    key = (sf_dir, "foldin_train_items")
+    if key not in _MODEL_CACHE:
+        r = ratings(spark, sf_dir).select("user_id", "item_id", "rating")
+        _MODEL_CACHE[key] = fit_als(
+            r.filter(F.col("item_id") % HOLDOUT_MOD != 0)
+        )
+    return _MODEL_CACHE[key]
+
+
+@register(
+    "als_item_fold_in",
+    # The exact mirror of als_user_fold_in's anchor argument, with the
+    # roles swapped: MLlib trains a user factor for exactly the distinct
+    # users of the training partition, so the scorable holdout — new
+    # items and their ratings BY factored users — equals the SQL join of
+    # the held-out items against the training partition's distinct
+    # users. Same (0, 25) RMSE band; residual identity in pytest.
+    oracle=f"""
+    WITH r AS ({RATINGS_SQL}),
+    hold AS (SELECT user_id, item_id, rating FROM r
+             WHERE item_id % {HOLDOUT_MOD} = 0),
+    train AS (SELECT user_id, item_id FROM r
+              WHERE item_id % {HOLDOUT_MOD} <> 0),
+    known AS (SELECT DISTINCT user_id FROM train)
+    SELECT CAST(COUNT(DISTINCT h.item_id) AS BIGINT) AS n_new_items,
+           CAST(COUNT(*) AS BIGINT) AS n_scored_ratings,
+           TRUE AS rmse_in_band
+    FROM hold h JOIN known USING (user_id)
+    """,
+    doc="Incremental ALS ITEM fold-in (beyond-reference — the reference's "
+    "new-movie cold start, M10/cold_rec.py, done at the factor level "
+    "instead of falling back to popularity): fit with the holdout items' "
+    f"ratings removed (item_id % {HOLDOUT_MOD} == 0), then solve every "
+    "new item's factor in closed form against the FIXED user factors — "
+    "the symmetric twin of als_user_fold_in through the same "
+    "fold_in_factors plan (66 JVM-side sums per item, stacked numpy "
+    "solves). A new movie becomes rankable for every user after one "
+    "aggregation pass over its first ratings, no retrain.",
+)
+def als_item_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = _train_model_item_holdout(spark, sf_dir)
+    factors = model.userFactors.select(
+        F.col("id").alias("user_id"),
+        F.transform("features", lambda v: v.cast("double")).alias("f"),
+    )
+    holdout = (
+        ratings(spark, sf_dir)
+        .select("user_id", "item_id", F.col("rating").cast("double").alias("rating"))
+        .filter(F.col("item_id") % HOLDOUT_MOD == 0)
+    )
+    joined = holdout.join(factors, "user_id").localCheckpoint(eager=True)
+    solved = fold_in_factors(joined, "item_id")
+
+    dot = F.aggregate(
+        F.zip_with("x", "f", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = joined.join(solved, "item_id").select(
+        "item_id", "rating", dot.alias("pred")
+    )
+    return scored.agg(
+        F.count_distinct("item_id").cast("long").alias("n_new_items"),
         F.count("*").cast("long").alias("n_scored_ratings"),
         (
             (F.sqrt(F.avg((F.col("pred") - F.col("rating")) ** 2)) > 0)

@@ -442,8 +442,9 @@ R11_WINDOW: tuple[str, ...] = R11_CHANGED_HEAD + (
 # candidate-pruned ST6 loop), als_user_fold_in (registered
 # mid-round-12 — closed-form ALS user fold-in), and
 # streaming_online_ridge (registered mid-round-12 — per-user
-# sufficient-statistics model state); all named in
-# CHANGED_THIS_ROUND, so they head the r13 window first by the r11
+# sufficient-statistics model state), and als_item_fold_in
+# (registered mid-round-12 — symmetric item-side fold-in); all named
+# in CHANGED_THIS_ROUND, so they head the r13 window first by the r11
 # rule: never-checked precedes changed.
 R12_CHANGED_HEAD: tuple[str, ...] = (
     "ann_ivf_multiprobe_topk",
@@ -551,6 +552,11 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # user sharded into STATE_SHARDS groups, vectorized scatter-add +
 # stacked solves per batch; the streaming twin of ml/foldin.py).
 # Registered mid-round-12, never driver-checked -> r13 head.
+# And: als_item_fold_in is NEW this round (ml/foldin.py — the symmetric
+# item-side fold-in, the reference's new-movie cold start at the factor
+# level; fold_in_user_factors was generalized to fold_in_factors in the
+# same commit, which also drifts als_user_fold_in's hash — both names
+# below). Registered mid-round-12, never driver-checked -> r13 head.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_simhash_dedup",
     "streaming_interest_fold",
@@ -558,6 +564,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_recommend_candidates",
     "als_user_fold_in",
     "streaming_online_ridge",
+    "als_item_fold_in",
 )
 
 

@@ -297,3 +297,61 @@ def test_als_user_fold_in_solves_the_normal_equations(spark, sf_dir):
         float(np.mean([(r.rating - mean) ** 2 for r in rows])) ** 0.5
     )
     assert rmse < base, f"fold-in rmse {rmse} not better than constant {base}"
+
+
+def test_als_item_fold_in_solves_the_normal_equations(spark, sf_dir):
+    """Symmetric twin of the user fold-in check: each new ITEM's ridge
+    system A = U_i^T U_i + reg*n_i*I, b = U_i^T r_i rebuilt from the raw
+    joined rows; the engine factor must satisfy A x = b and beat the
+    constant predictor in-sample."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.foldin import (
+        HOLDOUT_MOD,
+        RANK,
+        REG,
+        _train_model_item_holdout,
+        fold_in_factors,
+    )
+
+    model = _train_model_item_holdout(spark, sf_dir)
+    factors = model.userFactors.select(
+        F.col("id").alias("user_id"),
+        F.transform("features", lambda v: v.cast("double")).alias("f"),
+    )
+    joined = (
+        ratings(spark, sf_dir)
+        .select(
+            "user_id", "item_id", F.col("rating").cast("double").alias("rating")
+        )
+        .filter(F.col("item_id") % HOLDOUT_MOD == 0)
+        .join(factors, "user_id")
+    )
+    solved = {
+        r.item_id: np.array(r.x)
+        for r in fold_in_factors(joined, "item_id").collect()
+    }
+    rows = joined.collect()
+    assert solved and rows
+
+    by_item: dict[int, list] = {}
+    for r in rows:
+        by_item.setdefault(r.item_id, []).append(r)
+    assert set(solved) == set(by_item)
+
+    sq_err, n = 0.0, 0
+    for iid, irows in by_item.items():
+        U = np.array([list(r.f) for r in irows])
+        rvec = np.array([r.rating for r in irows])
+        A = U.T @ U + REG * len(irows) * np.eye(RANK)
+        b = U.T @ rvec
+        x = solved[iid]
+        assert np.allclose(A @ x, b, rtol=1e-8, atol=1e-8), f"item {iid}"
+        pred = U @ x
+        sq_err += float(((pred - rvec) ** 2).sum())
+        n += len(irows)
+    rmse = (sq_err / n) ** 0.5
+    mean = float(np.mean([r.rating for r in rows]))
+    base = float(np.mean([(r.rating - mean) ** 2 for r in rows])) ** 0.5
+    assert 0.0 < rmse < base, f"item fold-in rmse {rmse} vs constant {base}"
