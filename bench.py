@@ -33,8 +33,6 @@ HEADLINE = [
     "embedding_centroid_by_label",
     "streaming_window_counts",
     "als_rmse",
-    "als_user_fold_in",
-    "als_item_fold_in",
     # round-2 additions (r1 keys above unchanged for comparability)
     "sessionize_events",
     "asof_join_last_order",
@@ -42,8 +40,6 @@ HEADLINE = [
     "simhash_fingerprint",
     "ann_ivf_topk",
     "streaming_recommend_emit",
-    "streaming_recommend_candidates",
-    "streaming_online_ridge",
     "tfidf_top_terms",
     "doc_chunk_overlap",
     "cdc_latest_state",
@@ -169,6 +165,12 @@ HEADLINE = [
     # round-10 addition — APPENDED (new operator: online near-dup
     # detection via per-bucket fingerprint state)
     "streaming_simhash_dedup",
+    # round-12 additions — APPENDED (new operators: candidate-pruned
+    # ST6 loop, user/item ALS fold-in, per-user online ridge)
+    "streaming_recommend_candidates",
+    "als_user_fold_in",
+    "als_item_fold_in",
+    "streaming_online_ridge",
 ]
 
 
@@ -195,6 +197,13 @@ def main() -> None:
     # normalizing by it amplified noise into the regression gate. The
     # median ignores one outlier rep in either direction; the raw reps
     # land in bench_full.json so the scalar's spread is on record.
+    # TRANSITION-ROUND caveat (r12 review): records written by the old
+    # min-based scalar read systematically LOW next to a median, so for
+    # the one round that compares median-now vs min-before the scale
+    # factor runs high and adj_ratio runs low — the gate is slightly
+    # DESENSITIZED, not trigger-happy, for that round only (r12's four
+    # persistent flags were isolation-run regardless; SCALE_r12.json).
+    # From r12 on, both sides of the comparison are medians.
     def _calibrate() -> list[float]:
         reps = []
         for _ in range(3):

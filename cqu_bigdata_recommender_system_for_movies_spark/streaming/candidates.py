@@ -127,11 +127,17 @@ def _nearest_cells(vec_col: str, k: int):
     )
 
 
-def item_cell_assignments(profiles: DataFrame) -> DataFrame:
+def item_cell_assignments(
+    profiles: DataFrame, cents: DataFrame | None = None
+) -> DataFrame:
     """(item_ref, profile, cell): each catalog item's single nearest
     quantizer cell — the offline half of the candidate index, computed
-    once per (re)build, not per batch."""
-    cents = _centroid_relation(profiles)
+    once per (re)build, not per batch. Pass a prebuilt `cents` relation
+    to reuse one seed collect across the index build and the per-batch
+    user assignment (the registered query and the scale probe both hold
+    the two)."""
+    if cents is None:
+        cents = _centroid_relation(profiles)
     return (
         profiles.crossJoin(F.broadcast(cents))
         .select(
@@ -280,7 +286,7 @@ def streaming_recommend_candidates(spark: SparkSession, sf_dir: str) -> DataFram
     # same pin as streaming_recommend_emit's profile dim).
     profiles = item_profiles(spark, sf_dir).localCheckpoint(eager=True)
     cents = _centroid_relation(profiles)
-    item_cells = item_cell_assignments(profiles).localCheckpoint(eager=True)
+    item_cells = item_cell_assignments(profiles, cents).localCheckpoint(eager=True)
     out_dir = tempfile.mkdtemp(prefix="spark_graft_cand_recs_")
     shutil.rmtree(out_dir, ignore_errors=True)  # foreachBatch appends fresh
 

@@ -53,10 +53,9 @@ from pyspark.sql.types import (
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
 from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
+    DIM,  # item-profile dimensionality = len(EVENT_TYPES); one source of truth
     STATE_SHARDS,
 )
-
-DIM = 5  # item-profile dimensionality (EVENT_TYPES rates)
 REG = 0.1  # same regParam family as ml/als.py fit_als / ml/foldin.py
 _TRI = [(i, j) for i in range(DIM) for j in range(i, DIM)]  # 15 entries
 N_STATS = len(_TRI) + DIM  # 15 A-tri + 5 b

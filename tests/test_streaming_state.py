@@ -34,6 +34,26 @@ def _expected_interest(events: pd.DataFrame) -> dict[int, np.ndarray]:
     return out
 
 
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving the applyInPandasWithState
+    callbacks directly in property tests (shared by the interest-fold and
+    online-ridge split-invariance tests)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
 def test_interest_fold_matches_pandas_reference(spark, sf_dir):
     result = streaming_interest_fold(spark, sf_dir).collect()
     events_pd = load(spark, sf_dir, "events").toPandas()
@@ -133,21 +153,6 @@ def test_sharded_fold_split_invariant_randomized():
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
         update_interest_shard,
     )
-
-    class _FakeGroupState:
-        def __init__(self):
-            self._v = None
-
-        @property
-        def exists(self):
-            return self._v is not None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
 
     types = list(EVENT_TYPES) + ["unknown_type"]
     for seed in range(5):
@@ -306,21 +311,6 @@ def test_ridge_shard_split_invariant_randomized():
         DIM,
         update_ridge_shard,
     )
-
-    class _FakeGroupState:
-        def __init__(self):
-            self._v = None
-
-        @property
-        def exists(self):
-            return self._v is not None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = v
 
     for seed in range(5):
         rng = random.Random(1000 + seed)

@@ -198,7 +198,7 @@ def _run_recommend_emit(spark, sf_dir: str, n_slices: int, catalog_mult: int = 1
         emitted["rows"] += top.count()
 
     t0 = time.perf_counter()
-    with _stream_state_partitions(spark, *STATE_PARTITIONS_OVERRIDE):
+    with _stream_state_partitions(spark, *STATE_PARTITIONS_OVERRIDE[-1:]):
         q = (
             interest_fold_stream(stream, output_mode="update")
             .writeStream.foreachBatch(score_and_count)
@@ -312,7 +312,9 @@ def _run_recommend_candidates(
     cand.N_REC_CELLS = n_cells
     try:
         cents = _centroid_relation(profiles)
-        item_cells = cand.item_cell_assignments(profiles).localCheckpoint(eager=True)
+        item_cells = cand.item_cell_assignments(profiles, cents).localCheckpoint(
+            eager=True
+        )
     finally:
         cand.N_REC_CELLS = prev_cells
     sizes = sorted(
@@ -362,7 +364,7 @@ def _run_recommend_candidates(
         emitted["rows"] += top.count()
 
     t0 = time.perf_counter()
-    with _stream_state_partitions(spark, *STATE_PARTITIONS_OVERRIDE):
+    with _stream_state_partitions(spark, *STATE_PARTITIONS_OVERRIDE[-1:]):
         q = (
             interest_fold_stream(stream, output_mode="update")
             .writeStream.foreachBatch(score_and_count)
@@ -430,7 +432,7 @@ def _run_online_ridge(spark, sf_dir: str, n_slices: int) -> None:
         emitted["rows"] += batch_df.count()
 
     t0 = time.perf_counter()
-    with _stream_state_partitions(spark, *STATE_PARTITIONS_OVERRIDE):
+    with _stream_state_partitions(spark, *STATE_PARTITIONS_OVERRIDE[-1:]):
         q = (
             ridge_fold_stream(stream, profiles)
             .writeStream.foreachBatch(count_only)
@@ -486,7 +488,7 @@ def _run_one(spark, stream, name: str) -> None:
         emitted["rows"] += batch_df.count()
 
     t0 = time.perf_counter()
-    with _stream_state_partitions(spark, *STATE_PARTITIONS_OVERRIDE):
+    with _stream_state_partitions(spark, *STATE_PARTITIONS_OVERRIDE[-1:]):
         q = (
             df.writeStream.foreachBatch(count_only)
             .outputMode(mode)
