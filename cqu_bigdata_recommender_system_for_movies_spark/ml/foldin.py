@@ -30,12 +30,16 @@ The plan is built to be 100-TB shaped end to end:
 - scoring joins the solved factors back to the user's rated items and
   folds the dot product JVM-side.
 
-Registered as `als_user_fold_in` with the ALS family's invariant-anchor
-oracle contract (VERDICT r6 #6 pattern): exact SQL-checkable anchors
-(distinct fold-in users and scored-rating counts — item factors exist
-for exactly the items the training partition contains) plus an RMSE
-band boolean; the authoritative numeric recomputation (residual
-identity A x = b per user) lives in tests/test_recommender.py.
+Registered as `als_user_fold_in` (new users vs fixed item factors) and
+`als_item_fold_in` (new items vs fixed user factors — the reference's
+new-movie cold start, cold_rec.py M10, answered at the factor level),
+both through the shared `fold_in_factors` plan, with the ALS family's
+invariant-anchor oracle contract (VERDICT r6 #6 pattern): exact
+SQL-checkable anchors (distinct fold-in keys and scored-rating counts —
+factors exist for exactly the counterpart keys the training partition
+contains) plus an RMSE band boolean; the authoritative numeric
+recomputation (residual identity A x = b per key) lives in
+tests/test_recommender.py.
 """
 
 from __future__ import annotations
@@ -49,7 +53,9 @@ from cqu_bigdata_recommender_system_for_movies_spark.ml.als import _MODEL_CACHE,
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
 from cqu_bigdata_recommender_system_for_movies_spark.tables import RATINGS_SQL, ratings
 
-HOLDOUT_MOD = 20  # user_id % 20 == 0 -> a "new" user (5%; 8/75/749 at the 3 sfs)
+# key % 20 == 0 -> a "new" key (5%): users 8/75/749, items 10/100/1000
+# at the three sfs (both non-vacuous everywhere)
+HOLDOUT_MOD = 20
 RANK = 10  # fit_als default — the reference's spark_als.py rank
 REG = 0.1  # fit_als default regParam
 
