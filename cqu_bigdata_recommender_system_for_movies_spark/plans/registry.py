@@ -501,71 +501,102 @@ R12_WINDOW: tuple[str, ...] = R12_CHANGED_HEAD + (
     "theil_sen_slope_robust",
 )
 
-# Round 12 rotation (VERDICT r11 #2): burn the pinned window.
-DRIVER_CHECK_FIRST: tuple[str, ...] = R12_WINDOW
+# r13 fill — the EXACT round-13 window, pinned at the start of round 13
+# from the round-12 manifest (VERDICT r12 #1). Rule, recomputed and
+# asserted by tests/test_plans.py::test_r13_window_pin:
+# (a) head = the r12 CHANGED_THIS_ROUND tuple minus R12_WINDOW names
+# (none were in-window), ordered never-driver-checked FIRST (the
+# standing r11 rule: never-checked precedes changed), i.e. the four
+# operators registered mid-round-12 with no driver row ever
+# (streaming_recommend_candidates, als_user_fold_in, als_item_fold_in,
+# streaming_online_ridge — VERDICT r12 #1's exact order), then the
+# three whose green rows predate a result-neutral r12 re-plan
+# (streaming_interest_fold and streaming_recommend_emit — state
+# sharding; streaming_simhash_dedup — readStream schema built from a
+# copy).
+# (b) oldest-green-first re-confirmations (last driver round ascending
+# over CORRECTNESS_r01..r12, NAME as the tie-break — registry insertion
+# order varies with module import order, so it cannot anchor a pinned
+# list — R12_WINDOW names excluded since their r12 rows are freshest)
+# up to the 50-slot window: the two remaining r7-latest rows
+# (variant_json_extract, weighted_reservoir_sample), then the first 41
+# r8-latest rows alphabetically, from als_cross_validation through
+# random_split_counts.
+# Never-driver-checked outside this window: none.
+R13_CHANGED_HEAD: tuple[str, ...] = (
+    "streaming_recommend_candidates",
+    "als_user_fold_in",
+    "als_item_fold_in",
+    "streaming_online_ridge",
+    "streaming_interest_fold",
+    "streaming_recommend_emit",
+    "streaming_simhash_dedup",
+)
+R13_WINDOW: tuple[str, ...] = R13_CHANGED_HEAD + (
+    "variant_json_extract",
+    "weighted_reservoir_sample",
+    "als_cross_validation",
+    "als_fixture_rmse_band",
+    "als_hyperparam_search",
+    "als_implicit_topk",
+    "als_precision_recall_at_k",
+    "als_recommend_topk",
+    "als_rmse",
+    "ann_lsh_topk",
+    "array_functions_suite",
+    "binary_file_source_scan",
+    "bucketed_join_agg",
+    "cdc_latest_state",
+    "cogroup_user_order_stats",
+    "cohort_retention",
+    "content_based_recommend",
+    "cosine_topk",
+    "dedup_exact",
+    "doc_chunk_overlap",
+    "doc_chunk_udtf",
+    "doc_fingerprint",
+    "dot_product_topk",
+    "embedding_near_dup_pairs",
+    "embedding_pca_top_component",
+    "feature_engineering_suite",
+    "full_outer_reconciliation",
+    "funnel_conversion",
+    "grouped_map_zscore",
+    "grouping_sets_suite",
+    "hll_distinct_rollup",
+    "hll_sliding_distinct",
+    "image_source_metadata_scan",
+    "interval_overlap_join",
+    "json_source_roundtrip",
+    "kmeans_embedding_clusters",
+    "lang_distribution",
+    "lang_id_heuristic",
+    "multimodal_decode_features",
+    "orc_sink_roundtrip",
+    "partitioned_write_pruned_read",
+    "pipeline_classifier_eval",
+    "random_split_counts",
+)
+
+# Round 13 rotation (VERDICT r12 #1): burn the pinned window.
+DRIVER_CHECK_FIRST: tuple[str, ...] = R13_WINDOW
 DRIVER_CHECK_LAST: tuple[str, ...] = ()
 
 # Queries whose implementation hash (transitive in-package closure, see
-# plans/manifest.py) changed since the round-12 start tree (the tree the
-# r11 driver verified; plans/query_manifest.json is frozen there).
+# plans/manifest.py) changed since the round-13 start tree (the tree the
+# r12 driver verified; plans/query_manifest.json is frozen there).
 # VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as any
 # query/oracle/helper change — enforced by
 # tests/test_plans.py::test_changed_queries_are_manifested, which fails
-# on any hash drift not named here. The r13 window head is derived from
-# it mechanically: CHANGED_THIS_ROUND minus R12_WINDOW (in-window names
-# get fresh r12 rows at round end and need no r13 slot). At the start of
-# round 13: refresh the manifest (python -m
+# on any hash drift not named here. The r14 window head is derived from
+# it mechanically: CHANGED_THIS_ROUND minus R13_WINDOW (in-window names
+# get fresh r13 rows at round end and need no r14 slot). At the start of
+# round 14: refresh the manifest (python -m
 # cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
-# refresh), pin R13_WINDOW, reset this tuple to ().
+# refresh), pin R14_WINDOW, reset this tuple to ().
 #
-# r12 changes so far:
-# streaming_simhash_dedup's staging builds its readStream schema from a
-# COPY of docs.schema (ADVICE r11 — StructType.add mutates self and
-# DataFrame.schema is cached, so the old form left the batch DataFrame
-# with a phantom "slice" field). Result-neutral: the schema VALUE the
-# stream reads with is identical. Outside R12_WINDOW (fresh r11 row)
-# -> r13 head candidate.
-# And: the interest fold's per-user state is SHARDED (VERDICT r11 #1 —
-# users hash into STATE_SHARDS groups, each a user -> (n_events, vector)
-# dict, the simdedup pattern; the r11 100x probe measured ~120 s per
-# 3.3M-row batch of per-group machinery over 150k near-singleton user
-# groups). Emitted rows are identical — one per user seen in the batch,
-# same cumulative fold; the list_reduce oracle is untouched. Closure
-# reaches streaming_interest_fold and streaming_recommend_emit (both
-# consume interest_fold_stream); both outside R12_WINDOW (r8 rows)
-# -> r13 head candidates.
-# And: streaming_recommend_candidates is NEW this round (streaming/
-# candidates.py — the candidate-generation pruning SCALE_r12's
-# recommend_emit_100x reading names as the 100 TB knob: per batch,
-# users score only the items in their REC_NPROBE nearest quantizer
-# cells instead of the full catalog). Registered mid-round-12, never
-# driver-checked -> r13 head FIRST (the r11 rule: never-checked
-# precedes changed).
-# And: als_user_fold_in is NEW this round (ml/foldin.py — closed-form
-# ridge fold-in of held-out users against the trained item factors,
-# the 100 TB alternative to the reference's full retrain; per-user
-# normal equations pre-aggregated JVM-side, batched numpy solve in
-# mapInPandas). Registered mid-round-12, never driver-checked ->
-# r13 head with streaming_recommend_candidates.
-# And: streaming_online_ridge is NEW this round (streaming/ridge.py —
-# per-user online ridge via sufficient-statistics state: 21 doubles/
-# user sharded into STATE_SHARDS groups, vectorized scatter-add +
-# stacked solves per batch; the streaming twin of ml/foldin.py).
-# Registered mid-round-12, never driver-checked -> r13 head.
-# And: als_item_fold_in is NEW this round (ml/foldin.py — the symmetric
-# item-side fold-in, the reference's new-movie cold start at the factor
-# level; fold_in_user_factors was generalized to fold_in_factors in the
-# same commit, which also drifts als_user_fold_in's hash — both names
-# below). Registered mid-round-12, never driver-checked -> r13 head.
-CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "streaming_simhash_dedup",
-    "streaming_interest_fold",
-    "streaming_recommend_emit",
-    "streaming_recommend_candidates",
-    "als_user_fold_in",
-    "streaming_online_ridge",
-    "als_item_fold_in",
-)
+# r13 changes so far: (none yet — reset at the round-13 pin commit)
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def _driver_order(names) -> list[str]:

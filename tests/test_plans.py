@@ -893,7 +893,6 @@ def test_r12_window_pin():
     import re
 
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
-        DRIVER_CHECK_FIRST,
         DRIVER_WINDOW,
         QUERIES,
         R11_WINDOW,
@@ -902,7 +901,8 @@ def test_r12_window_pin():
     )
 
     all_queries()  # populate the registry
-    assert DRIVER_CHECK_FIRST == R12_WINDOW  # the r12 rotation is live
+    # (the r12 rotation was live through round 12; DRIVER_CHECK_FIRST now
+    # points at R13_WINDOW — asserted by test_r13_window_pin)
     assert len(R12_WINDOW) == DRIVER_WINDOW
     assert len(set(R12_WINDOW)) == len(R12_WINDOW)
     assert R12_WINDOW[: len(R12_CHANGED_HEAD)] == R12_CHANGED_HEAD
@@ -954,6 +954,107 @@ def test_r12_window_pin():
     assert R12_WINDOW == expect, (
         "pinned R12_WINDOW deviates from the oldest-green-first rule: "
         f"{[(a, b) for a, b in zip(R12_WINDOW, expect) if a != b]}"
+    )
+
+
+def test_r13_window_pin():
+    """VERDICT r12 #1: pin the EXACT r13 window at the start of round 13.
+    Recompute it from the stated rule — head = the r12
+    CHANGED_THIS_ROUND tuple minus R12_WINDOW names (none overlapped),
+    ordered never-driver-checked FIRST (the standing r11 rule:
+    never-checked precedes changed): the four operators registered
+    mid-round-12 with no driver row in any CORRECTNESS_r* file
+    (streaming_recommend_candidates, als_user_fold_in, als_item_fold_in,
+    streaming_online_ridge — VERDICT r12 #1's exact order), then the
+    three whose green rows predate a result-neutral r12 re-plan
+    (streaming_interest_fold, streaming_recommend_emit,
+    streaming_simhash_dedup). Fill = oldest-green-first (last driver
+    round ascending over CORRECTNESS_r01..r12, NAME tie-break,
+    R12_WINDOW names excluded since their r12 rows are freshest) — and
+    assert the pinned tuple matches bit for bit. The head order is
+    itself data: the frozen r12 tuple plus the judge's never-checked
+    ordering, reproduced here as literals because CHANGED_THIS_ROUND
+    was reset to () at the same commit that pinned this window."""
+    import glob
+    import json
+    import os
+    import re
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        DRIVER_WINDOW,
+        QUERIES,
+        R12_WINDOW,
+        R13_CHANGED_HEAD,
+        R13_WINDOW,
+    )
+
+    all_queries()  # populate the registry
+    assert DRIVER_CHECK_FIRST == R13_WINDOW  # the r13 rotation is live
+    assert len(R13_WINDOW) == DRIVER_WINDOW
+    assert len(set(R13_WINDOW)) == len(R13_WINDOW)
+    assert R13_WINDOW[: len(R13_CHANGED_HEAD)] == R13_CHANGED_HEAD
+    # the r12 CHANGED_THIS_ROUND tuple, frozen at the r13 pin commit
+    changed_r12 = (
+        "streaming_simhash_dedup",
+        "streaming_interest_fold",
+        "streaming_recommend_emit",
+        "streaming_recommend_candidates",
+        "als_user_fold_in",
+        "streaming_online_ridge",
+        "als_item_fold_in",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rnd > 12:
+            continue  # the pin froze on the r01..r12 rows
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    head_pool = tuple(n for n in changed_r12 if n not in set(R12_WINDOW))
+    # VERDICT r12 #1 names the head order explicitly: the four
+    # never-checked first, then the three re-planned. Both literals are
+    # validated against the mechanical pools (membership + the
+    # never-checked/changed split) so a drifted pin cannot hide.
+    never_checked = (
+        "streaming_recommend_candidates",
+        "als_user_fold_in",
+        "als_item_fold_in",
+        "streaming_online_ridge",
+    )
+    replanned = (
+        "streaming_interest_fold",
+        "streaming_recommend_emit",
+        "streaming_simhash_dedup",
+    )
+    assert set(never_checked) == {n for n in head_pool if n not in last}
+    assert set(replanned) == {n for n in head_pool if n in last}
+    expect_head = never_checked + replanned
+    assert R13_CHANGED_HEAD == expect_head, (
+        "r13 head deviates from never-checked-first over "
+        "CHANGED_THIS_ROUND(r12) minus R12_WINDOW: "
+        f"{[(a, b) for a, b in zip(R13_CHANGED_HEAD, expect_head) if a != b]}"
+    )
+    unknown = [n for n in R13_WINDOW if n not in QUERIES]
+    assert not unknown, f"r13 window names unregistered queries: {unknown}"
+    overlap = set(R13_WINDOW) & set(R12_WINDOW)
+    assert not overlap, (
+        f"r13 window repeats r12-window names whose rows are freshest: {overlap}"
+    )
+    rest = [
+        n
+        for n in QUERIES
+        if n not in set(R13_CHANGED_HEAD) and n not in set(R12_WINDOW)
+    ]
+    rest.sort(key=lambda n: (last.get(n, 99), n))
+    expect = R13_CHANGED_HEAD + tuple(
+        rest[: DRIVER_WINDOW - len(R13_CHANGED_HEAD)]
+    )
+    assert R13_WINDOW == expect, (
+        "pinned R13_WINDOW deviates from the oldest-green-first rule: "
+        f"{[(a, b) for a, b in zip(R13_WINDOW, expect) if a != b]}"
     )
 
 
