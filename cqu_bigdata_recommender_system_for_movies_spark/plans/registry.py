@@ -595,8 +595,42 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
 # refresh), pin R14_WINDOW, reset this tuple to ().
 #
-# r13 changes so far: (none yet — reset at the round-13 pin commit)
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+# r13 changes so far:
+# _stream_state_partitions is now SCALE-AWARE (VERDICT r12 "What's
+# wrong" #1): with no explicit pin, the partition count derives from the
+# stream source's parquet-footer row count — below STATE_SCALE_ROWS the
+# 8-partition floor holds (fixed per-partition state-store costs
+# dominate at sf0.1, the original measurement), at/above it (or size
+# unknown) it fans out to min(STATE_SHARDS_WIDTH, cores), the
+# configuration SCALE_r12 measured 2.1x faster at the 1000x interest
+# fold. Result-neutral at every suite sf (still 8 there; partition count
+# never changes emitted rows). Closure reaches streaming_window_counts,
+# streaming_stream_stream_join, streaming_stream_stream_left_join,
+# streaming_simhash_dedup (all wrap the helper), and
+# streaming_online_ridge (imports it).
+# And: the candidate-pruned recommender's quantizer width is now DERIVED
+# from the catalog size (VERDICT r12 "What's wrong" #2): derive_rec_cells
+# = next power of two >= sqrt(catalog), floored at REC_CELLS_MIN=8, with
+# the _rec_cells_sql twin computing the SAME width from a COUNT(*) scalar
+# subquery in the DuckDB oracle (the _n_planes_sql discipline) — parity
+# stays bit-exact at any sf. At the fixture's ~100-item catalog the
+# width becomes 16 (was the fixed 8), so streaming_recommend_candidates'
+# RESULT changes; it already heads R13_WINDOW, so the driver checks the
+# new plan this round.
+# And: the three foreachBatch snapshot queries (emit / candidates /
+# ridge) now materialize their final snapshot via a serialized
+# localCheckpoint and REMOVE the mkdtemp parquet staging dir instead of
+# leaking one per invocation (ADVICE r12, _snapshot_and_clean).
+# Result-neutral: same rows, same schema, one extra small materialize.
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_recommend_emit",
+    "streaming_window_counts",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left_join",
+    "streaming_simhash_dedup",
+    "streaming_online_ridge",
+    "streaming_recommend_candidates",
+)
 
 
 def _driver_order(names) -> list[str]:

@@ -15,14 +15,16 @@ cells nearest their interest vector.
 `streaming_recommend_candidates` is that loop end to end:
 
 - the item-profile dim is assigned ONCE to its nearest quantizer cell
-  (deterministic seeds: the N_REC_CELLS smallest item_refs, shipped as
-  a single-row broadcast relation — production: sampled k-means
-  centroids, equally driver-resident);
+  (deterministic seeds: the derive_rec_cells(catalog) smallest
+  item_refs — width = next power of two >= sqrt(catalog), derived from
+  a catalog COUNT on BOTH engines — shipped as a single-row broadcast
+  relation; production: sampled k-means centroids, equally
+  driver-resident);
 - per micro-batch, each updated user's (rounded) interest vector is
   assigned map-side to its REC_NPROBE nearest cells (multiprobe, the
   same recall dial tools/probe_ivf_multiprobe.py curves offline);
 - scoring joins users to items ON THE CELL KEY — per-batch work drops
-  from users x catalog to users x (catalog/N_REC_CELLS x REC_NPROBE),
+  from users x catalog to users x ~(REC_NPROBE x sqrt(catalog)),
   and the catalog side stays a broadcast dim while it fits (beyond
   that, the cell key is exactly the hash-join key you'd shuffle on).
 
@@ -55,24 +57,50 @@ from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
     item_profiles,
 )
 
-# The events fixture's item domain is a fixed ~100-item catalog at every
-# sf (item_ref = props.$.k in 0..99), so the quantizer width is a
-# constant here; production derives it from catalog size the way
-# derive_n_planes does from corpus size (cells ~ sqrt(catalog)).
-N_REC_CELLS = 8
+# Quantizer width floor: below this the cell join degenerates toward the
+# full cross join and the index isn't paying for itself.
+REC_CELLS_MIN = 8
 REC_NPROBE = 2
 
 
-def _centroid_relation(profiles: DataFrame) -> DataFrame:
+def _rec_cells_sql(count_expr: str) -> str:
+    """SQL twin of derive_rec_cells (the _n_planes_sql discipline —
+    VERDICT r12 #2: fixed-cardinality knobs are scale bombs; both
+    engines derive the width from the SAME catalog COUNT so the
+    approximation stays exact-checked at every sf). ceil(log2(n)/2) is
+    the exact-integer form of "next power of two >= sqrt(n)":
+    2^k >= sqrt(n) <=> k >= log2(n)/2."""
+    return (
+        f"GREATEST({REC_CELLS_MIN}, CAST(POWER(2, "
+        f"CEIL(LOG2(CAST(GREATEST({count_expr}, 2) AS DOUBLE)) / 2)) AS BIGINT))"
+    )
+
+
+def derive_rec_cells(catalog_size: int) -> int:
+    """Quantizer width = next power of two >= sqrt(catalog), floored at
+    REC_CELLS_MIN. sqrt(catalog) is the balanced IVF width: per-user
+    candidate work is ~ REC_NPROBE * catalog / cells, so cells ~
+    sqrt(catalog) makes it ~ REC_NPROBE * sqrt(catalog) — the O(sqrt)
+    class SCALE_r12's catalog-axis probe measured. Must stay the exact
+    twin of _rec_cells_sql."""
+    return max(
+        REC_CELLS_MIN, 1 << math.ceil(math.log2(float(max(catalog_size, 2))) / 2)
+    )
+
+
+def _centroid_relation(profiles: DataFrame, n_cells: int | None = None) -> DataFrame:
     """The quantizer seeds as a single-row broadcast relation
     `__cents array<struct<cid,ce,nc>>` — exactly n_cells item-profile
-    rows (constant, data-size-free), the `_ivf_assign_cells` pattern:
-    plan size stays independent of the cell count, and the seed norms
-    are precomputed with the same left fold + correctly-rounded sqrt
-    the JVM (and the oracle's list_reduce + sqrt) would produce."""
+    rows (catalog-derived via derive_rec_cells unless pinned), the
+    `_ivf_assign_cells` pattern: plan size stays independent of the cell
+    count, and the seed norms are precomputed with the same left fold +
+    correctly-rounded sqrt the JVM (and the oracle's list_reduce + sqrt)
+    would produce."""
     spark = profiles.sparkSession
+    if n_cells is None:
+        n_cells = derive_rec_cells(profiles.count())
     seeds = (
-        profiles.filter(F.col("item_ref") < N_REC_CELLS)
+        profiles.filter(F.col("item_ref") < n_cells)
         .select(F.col("item_ref").alias("cid"), F.col("profile").alias("ce"))
         .collect()
     )
@@ -128,16 +156,19 @@ def _nearest_cells(vec_col: str, k: int):
 
 
 def item_cell_assignments(
-    profiles: DataFrame, cents: DataFrame | None = None
+    profiles: DataFrame,
+    cents: DataFrame | None = None,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """(item_ref, profile, cell): each catalog item's single nearest
     quantizer cell — the offline half of the candidate index, computed
     once per (re)build, not per batch. Pass a prebuilt `cents` relation
     to reuse one seed collect across the index build and the per-batch
     user assignment (the registered query and the scale probe both hold
-    the two)."""
+    the two); `n_cells` pins the width explicitly (plan tests, probes) —
+    default derives it from the catalog COUNT."""
     if cents is None:
-        cents = _centroid_relation(profiles)
+        cents = _centroid_relation(profiles, n_cells)
     return (
         profiles.crossJoin(F.broadcast(cents))
         .select(
@@ -194,12 +225,15 @@ def item_cell_assignments(
         WHERE item_ref IS NOT NULL
         GROUP BY item_ref
     ),
+    width AS (
+        SELECT {_rec_cells_sql("COUNT(*)")} AS w FROM profiles
+    ),
     cent AS (
         SELECT item_ref AS cid, profile AS ce,
                sqrt(list_reduce(
                    list_prepend(0.0, list_transform(profile, x -> x * x)),
                    (acc, x) -> acc + x)) AS nc
-        FROM profiles WHERE item_ref < {N_REC_CELLS}
+        FROM profiles WHERE item_ref < (SELECT w FROM width)
     ),
     item_cells AS (
         SELECT item_ref, profile, cid AS cell FROM (
@@ -271,9 +305,11 @@ def item_cell_assignments(
     "(single-row broadcast centroid relation — the _ivf_assign_cells "
     "pattern), scored by cosine ONLY against the catalog items assigned "
     "to those cells (cell-key join, broadcast dim), top-10 per user, "
-    "appended to a recommendations table. Per-batch scoring work is "
-    f"users x (catalog/{N_REC_CELLS} x {REC_NPROBE}) instead of the full "
-    "loop's users x catalog. Returns the final recommendations (latest "
+    "appended to a recommendations table. Quantizer width = next power "
+    "of two >= sqrt(catalog), derived from the catalog COUNT identically "
+    "on both engines (derive_rec_cells / _rec_cells_sql), so per-batch "
+    f"scoring work is users x ~({REC_NPROBE} x sqrt(catalog)) instead of "
+    "the full loop's users x catalog. Returns the final recommendations (latest "
     "batch per user); the oracle replays fold + quantizer + pruned "
     "scoring exactly.",
 )
@@ -337,6 +373,11 @@ def streaming_recommend_candidates(spark: SparkSession, sf_dir: str) -> DataFram
 
     recs = spark.read.parquet(out_dir)
     last = recs.groupBy("user_id").agg(F.max("batch_id").alias("batch_id"))
-    return recs.join(last, ["user_id", "batch_id"]).select(
+    snap = recs.join(last, ["user_id", "batch_id"]).select(
         "user_id", "item_ref", "rnk", "score"
     )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _snapshot_and_clean,
+    )
+
+    return _snapshot_and_clean(snap, out_dir)

@@ -218,9 +218,14 @@ def streaming_online_ridge_detail(spark: SparkSession, sf_dir: str) -> DataFrame
 
     rows = spark.read.parquet(out_dir)
     last = rows.groupBy("user_id").agg(F.max("batch_id").alias("batch_id"))
-    return rows.join(last, ["user_id", "batch_id"]).select(
+    snap = rows.join(last, ["user_id", "batch_id"]).select(
         "user_id", "n_events", "theta"
     )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _snapshot_and_clean,
+    )
+
+    return _snapshot_and_clean(snap, out_dir)
 
 
 @register(

@@ -329,6 +329,35 @@ def test_lsh_plane_count_matches_oracle_formula(sf_dir):
             ), (sf, extra)
 
 
+def test_rec_cells_width_matches_oracle_formula():
+    """The candidate-pruned recommender derives its quantizer width from
+    the catalog COUNT on BOTH engines (VERDICT r12 #2 — the fixed
+    8-cell constant was the same class of scale bomb as the r8 df-cap):
+    derive_rec_cells and its _rec_cells_sql twin must resolve to the
+    SAME integer at any catalog size, including the power-of-4
+    boundaries where ceil(log2(n)/2) ties."""
+    import duckdb
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
+        REC_CELLS_MIN,
+        _rec_cells_sql,
+        derive_rec_cells,
+    )
+
+    con = duckdb.connect()
+    sizes = [1, 2, 7, 8, 63, 64, 65, 100, 256, 1023, 1024, 4095, 4096,
+             4097, 10_000, 1_000_000, 4**15]
+    for n in sizes:
+        sql_w = con.execute(f"SELECT {_rec_cells_sql(str(n))}").fetchone()[0]
+        py_w = derive_rec_cells(n)
+        assert sql_w == py_w, (n, sql_w, py_w)
+        assert py_w >= REC_CELLS_MIN
+        # the defining property: smallest power of two whose square
+        # covers the catalog (above the floor)
+        if py_w > REC_CELLS_MIN:
+            assert py_w * py_w >= n and (py_w // 2) * (py_w // 2) < n, (n, py_w)
+
+
 def test_simhash_pairs_single_scan_no_cartesian(spark, sf_dir):
     """Banded-LSH candidates + popcount verify all derive from the one
     checkpointed fingerprint table: corpus scanned at most once, and the
@@ -1806,12 +1835,7 @@ def test_candidate_loop_plan_shape(spark):
     )
 
     def assignment_plan_chars(n_cells: int) -> int:
-        prev = cand.N_REC_CELLS
-        cand.N_REC_CELLS = n_cells
-        try:
-            df = cand.item_cell_assignments(profiles)
-        finally:
-            cand.N_REC_CELLS = prev
+        df = cand.item_cell_assignments(profiles, n_cells=n_cells)
         return len(df._jdf.queryExecution().analyzed().toString())
 
     small, big = assignment_plan_chars(8), assignment_plan_chars(64)

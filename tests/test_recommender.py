@@ -355,3 +355,86 @@ def test_als_item_fold_in_solves_the_normal_equations(spark, sf_dir):
     mean = float(np.mean([r.rating for r in rows]))
     base = float(np.mean([(r.rating - mean) ** 2 for r in rows])) ** 0.5
     assert 0.0 < rmse < base, f"item fold-in rmse {rmse} vs constant {base}"
+
+
+def test_user_fold_in_rmse_within_retrain_band(spark, sf_dir):
+    """VERDICT r12 #7: the registered (0, 25) band alone would admit a
+    badly-conditioned solve that merely beats the global std; anchor the
+    fold-in against the retrain it replaces instead. Fold-in (item
+    factors FROZEN from the holdout-excluded fit) must reconstruct the
+    held-out users' ratings within 1.6x the RMSE of a FULL retrain that
+    saw those users.
+
+    Why 1.6x and not the 1.2x first proposed: measured on this fixture
+    the ratio is 1.38/1.45/1.45 at sf0.001/0.01/0.1 — the synthetic
+    ratings are ~uniform noise, so the retrain's in-sample edge is
+    structural (it adapts the ITEM factors to the holdout rows too,
+    full biconvex freedom; fold-in by definition adapts only the user
+    side). On unpredictable data that gap cannot close, and it is NOT
+    a solve defect — the solve itself is pinned exactly by the
+    A x = b residual identity test above and must still beat the
+    global-mean predictor there. 1.6x = the stable measured plateau
+    (~1.45) plus seed headroom; a genuinely broken solve lands near
+    the global std (ratio ~1.75+ here) and still fails."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.als import (
+        _MODEL_CACHE,
+        fit_als,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.ml.foldin import (
+        HOLDOUT_MOD,
+        _train_model,
+        fold_in_user_factors,
+    )
+
+    model = _train_model(spark, sf_dir)
+    factors = model.itemFactors.select(
+        F.col("id").alias("item_id"),
+        F.transform("features", lambda v: v.cast("double")).alias("f"),
+    )
+    holdout = (
+        ratings(spark, sf_dir)
+        .select(
+            "user_id", "item_id", F.col("rating").cast("double").alias("rating")
+        )
+        .filter(F.col("user_id") % HOLDOUT_MOD == 0)
+    )
+    joined = holdout.join(factors, "item_id").localCheckpoint(eager=True)
+    solved = fold_in_user_factors(joined)
+    dot = F.aggregate(
+        F.zip_with("x", "f", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    fold_rmse = (
+        joined.join(solved, "user_id")
+        .select(((dot - F.col("rating")) ** 2).alias("se"))
+        .agg(F.sqrt(F.avg("se")))
+        .collect()[0][0]
+    )
+
+    # full retrain: the expensive path the fold-in replaces — ALL ratings,
+    # same hyperparameters, evaluated on the SAME scorable holdout rows
+    key = (sf_dir, "foldin_full_retrain")
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = fit_als(
+            ratings(spark, sf_dir).select("user_id", "item_id", "rating")
+        )
+    full = _MODEL_CACHE[key]
+    retrain_rmse = (
+        full.transform(joined.select("user_id", "item_id", "rating"))
+        .select(((F.col("prediction") - F.col("rating")) ** 2).alias("se"))
+        .agg(F.sqrt(F.avg("se")))
+        .collect()[0][0]
+    )
+
+    assert retrain_rmse and retrain_rmse > 0
+    assert fold_rmse is not None and np.isfinite(fold_rmse)
+    assert fold_rmse <= 1.6 * retrain_rmse, (
+        f"fold-in rmse {fold_rmse:.4f} > 1.6x retrain rmse "
+        f"{retrain_rmse:.4f} — the closed-form solve lost more quality "
+        "than the documented retrain trade (measured plateau ~1.45x on "
+        "this fixture's near-noise ratings)"
+    )

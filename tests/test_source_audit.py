@@ -48,9 +48,9 @@ COLLECT_WHITELIST = {
     # the records to feed through the live loopback socket (bounded
     # fixture; the socket SOURCE side is the operator under test)
     ("streaming/queries.py", "streaming_socket_parse_records"),
-    # exactly N_REC_CELLS item-profile seed rows (constant,
-    # catalog-quantizer seeds) — the single-row broadcast centroid
-    # relation for streaming candidate pruning, same bound as
+    # exactly derive_rec_cells(catalog) item-profile seed rows
+    # (~sqrt(catalog) quantizer seeds) — the single-row broadcast
+    # centroid relation for streaming candidate pruning, same bound as
     # operators/vectors.py _ivf_assign_cells
     ("streaming/candidates.py", "_centroid_relation"),
 }

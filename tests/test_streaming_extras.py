@@ -560,11 +560,12 @@ def _cosine_exact(a, b):
     return d / (na * nb + EPS)
 
 
-def _expected_candidate_recs(events_pd, n_cells, nprobe, k=10):
-    """Python twin of the candidate-pruned loop: quantizer seeds = the
-    n_cells smallest item_refs; items take their single nearest cell,
-    users probe their nprobe nearest (cos DESC, cid ASC ties); top-k over
-    the pruned candidate set only."""
+def _expected_candidate_recs(events_pd, nprobe, k=10, n_cells=None):
+    """Python twin of the candidate-pruned loop: quantizer width derived
+    from the catalog size exactly as the engine does (derive_rec_cells,
+    unless pinned); seeds = the n_cells smallest item_refs; items take
+    their single nearest cell, users probe their nprobe nearest (cos
+    DESC, cid ASC ties); top-k over the pruned candidate set only."""
     profiles: dict[int, list[float]] = {}
     ev = events_pd.copy()
     ev["item_ref"] = ev["props"].map(
@@ -576,6 +577,12 @@ def _expected_candidate_recs(events_pd, n_cells, nprobe, k=10):
         profiles[int(item)] = [
             (grp["event_type"] == t).sum() / n for t in EVENT_TYPES
         ]
+    if n_cells is None:
+        from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
+            derive_rec_cells,
+        )
+
+        n_cells = derive_rec_cells(len(profiles))
     seeds = {cid: profiles[cid] for cid in profiles if cid < n_cells}
 
     def top_cells(vec, m):
@@ -608,16 +615,13 @@ def test_streaming_recommend_candidates_matches_pruned_batch_twin(spark, sf_dir)
     per-pair score must equal the full loop's cosine for that pair (the
     pruning changes the candidate set, never a surviving pair's score)."""
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
-        N_REC_CELLS,
         REC_NPROBE,
         streaming_recommend_candidates,
     )
 
     got_rows = streaming_recommend_candidates(spark, sf_dir).collect()
     events_pd = load(spark, sf_dir, "events").toPandas()
-    expected, item_cell = _expected_candidate_recs(
-        events_pd, N_REC_CELLS, REC_NPROBE
-    )
+    expected, item_cell = _expected_candidate_recs(events_pd, REC_NPROBE)
 
     got: dict[int, list] = {}
     for r in got_rows:
@@ -649,7 +653,6 @@ def test_item_cell_assignments_match_twin(spark, sf_dir):
     """The offline half of the candidate index: each catalog item's single
     nearest quantizer cell, engine vs the bit-exact python twin."""
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
-        N_REC_CELLS,
         REC_NPROBE,
         item_cell_assignments,
     )
@@ -657,5 +660,5 @@ def test_item_cell_assignments_match_twin(spark, sf_dir):
     profiles = item_profiles(spark, sf_dir)
     got = {r.item_ref: r.cell for r in item_cell_assignments(profiles).collect()}
     events_pd = load(spark, sf_dir, "events").toPandas()
-    _, item_cell = _expected_candidate_recs(events_pd, N_REC_CELLS, REC_NPROBE)
+    _, item_cell = _expected_candidate_recs(events_pd, REC_NPROBE)
     assert got == item_cell

@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cqu_bigdata_recommender_system_for_movies_spark.session import get_spark
+from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
+    derive_rec_cells,
+)
 
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
@@ -306,17 +309,12 @@ def _run_recommend_candidates(
         spark, item_profiles(spark, sf_dir).localCheckpoint(eager=True), catalog_mult
     )
     n_items = profiles.count()
-    # widen the quantizer to the probe's catalog (production sizes cells
-    # ~ sqrt(catalog)); the module constant targets the fixture catalog
-    prev_cells = cand.N_REC_CELLS
-    cand.N_REC_CELLS = n_cells
-    try:
-        cents = _centroid_relation(profiles)
-        item_cells = cand.item_cell_assignments(profiles, cents).localCheckpoint(
-            eager=True
-        )
-    finally:
-        cand.N_REC_CELLS = prev_cells
+    # the probe's --cells flag pins the width; the registered query
+    # derives it from the catalog COUNT (derive_rec_cells)
+    cents = _centroid_relation(profiles, n_cells)
+    item_cells = cand.item_cell_assignments(profiles, cents).localCheckpoint(
+        eager=True
+    )
     sizes = sorted(
         (r.n for r in item_cells.groupBy("cell").count().withColumnRenamed("count", "n").collect()),
         reverse=True,
@@ -586,9 +584,10 @@ def main() -> None:
                 sf_dir,
                 n_slices,
                 catalog_mult,
-                # default quantizer width ~ sqrt(catalog): 8 cells for the
-                # fixture's 100 items, 32 at 10x, 256 at 100x
-                n_cells or max(8, int(round((100 * catalog_mult) ** 0.5 / 4) * 4)),
+                # default = the engine's own derivation (next power of two
+                # >= sqrt(catalog)): 16 for the fixture's 100 items, 32 at
+                # 10x, 128 at 100x; --cells overrides for width curves
+                n_cells or derive_rec_cells(100 * catalog_mult),
             )
             continue
         stream = _staged_stream(spark, sf_dir, n_slices, by_time=by_time)
