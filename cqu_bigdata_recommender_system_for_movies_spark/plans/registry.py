@@ -616,7 +616,12 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # stays bit-exact at any sf. At the fixture's ~100-item catalog the
 # width becomes 16 (was the fixed 8), so streaming_recommend_candidates'
 # RESULT changes; it already heads R13_WINDOW, so the driver checks the
-# new plan this round.
+# new plan this round. The same query also gained the past-broadcast
+# index path (VERDICT r12 #4): beyond REC_BROADCAST_MAX_ITEMS the index
+# persists as a cell-BUCKETED parquet table (a checkpointed repartition
+# measurably does NOT retain partitioning — the dim re-exchanged every
+# batch), probed at 200k items in SCALE_r13.json. Result-neutral at
+# suite sfs (catalog ~100 items stays on the broadcast branch).
 # And: the three foreachBatch snapshot queries (emit / candidates /
 # ridge) now materialize their final snapshot via a serialized
 # localCheckpoint and REMOVE the mkdtemp parquet staging dir instead of

@@ -155,6 +155,104 @@ def _nearest_cells(vec_col: str, k: int):
     )
 
 
+# Broadcast ceiling for the candidate index: at ~100 B/row (item_ref +
+# 5-double profile + cell) 65536 items is ~6.5 MB, inside Spark's default
+# 10 MB autoBroadcastJoinThreshold with headroom. Beyond it the index
+# persists as a cell-BUCKETED parquet table (the io_sinks co-located-join
+# recipe): bucketed on the join key ONCE at build time, so every
+# micro-batch's cell join reads the catalog side pre-partitioned — no
+# per-batch exchange of the (growing) catalog; only the batch's own
+# probe-side users shuffle onto the bucket layout. (A checkpointed
+# repartition was measured NOT to survive into the LogicalRDD's
+# outputPartitioning — the dim re-exchanged every batch — which is why
+# the bucketed table, not a checkpoint, is the big-catalog shape.)
+# SPARK_GRAFT_REC_BROADCAST_MAX overrides for probes.
+REC_BROADCAST_MAX_ITEMS = 65536
+# Bucket width for the persisted index: bounded by the cell count (one
+# key per cell) and capped — at 1M items the derived 1024 cells land on
+# the 256 cap, ~4 cells/bucket. A real cluster deploy sizes this to its
+# executor count the way io_sinks.N_BUCKETS documents.
+REC_INDEX_MAX_BUCKETS = 256
+CANDIDATE_INDEX_TABLE = "spark_graft_candidate_index"
+
+
+def _rec_broadcast_max_items() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_REC_BROADCAST_MAX", REC_BROADCAST_MAX_ITEMS)
+    )
+
+
+def build_candidate_index(
+    profiles: DataFrame, n_cells: int | None = None
+) -> tuple[DataFrame, DataFrame, int]:
+    """(cents, item_dim, n_items): the full offline half of the candidate
+    index. One catalog COUNT sizes the quantizer width (derive_rec_cells,
+    unless pinned) and picks the join strategy: a broadcast-hinted
+    checkpoint while the catalog fits REC_BROADCAST_MAX_ITEMS; beyond it,
+    a cell-bucketed parquet table (a persistent artifact — the index IS
+    the deliverable, rebuilt per catalog refresh and reused across every
+    micro-batch, overwritten in place on rebuild)."""
+    import os
+    import tempfile
+
+    spark = profiles.sparkSession
+    n_items = profiles.count()
+    if n_cells is None:
+        n_cells = derive_rec_cells(n_items)
+    cents = _centroid_relation(profiles, n_cells)
+    index = item_cell_assignments(profiles, cents)
+    if n_items <= _rec_broadcast_max_items():
+        item_dim = F.broadcast(index.localCheckpoint(eager=True))
+    else:
+        n_buckets = min(REC_INDEX_MAX_BUCKETS, n_cells)
+        loc = os.path.join(
+            tempfile.gettempdir(), "spark_graft_tables", CANDIDATE_INDEX_TABLE
+        )
+        (
+            index.write.mode("overwrite")
+            .option("path", loc)
+            .bucketBy(n_buckets, "cell")
+            .sortBy("cell")
+            .format("parquet")
+            .saveAsTable(CANDIDATE_INDEX_TABLE)
+        )
+        item_dim = spark.table(CANDIDATE_INDEX_TABLE)
+    return cents, item_dim, n_items
+
+
+def score_candidates_batch(
+    batch_df: DataFrame, cents: DataFrame, item_dim: DataFrame, k: int = 10
+) -> DataFrame:
+    """One micro-batch of the pruned scoring pipeline: fold emissions ->
+    6-dp round -> map-side cell probe (REC_NPROBE nearest) -> cell-key
+    join to the index -> cosine -> top-k per user. Shared verbatim by the
+    registered query and the scale probe so the measured plan IS the
+    shipped plan."""
+    rounded = batch_df.withColumn(
+        "interest", F.transform("interest", lambda x: F.round(x, 6))
+    )
+    probed = (
+        rounded.crossJoin(F.broadcast(cents))
+        .select(
+            "user_id",
+            "interest",
+            _nearest_cells("interest", REC_NPROBE).alias("cells"),
+        )
+        .withColumn("cell", F.explode("cells"))
+    )
+    # items carry ONE cell each and users probe distinct cells, so the
+    # cell join emits each (user, item) candidate at most once.
+    scored = probed.join(item_dim, "cell").select(
+        "user_id",
+        "item_ref",
+        F.round(cosine("interest", "profile"), 6).alias("score"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_ref"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def item_cell_assignments(
     profiles: DataFrame,
     cents: DataFrame | None = None,
@@ -319,39 +417,19 @@ def streaming_recommend_candidates(spark: SparkSession, sf_dir: str) -> DataFram
 
     # The candidate index is built ONCE (foreachBatch re-evaluates every
     # closed-over DataFrame per micro-batch without the checkpoint —
-    # same pin as streaming_recommend_emit's profile dim).
+    # same pin as streaming_recommend_emit's profile dim). The index
+    # build also picks the join strategy: broadcast under
+    # REC_BROADCAST_MAX_ITEMS, cell-partitioned bucketed dim beyond.
     profiles = item_profiles(spark, sf_dir).localCheckpoint(eager=True)
-    cents = _centroid_relation(profiles)
-    item_cells = item_cell_assignments(profiles, cents).localCheckpoint(eager=True)
+    cents, item_dim, _ = build_candidate_index(profiles)
     out_dir = tempfile.mkdtemp(prefix="spark_graft_cand_recs_")
     shutil.rmtree(out_dir, ignore_errors=True)  # foreachBatch appends fresh
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
         # round BEFORE both quantizing and scoring: the oracle's fold ->
-        # round -> (assign, cosine) pipeline runs on identical doubles.
-        rounded = batch_df.withColumn(
-            "interest", F.transform("interest", lambda x: F.round(x, 6))
-        )
-        probed = (
-            rounded.crossJoin(F.broadcast(cents))
-            .select(
-                "user_id",
-                "interest",
-                _nearest_cells("interest", REC_NPROBE).alias("cells"),
-            )
-            .withColumn("cell", F.explode("cells"))
-        )
-        # items carry ONE cell each and users probe distinct cells, so
-        # the cell join emits each (user, item) candidate at most once.
-        scored = probed.join(F.broadcast(item_cells), "cell").select(
-            "user_id",
-            "item_ref",
-            F.round(cosine("interest", "profile"), 6).alias("score"),
-        )
-        w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_ref"))
-        top = scored.withColumn("rnk", F.row_number().over(w)).filter(
-            F.col("rnk") <= 10
-        )
+        # round -> (assign, cosine) pipeline runs on identical doubles
+        # (inside score_candidates_batch, shared with the scale probe).
+        top = score_candidates_batch(batch_df, cents, item_dim)
         (
             top.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("append")

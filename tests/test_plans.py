@@ -1844,26 +1844,73 @@ def test_candidate_loop_plan_shape(spark):
         "centroids are back in the expression tree"
     )
 
-    # batch twin of the foreachBatch scoring plan: probed users joined to
-    # cell-local items must compile to a broadcast hash join on `cell`
-    cents = cand._centroid_relation(profiles)
-    item_cells = cand.item_cell_assignments(profiles)
+    # batch twin of the foreachBatch scoring plan (the SHARED
+    # score_candidates_batch — the shipped plan, not a reconstruction):
+    # under the broadcast ceiling, probed users joined to cell-local
+    # items must compile to a broadcast hash join on `cell`
     users = spark.range(50).select(
         F.col("id").alias("user_id"),
         F.array(*[(F.col("id") % (i + 2)).cast("double") for i in range(5)]).alias(
             "interest"
         ),
     )
-    probed = (
-        users.crossJoin(F.broadcast(cents))
-        .select(
-            "user_id",
-            "interest",
-            cand._nearest_cells("interest", cand.REC_NPROBE).alias("cells"),
-        )
-        .withColumn("cell", F.explode("cells"))
-    )
-    scored = probed.join(F.broadcast(item_cells), "cell")
+    cents, item_dim, n_items = cand.build_candidate_index(profiles)
+    assert n_items == 400
+    scored = cand.score_candidates_batch(users, cents, item_dim)
     physical = scored._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in physical
     assert "BroadcastHashJoin" in physical, physical[:2000]
+
+    # (c) past the broadcast ceiling (VERDICT r12 #4) the index persists
+    # as a cell-BUCKETED table. With the fixture's 400 items the planner
+    # would (correctly) re-broadcast the small table from its own stats,
+    # so simulate a genuinely big catalog by zeroing both broadcast
+    # thresholds: the join must become a sort-merge join whose DIM side
+    # reads the bucketed files with NO exchange (bucketing on the join
+    # key is the whole point — the catalog never reshuffles per batch),
+    # while the probe side (the batch's users) exchanges onto the bucket
+    # layout. Never a cartesian product.
+    import os
+    import re
+
+    os.environ["SPARK_GRAFT_REC_BROADCAST_MAX"] = "100"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        prev_aqe_thresh = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold"
+        )
+    except Exception:
+        prev_aqe_thresh = None  # unset: defers to the static threshold
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        cents2, item_dim2, _ = cand.build_candidate_index(profiles)
+        scored2 = cand.score_candidates_batch(users, cents2, item_dim2)
+        physical2 = scored2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        del os.environ["SPARK_GRAFT_REC_BROADCAST_MAX"]
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        if prev_aqe_thresh is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe_thresh
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert "CartesianProduct" not in physical2
+    assert "SortMergeJoin" in physical2, physical2[:2000]
+    # exactly ONE hash exchange below the join (the probe side's users);
+    # the bucketed catalog side must contribute none on the cell key
+    join_tail = physical2[physical2.find("SortMergeJoin"):]
+    window_cut = join_tail  # the join subtree is the plan tail here
+    cell_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(cell", window_cut)
+    )
+    assert cell_exchanges == 1, (
+        f"{cell_exchanges} cell-key exchanges under the join — the "
+        "bucketed index side is reshuffling per batch:\n"
+        + window_cut[:2000]
+    )
+    assert "Bucketed: true" in physical2 or "SelectedBucketsCount" in physical2, (
+        "dim side is not reading the bucketed table layout:\n"
+        + physical2[:2000]
+    )

@@ -286,17 +286,12 @@ def _run_recommend_candidates(
     per-batch scoring work is users x (catalog/n_cells x nprobe)
     instead of users x catalog. Run beside recommend_emit at the same
     --catalog-mult to measure the pruning win directly."""
-    from pyspark.sql import Window
-
-    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
-        cosine,
-    )
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
         REC_NPROBE,
-        _centroid_relation,
-        _nearest_cells,
+        _rec_broadcast_max_items,
+        build_candidate_index,
+        score_candidates_batch,
     )
-    import cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates as cand
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.interest import (
         interest_fold_stream,
     )
@@ -308,15 +303,15 @@ def _run_recommend_candidates(
     profiles = _inflate_catalog(
         spark, item_profiles(spark, sf_dir).localCheckpoint(eager=True), catalog_mult
     )
-    n_items = profiles.count()
     # the probe's --cells flag pins the width; the registered query
-    # derives it from the catalog COUNT (derive_rec_cells)
-    cents = _centroid_relation(profiles, n_cells)
-    item_cells = cand.item_cell_assignments(profiles, cents).localCheckpoint(
-        eager=True
-    )
+    # derives it from the catalog COUNT (derive_rec_cells). The shared
+    # build also picks the join strategy: broadcast under
+    # SPARK_GRAFT_REC_BROADCAST_MAX (default 65536 items), cell-keyed
+    # bucketed dim beyond — lower the env to force the shuffle path at
+    # probe catalogs (VERDICT r12 #4).
+    cents, item_dim, n_items = build_candidate_index(profiles, n_cells)
     sizes = sorted(
-        (r.n for r in item_cells.groupBy("cell").count().withColumnRenamed("count", "n").collect()),
+        (r.n for r in item_dim.groupBy("cell").count().withColumnRenamed("count", "n").collect()),
         reverse=True,
     )
     print(
@@ -327,6 +322,11 @@ def _run_recommend_candidates(
                 "n_cells_used": len(sizes),
                 "largest_cells": sizes[:4],
                 "worst_candidates_per_user": sum(sizes[:REC_NPROBE]),
+                "join_strategy": (
+                    "broadcast"
+                    if n_items <= _rec_broadcast_max_items()
+                    else "cell-partitioned"
+                ),
             }
         ),
         flush=True,
@@ -336,29 +336,7 @@ def _run_recommend_candidates(
     emitted = {"rows": 0}
 
     def score_and_count(batch_df, batch_id):
-        rounded = batch_df.withColumn(
-            "interest", F.transform("interest", lambda x: F.round(x, 6))
-        )
-        probed = (
-            rounded.crossJoin(F.broadcast(cents))
-            .select(
-                "user_id",
-                "interest",
-                _nearest_cells("interest", REC_NPROBE).alias("cells"),
-            )
-            .withColumn("cell", F.explode("cells"))
-        )
-        scored = probed.join(F.broadcast(item_cells), "cell").select(
-            "user_id",
-            "item_ref",
-            F.round(cosine("interest", "profile"), 6).alias("score"),
-        )
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc("score"), F.asc("item_ref")
-        )
-        top = scored.withColumn("rnk", F.row_number().over(w)).filter(
-            F.col("rnk") <= 10
-        )
+        top = score_candidates_batch(batch_df, cents, item_dim)
         emitted["rows"] += top.count()
 
     t0 = time.perf_counter()
