@@ -350,6 +350,16 @@ REGRESSION_MIN_DELTA_SEC = 0.5
 # 1.60x "expected: pre-r7 vacuous" when the prev was r10's real record;
 # isolation cleared it as noise). Re-add an entry here only when the
 # cause postdates the latest committed record.
+#
+# Round-13 close-out of the two r12 flags (VERDICT r12 #5, standing r5
+# isolation protocol — fresh process, calibration probe, 3 reps, sf0.1):
+# streaming_recommend_emit 9.44 cold -> 3.21 / 2.81 warm (suite 5.04 vs
+# the r12 record 5.26 — the sharding's fixed per-batch cost priced in
+# and now slightly faster); bootstrap_mean_ci 3.82 cold -> 3.15 / 3.16
+# warm vs the r12 sf0.1 record 3.44 (suite 3.72, 1.08x raw — noise
+# band; its resample fan-out is genuinely ~3 s at sf0.1). Both floors
+# at or under their records at matched calibration (0.334/0.201
+# medians): map empty.
 EXPECTED_SHIFTS: dict[str, str] = {}
 # The delta floor exists because single-shot timings of short queries are
 # noisy: round 4 flagged global_stats 1.106->1.510 and dedup_exact
