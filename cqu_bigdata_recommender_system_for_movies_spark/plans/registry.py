@@ -627,7 +627,16 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # localCheckpoint and REMOVE the mkdtemp parquet staging dir instead of
 # leaking one per invocation (ADVICE r12, _snapshot_and_clean).
 # Result-neutral: same rows, same schema, one extra small materialize.
+# And: streaming_ann_index_update is NEW this round (streaming/
+# ann_index.py — incremental IVF index maintenance: arriving vector
+# batches assigned map-side against the frozen broadcast quantizer and
+# APPENDED to the persistent bucketBy(cell) index table, no corpus
+# rebuild; the oracle computes the one-pass full assignment, so
+# incremental-equals-rebuild is hash-checked). Registered mid-round-13,
+# never driver-checked -> r14 head FIRST (never-checked precedes
+# changed).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_ann_index_update",
     "streaming_recommend_emit",
     "streaming_window_counts",
     "streaming_stream_stream_join",
@@ -696,5 +705,6 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.ml.foldin  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.streaming.ridge  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index  # noqa: F401
 
     _LOADED = True

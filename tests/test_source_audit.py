@@ -53,6 +53,10 @@ COLLECT_WHITELIST = {
     # centroid relation for streaming candidate pruning, same bound as
     # operators/vectors.py _ivf_assign_cells
     ("streaming/candidates.py", "_centroid_relation"),
+    # exactly N_IVF_CELLS seed rows — the frozen quantizer of the
+    # streaming ANN index maintenance loop, same bound as
+    # _ivf_assign_cells / _centroid_relation
+    ("streaming/ann_index.py", "_ann_cents_relation"),
 }
 
 DRIVER_SINKS = ("collect", "toPandas", "toLocalIterator")

@@ -662,3 +662,93 @@ def test_item_cell_assignments_match_twin(spark, sf_dir):
     events_pd = load(spark, sf_dir, "events").toPandas()
     _, item_cell = _expected_candidate_recs(events_pd, REC_NPROBE)
     assert got == item_cell
+
+
+def test_streaming_ann_index_update_equals_one_pass_rebuild(spark, sf_dir):
+    """Incremental index maintenance must converge to the one-pass
+    rebuild: the streaming append-per-batch assignment equals
+    _ivf_assign_cells over the full corpus (same frozen quantizer, same
+    fold, same cos DESC / cid ASC ties) — the engine-side twin of the
+    registered query's full-assignment oracle."""
+    from pyspark.sql import functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        _ivf_assign_cells,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
+        streaming_ann_index_update,
+    )
+
+    got = {
+        r.vec_id: r.cell
+        for r in streaming_ann_index_update(spark, sf_dir).collect()
+    }
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    expected = {
+        r.vec_id: r.cells[0]
+        for r in _ivf_assign_cells(emb, 1).select("vec_id", "cells").collect()
+    }
+    assert got == expected
+    # the quantizer actually partitions the corpus (no degenerate cell)
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert len(sizes) > 1 and max(sizes.values()) < len(got)
+
+
+def test_streaming_ann_index_appends_bucketed_files(spark, sf_dir):
+    """The maintenance loop's write path: each micro-batch APPENDS its
+    own bucketed files into the constant-bucket-spec table — the index
+    grows without rewriting prior batches' files, and the final table
+    carries the bucket layout the cell-local read path joins against."""
+    import os
+    import tempfile
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
+        ANN_INDEX_TABLE,
+        N_INDEX_SLICES,
+        _ann_cents_relation,
+        assign_batch,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cents = _ann_cents_relation(emb)
+    tbl = ANN_INDEX_TABLE + "_test"
+    loc = os.path.join(tempfile.gettempdir(), "spark_graft_tables", tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
+    try:
+        # replay the per-batch append exactly as the foreachBatch does
+        for s in range(N_INDEX_SLICES):
+            batch = emb.filter(F.pmod("vec_id", F.lit(N_INDEX_SLICES)) == s)
+            (
+                assign_batch(batch, cents)
+                .write.mode("append")
+                .option("path", loc)
+                .bucketBy(16, "cell")
+                .sortBy("cell")
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+        # table metadata: constant bucket spec over all appends
+        ddl = spark.sql(f"SHOW CREATE TABLE {tbl}").collect()[0][0]
+        assert "CLUSTERED BY (cell)" in ddl and "16 BUCKETS" in ddl, ddl
+        # every batch contributed its own files (append, not rewrite)
+        n_files = len(
+            [f for f in os.listdir(loc) if f.startswith("part-")]
+        )
+        assert n_files >= N_INDEX_SLICES, n_files
+        # the union of appends is the full corpus, each vector once
+        total = spark.table(tbl).count()
+        distinct = spark.table(tbl).select("vec_id").distinct().count()
+        assert total == distinct == emb.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(loc, ignore_errors=True)
