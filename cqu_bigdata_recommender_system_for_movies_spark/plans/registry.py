@@ -522,7 +522,11 @@ R12_WINDOW: tuple[str, ...] = R12_CHANGED_HEAD + (
 # (variant_json_extract, weighted_reservoir_sample), then the first 41
 # r8-latest rows alphabetically, from als_cross_validation through
 # random_split_counts.
-# Never-driver-checked outside this window: none.
+# Never-driver-checked outside this window:
+# streaming_ann_index_update (registered mid-round-13, after this pin
+# froze — incremental IVF index maintenance, streaming/ann_index.py);
+# named in CHANGED_THIS_ROUND, so it heads the r14 window first by the
+# standing rule: never-checked precedes changed.
 R13_CHANGED_HEAD: tuple[str, ...] = (
     "streaming_recommend_candidates",
     "als_user_fold_in",

@@ -622,7 +622,7 @@ def test_next_window_plan_comment_is_exact():
     never = [n for n in QUERIES if n not in checked and n not in set(DRIVER_CHECK_FIRST)]
     with open(reg.__file__) as f:
         src = f.read()
-    comment = src[src.index("# r12 fill") : src.index("R12_CHANGED_HEAD: tuple")]
+    comment = src[src.index("# r13 fill") : src.index("R13_CHANGED_HEAD: tuple")]
     # Tokenize the comment into identifiers rather than substring-matching:
     # a name that is a substring of another listed name (e.g. "foo" inside
     # "foo_bar") must NOT count as present (ADVICE r5).
@@ -634,16 +634,17 @@ def test_next_window_plan_comment_is_exact():
         f"registry's next-window plan comment omits never-driver-checked "
         f"queries: {missing} — add them so the rotation stays exact"
     )
-    # VERDICT r10 #1: every query whose implementation or oracle changed
-    # in round 11 OUTSIDE the r11 window must be pinned by name at the
-    # head of the r12 plan so its stale green row gets refreshed first.
+    # VERDICT r10 #1 (standing): every query whose implementation or
+    # oracle changed in the prior round OUTSIDE that round's window must
+    # be pinned by name at the head of the current plan so its stale
+    # green row gets refreshed first.
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
-        R12_CHANGED_HEAD,
+        R13_CHANGED_HEAD,
     )
 
-    unpinned = [n for n in R12_CHANGED_HEAD if n not in tokens]
+    unpinned = [n for n in R13_CHANGED_HEAD if n not in tokens]
     assert not unpinned, (
-        f"r12-fill plan comment must name the round-11 changed queries for "
+        f"r13-fill plan comment must name the round-12 changed queries for "
         f"re-verification; missing: {unpinned}"
     )
 
