@@ -752,3 +752,52 @@ def test_streaming_ann_index_appends_bucketed_files(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_candidate_pruning_recall_floor(spark, sf_dir):
+    """The quantizer must carry SIGNAL, not just structure: the pruned
+    top-10's overlap with the exhaustive users x catalog top-10 has to
+    clear a floor that random cell assignment cannot. At the fixture
+    (~100 items, derived width 16, nprobe 2) a user's candidate set is
+    ~12 items, so RANDOM cells would expect recall ~0.12; the working
+    quantizer measures 0.52-0.59 across sfs
+    (tools/probe_candidates_recall.py). Floor at 0.30 — far above
+    random, far below the measured plateau, so only a degenerated
+    assignment (broken tie order, wrong norm, shuffled seeds) fails."""
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
+        REC_NPROBE,
+    )
+
+    events_pd = load(spark, sf_dir, "events").toPandas()
+    pruned, _ = _expected_candidate_recs(events_pd, REC_NPROBE)
+
+    # exhaustive top-10 from the same profiles/vectors (python twin)
+    profiles: dict[int, list[float]] = {}
+    ev = events_pd.copy()
+    ev["item_ref"] = ev["props"].map(
+        lambda s: json.loads(s).get("k") if s else None
+    )
+    typed = ev[ev["item_ref"].notna()]
+    for item, grp in typed.groupby("item_ref"):
+        n = len(grp)
+        profiles[int(item)] = [
+            (grp["event_type"] == t).sum() / n for t in EVENT_TYPES
+        ]
+    hits = denom = 0
+    for uid, grp in events_pd.groupby("user_id"):
+        interest = fold_events(np.zeros(DIM), grp)
+        interest = [round(float(x), 6) for x in interest]
+        scored = [
+            (round(_cosine_exact(interest, prof), 6), item)
+            for item, prof in profiles.items()
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        exhaustive = {item for _, item in scored[:10]}
+        got = {item for item, _, _ in pruned.get(uid, [])}
+        hits += len(exhaustive & got)
+        denom += len(exhaustive)
+    recall = hits / denom
+    assert recall >= 0.30, (
+        f"pruned recall@10 {recall:.3f} below the degeneration floor — "
+        "the quantizer is no better than random cells"
+    )
