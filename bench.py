@@ -292,7 +292,37 @@ def main() -> None:
         # parseable line (totals only; the full map is in bench_full.json)
         compact["queries"] = {}
         line = json.dumps(compact)
-    print(line)
+
+    # VERDICT r13 #2: BENCH_r13 parsed null — the StateStore
+    # "Could not unload state store provider / RpcEnv already stopped"
+    # stack traces at JVM teardown landed in the stdout tail the driver
+    # parses, AFTER the result line. Make the result line the LAST stdout
+    # bytes of the process:
+    # (1) stop any still-active streaming query (none expected — every
+    #     bench entry awaits its availableNow termination — belt+braces),
+    # (2) unload the state-store providers while the RpcEnv is still
+    #     alive (StateStore.stop() — the teardown race IS the
+    #     maintenance-thread-unload vs RpcEnv-shutdown order; calling it
+    #     first makes the unload a clean no-op at context stop),
+    # (3) spark.stop() so every remaining teardown log line lands NOW,
+    # (4) a short drain sleep for straggler daemon-thread output, then
+    #     print the result line last and flush.
+    for q in spark.streams.active:
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except Exception:
+            pass
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — py4j teardown ordering only
+        jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    time.sleep(2.0)
+    print(line, flush=True)
 
 
 def _inline_candidates(
@@ -370,10 +400,19 @@ REGRESSION_MIN_DELTA_SEC = 0.5
 # sibling emit/candidates queries absorbed the same change and got
 # FASTER (5.26 -> 5.04, 4.0 -> 3.63) because their r13 re-plans
 # dominate.
+# ADVICE r13 correction to the ridge attribution: part of the r13 +1 s
+# was NOT the snapshot materialize — ridge's _stream_state_partitions
+# call passed no source path, so the scale-aware derivation read "size
+# unknown" and fanned the sf0.1 run out to min(256, cores) state
+# partitions instead of the documented 8 floor. r14 passes the actual
+# source path (ridge.py), putting sf0.1 back on 8; expect the entry to
+# move back TOWARD its pre-r13 time (the snapshot-materialize share of
+# the shift remains).
 EXPECTED_SHIFTS: dict[str, str] = {
     "streaming_online_ridge": (
-        "r13 snapshot-materialize + staging cleanup (ADVICE r12): fixed "
-        "~1 s small-job cost at sf0.1; isolation floor 3.5 s post-change"
+        "r13 snapshot-materialize + staging cleanup (ADVICE r12) plus an "
+        "unintended 32-partition state fan-out; r14 re-pins the 8-floor "
+        "via source_path (ADVICE r13) — expect a partial recovery"
     ),
 }
 # The delta floor exists because single-shot timings of short queries are
