@@ -582,66 +582,141 @@ R13_WINDOW: tuple[str, ...] = R13_CHANGED_HEAD + (
     "random_split_counts",
 )
 
-# Round 13 rotation (VERDICT r12 #1): burn the pinned window.
-DRIVER_CHECK_FIRST: tuple[str, ...] = R13_WINDOW
+# r14 fill — the EXACT round-14 window, pinned at the start of round 14
+# from the round-13 manifest (VERDICT r13 #1). Rule, recomputed and
+# asserted by tests/test_plans.py::test_r14_window_pin:
+# (a) head = the r13 CHANGED_THIS_ROUND tuple minus R13_WINDOW names
+# (in-window names got fresh r13 rows at round end), ordered
+# never-driver-checked FIRST (the standing r11 rule: never-checked
+# precedes changed): streaming_ann_index_update (registered
+# mid-round-13, no driver row in any CORRECTNESS_r* file — VERDICT r13
+# #2's exact ask: the driver hash-checks incremental-equals-rebuild),
+# then the three whose green rows predate the result-neutral r13
+# derive_state_partitions re-plan, in tuple order
+# (streaming_window_counts, streaming_stream_stream_join,
+# streaming_stream_stream_left_join — the last also carries the r13
+# bench flag, so its driver row doubles as the correctness half of the
+# isolation protocol).
+# (b) oldest-green-first re-confirmations (last driver round ascending
+# over CORRECTNESS_r01..r13, NAME as the tie-break — registry insertion
+# order varies with module import order, so it cannot anchor a pinned
+# list — R13_WINDOW names excluded since their r13 rows are freshest)
+# up to the 50-slot window: the three remaining r8-latest rows
+# (range_join_events_orders, stratified_sample_counts,
+# streaming_hll_distinct), all 41 r9-latest rows alphabetically from
+# bm25_topk through write_recommendations_table, then the first two
+# r10-latest rows alphabetically (anti_join_unseen_items,
+# approx_aggregates).
+# Never-driver-checked outside this window:
+# streaming_ann_index_compact (registered mid-round-14, after this pin
+# froze — the ANN index lifecycle query: compaction every
+# ANN_COMPACT_EVERY appends bounds the live file count,
+# streaming/ann_index.py); named in CHANGED_THIS_ROUND, so it heads the
+# r15 window first by the standing rule: never-checked precedes
+# changed.
+R14_CHANGED_HEAD: tuple[str, ...] = (
+    "streaming_ann_index_update",
+    "streaming_window_counts",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left_join",
+)
+R14_WINDOW: tuple[str, ...] = R14_CHANGED_HEAD + (
+    "range_join_events_orders",
+    "stratified_sample_counts",
+    "streaming_hll_distinct",
+    "bm25_topk",
+    "bpr_negative_sampling",
+    "contamination_check",
+    "dup_rate_by_source",
+    "duplicate_passage_detection",
+    "embedding_centroid_by_label",
+    "graph_embedding_propagation",
+    "hash_split_assign",
+    "key_distribution_histogram",
+    "lang_id_confusion",
+    "mixture_sample_by_source",
+    "multi_hot_encode",
+    "multimodal_frame_sample",
+    "ndcg_at_k_popularity",
+    "parquet_sink_roundtrip",
+    "pii_redaction",
+    "python_datasource_scan",
+    "python_datasource_stream",
+    "regex_token_count",
+    "repetition_stats",
+    "reservoir_sample_per_key",
+    "rolling_time_window_features",
+    "sequence_pack_assignments",
+    "shuffle_tokens_multiset",
+    "simhash_fingerprint",
+    "skew_key_diagnostics",
+    "streaming_console_emit",
+    "streaming_hash_split_counts",
+    "streaming_session_window",
+    "streaming_watermarked_counts",
+    "text_normalize",
+    "text_quality_score",
+    "tfidf_top_terms",
+    "token_stats",
+    "udaf_weighted_mean",
+    "unigram_logprob_score",
+    "unpivot_doc_metrics",
+    "vector_argmax",
+    "vector_serde_roundtrip",
+    "wordcount_documents",
+    "write_recommendations_table",
+    "anti_join_unseen_items",
+    "approx_aggregates",
+)
+
+# Round 14 rotation (VERDICT r13 #1): burn the pinned window.
+DRIVER_CHECK_FIRST: tuple[str, ...] = R14_WINDOW
 DRIVER_CHECK_LAST: tuple[str, ...] = ()
 
 # Queries whose implementation hash (transitive in-package closure, see
-# plans/manifest.py) changed since the round-13 start tree (the tree the
-# r12 driver verified; plans/query_manifest.json is frozen there).
+# plans/manifest.py) changed since the round-14 start tree (the tree the
+# r13 driver verified; plans/query_manifest.json is frozen there).
 # VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as any
 # query/oracle/helper change — enforced by
 # tests/test_plans.py::test_changed_queries_are_manifested, which fails
-# on any hash drift not named here. The r14 window head is derived from
-# it mechanically: CHANGED_THIS_ROUND minus R13_WINDOW (in-window names
-# get fresh r13 rows at round end and need no r14 slot). At the start of
-# round 14: refresh the manifest (python -m
+# on any hash drift not named here. The r15 window head is derived from
+# it mechanically: CHANGED_THIS_ROUND minus R14_WINDOW (in-window names
+# get fresh r14 rows at round end and need no r15 slot). At the start of
+# round 15: refresh the manifest (python -m
 # cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
-# refresh), pin R14_WINDOW, reset this tuple to ().
+# refresh), pin R15_WINDOW, reset this tuple to ().
 #
-# r13 changes so far:
-# _stream_state_partitions is now SCALE-AWARE (VERDICT r12 "What's
-# wrong" #1): with no explicit pin, the partition count derives from the
-# stream source's parquet-footer row count — below STATE_SCALE_ROWS the
-# 8-partition floor holds (fixed per-partition state-store costs
-# dominate at sf0.1, the original measurement), at/above it (or size
-# unknown) it fans out to min(STATE_SHARDS_WIDTH, cores), the
-# configuration SCALE_r12 measured 2.1x faster at the 1000x interest
-# fold. Result-neutral at every suite sf (still 8 there; partition count
-# never changes emitted rows). Closure reaches streaming_window_counts,
-# streaming_stream_stream_join, streaming_stream_stream_left_join,
-# streaming_simhash_dedup (all wrap the helper), and
-# streaming_online_ridge (imports it).
-# And: the candidate-pruned recommender's quantizer width is now DERIVED
-# from the catalog size (VERDICT r12 "What's wrong" #2): derive_rec_cells
-# = next power of two >= sqrt(catalog), floored at REC_CELLS_MIN=8, with
-# the _rec_cells_sql twin computing the SAME width from a COUNT(*) scalar
-# subquery in the DuckDB oracle (the _n_planes_sql discipline) — parity
-# stays bit-exact at any sf. At the fixture's ~100-item catalog the
-# width becomes 16 (was the fixed 8), so streaming_recommend_candidates'
-# RESULT changes; it already heads R13_WINDOW, so the driver checks the
-# new plan this round. The same query also gained the past-broadcast
-# index path (VERDICT r12 #4): beyond REC_BROADCAST_MAX_ITEMS the index
-# persists as a cell-BUCKETED parquet table (a checkpointed repartition
-# measurably does NOT retain partitioning — the dim re-exchanged every
-# batch), probed at 200k items in SCALE_r13.json. Result-neutral at
-# suite sfs (catalog ~100 items stays on the broadcast branch).
-# And: the three foreachBatch snapshot queries (emit / candidates /
-# ridge) now materialize their final snapshot via a serialized
-# localCheckpoint and REMOVE the mkdtemp parquet staging dir instead of
-# leaking one per invocation (ADVICE r12, _snapshot_and_clean).
-# Result-neutral: same rows, same schema, one extra small materialize.
-# And: streaming_ann_index_update is NEW this round (streaming/
-# ann_index.py — incremental IVF index maintenance: arriving vector
-# batches assigned map-side against the frozen broadcast quantizer and
-# APPENDED to the persistent bucketBy(cell) index table, no corpus
-# rebuild; the oracle computes the one-pass full assignment, so
-# incremental-equals-rebuild is hash-checked). Registered mid-round-13,
-# never driver-checked -> r14 head FIRST (never-checked precedes
-# changed).
+# r14 changes so far (all result-neutral — ADVICE r13 + VERDICT r13 #7):
+# _parquet_rows now imports pyarrow INSIDE its try so a deployment
+# without pyarrow degrades to the derive unknown-size branch instead of
+# raising at plan time (closure reaches every _stream_state_partitions
+# wrapper: streaming_window_counts, streaming_stream_stream_join,
+# streaming_stream_stream_left_join, streaming_simhash_dedup,
+# streaming_online_ridge). streaming_online_ridge additionally passes
+# its actual source path so the sf0.1 run stays on the documented
+# 8-partition floor (ADVICE r13 medium — the no-arg call read "size
+# unknown" and silently fanned out to min(256, cores), polluting the
+# bench attribution). streaming_recommend_candidates: REC_NPROBE is now
+# the documented deployment dial (SPARK_GRAFT_REC_NPROBE, default
+# unchanged at 2, measured curve cited at the constant).
+# And: the ANN index maintenance loop grew its lifecycle half (VERDICT
+# r13 #3 + ADVICE r13): streaming_ann_index_update's appends are now
+# IDEMPOTENT (per-row batch_id ledger; a foreachBatch replay of a
+# committed batch is detected and skipped) and each append repartitions
+# its assigned rows onto the bucket layout so a batch adds at most one
+# file per bucket (an un-repartitioned bucketed write emits one file
+# per bucket PER TASK). Result-unchanged at every sf (same (vec_id,
+# cell) contents; it heads R14_WINDOW, so the driver checks the new
+# plan this round). streaming_ann_index_compact is NEW this round: the
+# same loop with write-new-generation-then-swap compaction every
+# ANN_COMPACT_EVERY appends, bounding live file count at n_buckets x
+# (ANN_COMPACT_EVERY + 1) forever; it shares the one-pass-rebuild
+# oracle, so compaction neutrality is hash-checked. Registered
+# mid-round-14, never driver-checked -> r15 head FIRST (never-checked
+# precedes changed).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_ann_index_compact",
     "streaming_ann_index_update",
-    "streaming_recommend_emit",
     "streaming_window_counts",
     "streaming_stream_stream_join",
     "streaming_stream_stream_left_join",

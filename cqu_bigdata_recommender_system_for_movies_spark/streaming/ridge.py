@@ -203,7 +203,12 @@ def streaming_online_ridge_detail(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(out_dir)
         )
 
-    with _stream_state_partitions(spark):
+    # ADVICE r13: pass the stream's actual source so the scale-aware
+    # derivation sees the real row count — sf0.1 stays on the documented
+    # 8-partition floor (the no-arg call read "size unknown" and fanned
+    # out to min(256, cores), silently polluting the bench attribution),
+    # decade replays still fan out.
+    with _stream_state_partitions(spark, source_path=f"{sf_dir}/events.parquet"):
         q = (
             ridge_fold_stream(_events_stream(spark, sf_dir), profiles)
             .writeStream.foreachBatch(emit)

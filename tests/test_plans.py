@@ -622,7 +622,7 @@ def test_next_window_plan_comment_is_exact():
     never = [n for n in QUERIES if n not in checked and n not in set(DRIVER_CHECK_FIRST)]
     with open(reg.__file__) as f:
         src = f.read()
-    comment = src[src.index("# r13 fill") : src.index("R13_CHANGED_HEAD: tuple")]
+    comment = src[src.index("# r14 fill") : src.index("R14_CHANGED_HEAD: tuple")]
     # Tokenize the comment into identifiers rather than substring-matching:
     # a name that is a substring of another listed name (e.g. "foo" inside
     # "foo_bar") must NOT count as present (ADVICE r5).
@@ -639,12 +639,12 @@ def test_next_window_plan_comment_is_exact():
     # be pinned by name at the head of the current plan so its stale
     # green row gets refreshed first.
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
-        R13_CHANGED_HEAD,
+        R14_CHANGED_HEAD,
     )
 
-    unpinned = [n for n in R13_CHANGED_HEAD if n not in tokens]
+    unpinned = [n for n in R14_CHANGED_HEAD if n not in tokens]
     assert not unpinned, (
-        f"r13-fill plan comment must name the round-12 changed queries for "
+        f"r14-fill plan comment must name the round-13 changed queries for "
         f"re-verification; missing: {unpinned}"
     )
 
@@ -1020,7 +1020,8 @@ def test_r13_window_pin():
     )
 
     all_queries()  # populate the registry
-    assert DRIVER_CHECK_FIRST == R13_WINDOW  # the r13 rotation is live
+    # (the r13 rotation was live through round 13; DRIVER_CHECK_FIRST now
+    # points at R14_WINDOW — asserted by test_r14_window_pin)
     assert len(R13_WINDOW) == DRIVER_WINDOW
     assert len(set(R13_WINDOW)) == len(R13_WINDOW)
     assert R13_WINDOW[: len(R13_CHANGED_HEAD)] == R13_CHANGED_HEAD
@@ -1085,6 +1086,92 @@ def test_r13_window_pin():
     assert R13_WINDOW == expect, (
         "pinned R13_WINDOW deviates from the oldest-green-first rule: "
         f"{[(a, b) for a, b in zip(R13_WINDOW, expect) if a != b]}"
+    )
+
+
+def test_r14_window_pin():
+    """VERDICT r13 #1: pin the EXACT r14 window at the start of round 14.
+    Recompute it from the stated rule — head = the r13
+    CHANGED_THIS_ROUND tuple minus R13_WINDOW names, ordered
+    never-driver-checked FIRST (the standing r11 rule: never-checked
+    precedes changed): streaming_ann_index_update (registered
+    mid-round-13, no driver row in any CORRECTNESS_r* file), then the
+    three whose green rows predate the result-neutral r13
+    derive_state_partitions re-plan, in tuple order
+    (streaming_window_counts, streaming_stream_stream_join,
+    streaming_stream_stream_left_join). Fill = oldest-green-first (last
+    driver round ascending over CORRECTNESS_r01..r13, NAME tie-break,
+    R13_WINDOW names excluded since their r13 rows are freshest) — and
+    assert the pinned tuple matches bit for bit. The r13
+    CHANGED_THIS_ROUND tuple is reproduced here as a literal because it
+    was reset to () at the same commit that pinned this window."""
+    import glob
+    import json
+    import os
+    import re
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        DRIVER_WINDOW,
+        QUERIES,
+        R13_WINDOW,
+        R14_CHANGED_HEAD,
+        R14_WINDOW,
+    )
+
+    all_queries()  # populate the registry
+    assert DRIVER_CHECK_FIRST == R14_WINDOW  # the r14 rotation is live
+    assert len(R14_WINDOW) == DRIVER_WINDOW
+    assert len(set(R14_WINDOW)) == len(R14_WINDOW)
+    assert R14_WINDOW[: len(R14_CHANGED_HEAD)] == R14_CHANGED_HEAD
+    # the r13 CHANGED_THIS_ROUND tuple, frozen at the r14 pin commit
+    changed_r13 = (
+        "streaming_ann_index_update",
+        "streaming_recommend_emit",
+        "streaming_window_counts",
+        "streaming_stream_stream_join",
+        "streaming_stream_stream_left_join",
+        "streaming_simhash_dedup",
+        "streaming_online_ridge",
+        "streaming_recommend_candidates",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rnd > 13:
+            continue  # the pin froze on the r01..r13 rows
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    head_pool = tuple(n for n in changed_r13 if n not in set(R13_WINDOW))
+    never_checked = tuple(n for n in head_pool if n not in last)
+    replanned = tuple(n for n in head_pool if n in last)
+    assert never_checked == ("streaming_ann_index_update",)
+    expect_head = never_checked + replanned
+    assert R14_CHANGED_HEAD == expect_head, (
+        "r14 head deviates from never-checked-first over "
+        "CHANGED_THIS_ROUND(r13) minus R13_WINDOW: "
+        f"{[(a, b) for a, b in zip(R14_CHANGED_HEAD, expect_head) if a != b]}"
+    )
+    unknown = [n for n in R14_WINDOW if n not in QUERIES]
+    assert not unknown, f"r14 window names unregistered queries: {unknown}"
+    overlap = set(R14_WINDOW) & set(R13_WINDOW)
+    assert not overlap, (
+        f"r14 window repeats r13-window names whose rows are freshest: {overlap}"
+    )
+    rest = [
+        n
+        for n in QUERIES
+        if n not in set(R14_CHANGED_HEAD) and n not in set(R13_WINDOW)
+    ]
+    rest.sort(key=lambda n: (last.get(n, 99), n))
+    expect = R14_CHANGED_HEAD + tuple(
+        rest[: DRIVER_WINDOW - len(R14_CHANGED_HEAD)]
+    )
+    assert R14_WINDOW == expect, (
+        "pinned R14_WINDOW deviates from the oldest-green-first rule: "
+        f"{[(a, b) for a, b in zip(R14_WINDOW, expect) if a != b]}"
     )
 
 

@@ -57,6 +57,13 @@ COLLECT_WHITELIST = {
     # streaming ANN index maintenance loop, same bound as
     # _ivf_assign_cells / _centroid_relation
     ("streaming/ann_index.py", "_ann_cents_relation"),
+    # one catalog-metadata row (the table's Location string) — feeds the
+    # compaction generation swap and the audit's file counter
+    ("streaming/ann_index.py", "_table_location"),
+    # audit-only per-batch cell histogram: <= N_IVF_CELLS rows (the
+    # quantizer-staleness/skew signal); skipped entirely when no audit
+    # list is passed (the registered queries pass none)
+    ("streaming/ann_index.py", "emit"),
 }
 
 DRIVER_SINKS = ("collect", "toPandas", "toLocalIterator")

@@ -58,6 +58,7 @@ def main() -> None:
         )
         print(json.dumps({"state_store": "rocksdb"}), flush=True)
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        STREAM_STATE_PARTITIONS,
         _stream_state_partitions,
     )
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.simdedup import (
@@ -91,7 +92,15 @@ def main() -> None:
         emitted["per_batch"][int(batch_id)] = n
 
     t0 = time.perf_counter()
-    with _stream_state_partitions(spark):
+    # ADVICE r13: pin the pre-r13 default (8) explicitly — the helper's
+    # no-arg call became scale-aware in r13 and would fan out to
+    # min(256, cores) here, breaking comparability with the recorded
+    # baselines (SCALE_r11/r12 simdedup rows, all taken at 8).
+    # SPARK_GRAFT_STATE_PARTITIONS still overrides for fan-out probes.
+    n_state = int(
+        os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", STREAM_STATE_PARTITIONS)
+    )
+    with _stream_state_partitions(spark, n=n_state):
         q = (
             dedup_stream(stream)
             .writeStream.foreachBatch(count_only)
