@@ -171,6 +171,10 @@ HEADLINE = [
     "als_user_fold_in",
     "als_item_fold_in",
     "streaming_online_ridge",
+    # round-14 additions — APPENDED (the ANN index maintenance loop,
+    # registered r13 but never benched, and its r14 lifecycle twin)
+    "streaming_ann_index_update",
+    "streaming_ann_index_compact",
 ]
 
 
@@ -480,6 +484,15 @@ EXPECTED_SHIFTS: dict[str, str] = {
 # 3.24 -> 2.19 / 2.10 (record 3.42). All three warm floors sit well
 # under their flagged records at matched calibration: suite-context /
 # first-run variance, no code cause, regression map clean.
+#
+# Round-14 isolation run of the one r13 flag (VERDICT r13 #4 — the
+# driver's working-tree map showed streaming_stream_stream_left_join
+# 2.70 -> 7.18 s raw, 1.62x normalized, on a noisy host with NO code
+# cause): fresh session, calibration 0.235 (committed record's window
+# was 0.220), 3 reps at sf0.1 — 4.11 cold -> 2.54 / 2.42 warm. The warm
+# floor sits UNDER the 2.70 s record at matched calibration: host-noise
+# variance of the documented high-variance availableNow class, no code
+# cause, regression map clean.
 
 
 def _regressions(
