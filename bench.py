@@ -172,9 +172,10 @@ HEADLINE = [
     "als_item_fold_in",
     "streaming_online_ridge",
     # round-14 additions — APPENDED (the ANN index maintenance loop,
-    # registered r13 but never benched, and its r14 lifecycle twin)
+    # registered r13 but never benched, and its r14 lifecycle twins)
     "streaming_ann_index_update",
     "streaming_ann_index_compact",
+    "streaming_ann_index_upsert",
 ]
 
 
@@ -532,6 +533,20 @@ def _regressions(
                     and full.get("value") == inner.get("value")
                 ):
                     prev = {**(full.get("queries") or {}), **prev}
+            except (OSError, json.JSONDecodeError):
+                pass
+        if not prev:
+            # the driver's record can be UNPARSED (BENCH_r13: teardown
+            # noise clobbered the stdout tail -> parsed: null) — without
+            # this fallback the regression gate silently skipped a whole
+            # round. The committed bench_full.json is the most recent
+            # complete same-code map; use it as the baseline.
+            try:
+                with open(os.path.join(here, "bench_full.json")) as f:
+                    full = json.load(f)
+                prev = dict(full.get("queries") or {})
+                prev_sf = full.get("sf")
+                inner = full
             except (OSError, json.JSONDecodeError):
                 pass
     except (OSError, json.JSONDecodeError, AttributeError):

@@ -611,9 +611,11 @@ R13_WINDOW: tuple[str, ...] = R13_CHANGED_HEAD + (
 # streaming_ann_index_compact (registered mid-round-14, after this pin
 # froze — the ANN index lifecycle query: compaction every
 # ANN_COMPACT_EVERY appends bounds the live file count,
-# streaming/ann_index.py); named in CHANGED_THIS_ROUND, so it heads the
-# r15 window first by the standing rule: never-checked precedes
-# changed.
+# streaming/ann_index.py) and streaming_ann_index_upsert (also
+# mid-round-14 — the re-embedding path: last-writer-wins on a
+# data-derived version column, purging compaction); both named in
+# CHANGED_THIS_ROUND, so they head the r15 window first by the
+# standing rule: never-checked precedes changed.
 R14_CHANGED_HEAD: tuple[str, ...] = (
     "streaming_ann_index_update",
     "streaming_window_counts",
@@ -714,7 +716,16 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # oracle, so compaction neutrality is hash-checked. Registered
 # mid-round-14, never driver-checked -> r15 head FIRST (never-checked
 # precedes changed).
+# And: streaming_ann_index_upsert is NEW this round — the RE-EMBEDDING
+# path: later arrival slices carry new versions of already-indexed
+# vectors (deterministic sign-flip payload), index semantics become
+# last-writer-wins on a data-derived version column, and the
+# generation-swap compaction physically PURGES superseded versions
+# (merge-on-write). The oracle computes the latest-version one-pass
+# assignment, so upsert-equals-rebuild is hash-checked. Also
+# registered mid-round-14, never driver-checked -> r15 head.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_ann_index_upsert",
     "streaming_ann_index_compact",
     "streaming_ann_index_update",
     "streaming_window_counts",

@@ -44,7 +44,11 @@ itself (VERDICT r13 #3, ADVICE r13):
 `streaming_ann_index_update` runs the plain maintenance loop end to end
 on the embeddings table staged as a 3-slice file stream;
 `streaming_ann_index_compact` runs the full lifecycle (10 arrival
-batches, compaction every 4) and must produce the identical index:
+batches, compaction every 4) and must produce the identical index;
+`streaming_ann_index_upsert` runs the RE-EMBEDDING path (later slices
+carry new versions of already-indexed vectors; last-writer-wins on a
+data-derived version column; compaction physically purges superseded
+versions) and must produce the latest-version assignment:
 
 - quantizer seeds = the N_IVF_CELLS smallest vec_ids of the EXISTING
   corpus (identical to ann_ivf_topk's deterministic quantizer,
@@ -85,8 +89,11 @@ from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
 ANN_INDEX_TABLE = "spark_graft_ann_index"
 ANN_COMPACT_TABLE = "spark_graft_ann_index_c"
+ANN_UPSERT_TABLE = "spark_graft_ann_index_u"
 N_INDEX_SLICES = 3  # staged arrival batches for the availableNow replay
 N_COMPACT_SLICES = 10  # lifecycle query: enough appends for 2 compactions
+N_UPSERT_SLICES = 4  # upsert query: 2 insert-only slices + 2 update slices
+UPSERT_COMPACT_EVERY = 2  # purge superseded versions every 2 appends
 # Appends between compactions. Each append adds <= 1 file per bucket, a
 # compaction rewrites to exactly 1, so the live file count is bounded by
 # n_buckets x (ANN_COMPACT_EVERY + 1) regardless of index age. 4 keeps
@@ -127,13 +134,18 @@ def _ann_cents_relation(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame
     )
 
 
-def assign_batch(batch_df: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell): map-side nearest-cell assignment of one arrival
-    batch against the frozen quantizer — the shared `_nearest_cells`
-    fold over the broadcast centroid row; no corpus-sized exchange."""
+def assign_batch(
+    batch_df: DataFrame, cents: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, cell, *carry): map-side nearest-cell assignment of one
+    arrival batch against the frozen quantizer — the shared
+    `_nearest_cells` fold over the broadcast centroid row; no
+    corpus-sized exchange. `carry` names batch columns to keep beside
+    the assignment (the upsert loop carries its version column)."""
     return batch_df.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         F.element_at(_nearest_cells("e", 1), 1).alias("cell"),
+        *carry,
     )
 
 
@@ -168,9 +180,18 @@ def apply_index_batch(
     cents: DataFrame,
     batch_id: int,
     n_buckets: int,
+    check_ledger: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> bool:
     """One idempotent maintenance append. Returns False when the batch
     was already applied (a foreachBatch replay), True after a commit.
+
+    ``check_ledger=False`` skips the existence probe when the CALLER
+    already knows the batch is new — the maintenance loop reads the
+    table's max committed batch_id ONCE at startup and only probes for
+    ids at or below that resume floor (batch ids are monotonic per
+    checkpoint, so anything above the floor cannot be in the table),
+    making the steady-state cost zero scans per batch instead of one.
 
     The embedding fold runs at full map-side width; only the assigned
     (vec_id, cell, batch_id) rows — bytes per row, not the vectors —
@@ -178,10 +199,10 @@ def apply_index_batch(
     AT MOST ONE FILE PER BUCKET (an un-repartitioned bucketed write
     emits one file per bucket PER TASK, which is how append-only
     bucketed tables blow up their file counts at scale)."""
-    if batch_already_applied(spark, table, batch_id):
+    if check_ledger and batch_already_applied(spark, table, batch_id):
         return False
     assigned = assign_batch(
-        batch_df.repartition(shuffle_partitions(spark)), cents
+        batch_df.repartition(shuffle_partitions(spark)), cents, carry=carry
     ).withColumn("batch_id", F.lit(int(batch_id)))
     writer = (
         assigned.repartition(n_buckets, "cell")
@@ -218,9 +239,21 @@ def _index_file_count(loc: str) -> int:
 
 
 def compact_index_table(
-    spark: SparkSession, table: str, n_buckets: int, new_loc: str
+    spark: SparkSession,
+    table: str,
+    n_buckets: int,
+    new_loc: str,
+    purge_latest_by: str | None = None,
 ) -> None:
     """Rewrite the bucketed index back to ONE file per bucket.
+
+    ``purge_latest_by`` names a version column: the rewrite then keeps
+    only each vec_id's LATEST version (row_number over ver DESC) — the
+    upsert loop's merge-on-write, where superseded re-embeddings are
+    physically dropped at compaction time instead of filtered on every
+    read. A purging compaction necessarily shuffles (winner selection
+    keys on vec_id, the write layout on cell); the plain file merge
+    below stays exchange-free.
 
     Write-then-swap, never in place: the current table is read into a
     NEW generation directory under a temp catalog name (repartitioning
@@ -247,9 +280,18 @@ def compact_index_table(
     prev_auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     try:
+        cur = spark.table(table)
+        if purge_latest_by is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("vec_id").orderBy(F.desc(purge_latest_by))
+            cur = (
+                cur.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         (
-            spark.table(table)
-            .repartition(n_buckets, "cell")
+            cur.repartition(n_buckets, "cell")
             .write.mode("overwrite")
             .option("path", new_loc)
             .bucketBy(n_buckets, "cell")
@@ -275,12 +317,22 @@ def maintain_index(
     compact_every: int | None = None,
     audit: list | None = None,
     cleanup: bool = True,
+    upsert: bool = False,
 ) -> DataFrame:
     """Run the incremental-maintenance loop end to end and return the
     final index contents (vec_id, cell). `audit`, when given, receives
     one dict per applied batch (file count + per-batch cell skew — the
     quantizer-staleness signal: drift in arriving data shows up as the
-    largest-cell/mean-cell ratio climbing across appends)."""
+    largest-cell/mean-cell ratio climbing across appends).
+
+    ``upsert=True`` runs the RE-EMBEDDING scenario: later slices carry
+    NEW versions of already-indexed vectors (the deterministic payload:
+    vec_id % 4 < 2 gets its embedding sign-flipped in arrival slice
+    (vec_id % 4) + 2). Index semantics become last-writer-wins on the
+    data-derived version column — the snapshot keeps each vec_id's
+    max-ver row, and compaction physically PURGES superseded versions
+    (merge-on-write), so the steady-state table holds one row per
+    vector regardless of re-embedding traffic."""
     import tempfile
 
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
@@ -292,24 +344,59 @@ def maintain_index(
     )
     cents = _ann_cents_relation(emb)
 
-    # stage the corpus as n_slices arrival batches (pmod keeps the
-    # slicing deterministic; one file per trigger = one batch per slice)
     stage_dir = tempfile.mkdtemp(prefix="spark_graft_ann_stage_")
     shutil.rmtree(stage_dir, ignore_errors=True)
-    (
-        emb.withColumn("slice", F.pmod("vec_id", F.lit(n_slices)).cast("int"))
-        .repartition(n_slices, "slice")
-        .write.mode("overwrite")
-        .partitionBy("slice")
-        .parquet(stage_dir)
-    )
-    read_schema = "vec_id long, e array<double>, slice integer"
-    stream = (
-        spark.readStream.schema(read_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_dir)
-        .drop("slice")
-    )
+    if upsert:
+        # versioned staging: slice s = the originals with vec_id%n==s
+        # (ver=s), plus for s >= 2 the re-embedded updates of slice s-2
+        # (ver=s — ver doubles as the arrival slice, so winners are
+        # data-derived and immune to the file source merging batches).
+        # Slices are written SEQUENTIALLY so file mtimes follow version
+        # order; correctness never depends on it (max-ver wins), it just
+        # makes the replay realistic.
+        orig = emb.withColumn(
+            "ver", F.pmod("vec_id", F.lit(n_slices)).cast("int")
+        )
+        upd = (
+            emb.filter(F.pmod("vec_id", F.lit(n_slices)) < n_slices - 2)
+            .select(
+                "vec_id",
+                F.transform("e", lambda x: -x).alias("e"),
+                (F.pmod("vec_id", F.lit(n_slices)) + 2).cast("int").alias("ver"),
+            )
+        )
+        versions = orig.unionByName(upd)
+        os.makedirs(stage_dir, exist_ok=True)
+        for s in range(n_slices):
+            (
+                versions.filter(F.col("ver") == s)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(stage_dir)
+            )
+        read_schema = "vec_id long, e array<double>, ver integer"
+        stream = (
+            spark.readStream.schema(read_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+    else:
+        # stage the corpus as n_slices arrival batches (pmod keeps the
+        # slicing deterministic; one file per trigger = one batch per slice)
+        (
+            emb.withColumn("slice", F.pmod("vec_id", F.lit(n_slices)).cast("int"))
+            .repartition(n_slices, "slice")
+            .write.mode("overwrite")
+            .partitionBy("slice")
+            .parquet(stage_dir)
+        )
+        read_schema = "vec_id long, e array<double>, slice integer"
+        stream = (
+            spark.readStream.schema(read_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .drop("slice")
+        )
 
     loc_base = os.path.join(tempfile.gettempdir(), "spark_graft_tables", table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -317,6 +404,17 @@ def maintain_index(
     for gen in range(n_slices + 2):
         shutil.rmtree(f"{loc_base}_gen{gen}", ignore_errors=True)
     n_buckets = min(16, N_IVF_CELLS)
+    # resume floor: the max batch_id already committed to the table (a
+    # restart resuming an existing index). Batch ids are monotonic per
+    # checkpoint, so only ids AT OR BELOW the floor can be replays — ids
+    # above it skip the per-batch ledger probe entirely (zero existence
+    # scans in the steady state / on a fresh build).
+    if spark.catalog.tableExists(table):
+        spark.catalog.refreshTable(table)
+        row = spark.table(table).agg(F.max("batch_id")).collect()[0]
+        resume_floor = -1 if row[0] is None else int(row[0])
+    else:
+        resume_floor = -1
     state = {"appends": 0, "gen": 0}
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
@@ -328,6 +426,8 @@ def maintain_index(
             cents,
             batch_id,
             n_buckets,
+            check_ledger=int(batch_id) <= resume_floor,
+            carry=("ver",) if upsert else (),
         )
         if not applied:
             if audit is not None:
@@ -368,13 +468,18 @@ def maintain_index(
         if compact_every and state["appends"] % compact_every == 0:
             state["gen"] += 1
             compact_index_table(
-                spark, table, n_buckets, f"{loc_base}_gen{state['gen']}"
+                spark,
+                table,
+                n_buckets,
+                f"{loc_base}_gen{state['gen']}",
+                purge_latest_by="ver" if upsert else None,
             )
             if audit is not None:
                 audit.append(
                     {
                         "compacted_after": int(batch_id),
                         "files": _index_file_count(_table_location(spark, table)),
+                        "rows": int(spark.table(table).count()),
                     }
                 )
 
@@ -390,9 +495,19 @@ def maintain_index(
         q.stop()
 
     final_loc = _table_location(spark, table)
-    snap = _snapshot_and_clean(
-        spark.table(table).select("vec_id", "cell"), stage_dir
-    )
+    contents = spark.table(table)
+    if upsert:
+        # last-writer-wins: each vec_id's max-ver row is the live index
+        # entry (whatever compaction has or hasn't purged yet)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ver"))
+        contents = (
+            contents.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    snap = _snapshot_and_clean(contents.select("vec_id", "cell"), stage_dir)
     if cleanup:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(final_loc, ignore_errors=True)
@@ -472,4 +587,74 @@ def streaming_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ANN_COMPACT_TABLE,
         N_COMPACT_SLICES,
         compact_every=ANN_COMPACT_EVERY,
+    )
+
+
+@register(
+    "streaming_ann_index_upsert",
+    # The oracle replays the versioned arrival schedule in one query:
+    # originals at ver = vec_id % 4, re-embeddings (sign-flipped — a
+    # deterministic, bit-exact payload on both engines) of slices 0/1
+    # at ver = vec_id % 4 + 2, winner = max ver per vec_id, then the
+    # same frozen-quantizer assignment. The engine must converge to the
+    # LATEST version's assignment through incremental appends AND the
+    # purging compactions — last-writer-wins is hash-checked exactly.
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    versions AS (
+        SELECT vec_id, e, CAST(vec_id % {N_UPSERT_SLICES} AS INTEGER) AS ver
+        FROM base
+        UNION ALL
+        SELECT vec_id, list_transform(e, x -> -x) AS e,
+               CAST(vec_id % {N_UPSERT_SLICES} + 2 AS INTEGER) AS ver
+        FROM base WHERE vec_id % {N_UPSERT_SLICES} < {N_UPSERT_SLICES - 2}
+    ),
+    latest AS (
+        SELECT vec_id, e FROM (
+            SELECT vec_id, e,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY ver DESC
+                   ) AS vrn
+            FROM versions
+        ) WHERE vrn = 1
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {N_IVF_CELLS}),
+    scored AS (
+        SELECT l.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.vec_id
+                   ORDER BY list_dot_product(l.e, c.ce) /
+                            (sqrt(list_dot_product(l.e, l.e)) *
+                             sqrt(list_dot_product(c.ce, c.ce)) + 1e-8) DESC,
+                            c.cid
+               ) AS rn
+        FROM latest l CROSS JOIN cent c
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS cell FROM scored WHERE rn = 1
+    """,
+    doc="Streaming ANN index UPSERT (beyond-reference — the re-embedding "
+    "path every production embedding pipeline needs: items get "
+    "re-encoded by a newer model and their index entries must follow): "
+    f"{N_UPSERT_SLICES} arrival slices where later slices carry NEW "
+    "versions of already-indexed vectors (deterministic sign-flip "
+    "payload). Index semantics are last-writer-wins on a data-derived "
+    "version column; every "
+    f"{UPSERT_COMPACT_EVERY} appends the generation-swap compaction "
+    "physically PURGES superseded versions (merge-on-write), so the "
+    "steady-state table holds one row per vector regardless of "
+    "re-embedding traffic while keeping the bucketed read layout. The "
+    "quantizer stays FROZEN through updates — exactly the staleness "
+    "scenario the maintenance audit's cell-skew signal monitors. "
+    "Returns the final index (vec_id, cell); the oracle computes the "
+    "latest-version one-pass assignment, so upsert-equals-rebuild is "
+    "hash-checked exactly.",
+)
+def streaming_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return maintain_index(
+        spark,
+        sf_dir,
+        ANN_UPSERT_TABLE,
+        N_UPSERT_SLICES,
+        compact_every=UPSERT_COMPACT_EVERY,
+        upsert=True,
     )

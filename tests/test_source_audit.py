@@ -64,6 +64,9 @@ COLLECT_WHITELIST = {
     # quantizer-staleness/skew signal); skipped entirely when no audit
     # list is passed (the registered queries pass none)
     ("streaming/ann_index.py", "emit"),
+    # one max(batch_id) scalar at loop startup — the resume floor that
+    # lets every batch above it skip the per-batch ledger probe
+    ("streaming/ann_index.py", "maintain_index"),
 }
 
 DRIVER_SINKS = ("collect", "toPandas", "toLocalIterator")

@@ -855,6 +855,102 @@ def test_ann_index_compaction_bounds_files(spark, sf_dir):
     assert not [a for a in audit if "replay_skipped" in a]
 
 
+def test_ann_index_upsert_last_writer_wins_and_purges(spark, sf_dir):
+    """The re-embedding loop: later slices carry NEW versions of
+    already-indexed vectors (sign-flip payload). (a) The final index
+    must equal the one-pass assignment over each vector's LATEST
+    embedding — the engine twin of the registered query's
+    latest-version oracle; (b) the purging compaction physically drops
+    superseded versions, so a final purge leaves exactly one physical
+    row per vector (merge-on-write, not filter-on-read)."""
+    import shutil
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
+        N_UPSERT_SLICES,
+        UPSERT_COMPACT_EVERY,
+        _ann_cents_relation,
+        _table_location,
+        assign_batch,
+        compact_index_table,
+        maintain_index,
+    )
+
+    tbl = "spark_graft_ann_index_upsert_test"
+    audit: list = []
+    got = maintain_index(
+        spark,
+        sf_dir,
+        tbl,
+        N_UPSERT_SLICES,
+        compact_every=UPSERT_COMPACT_EVERY,
+        audit=audit,
+        upsert=True,
+        cleanup=False,
+    )
+    try:
+        got_map = {r.vec_id: r.cell for r in got.collect()}
+
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        # latest version per vector: slices 0/1 were re-embedded
+        # (sign-flipped), 2/3 keep their originals
+        latest = emb.select(
+            "vec_id",
+            F.when(
+                F.pmod("vec_id", F.lit(N_UPSERT_SLICES)) < N_UPSERT_SLICES - 2,
+                F.transform("e", lambda x: -x),
+            )
+            .otherwise(F.col("e"))
+            .alias("e"),
+        )
+        # one-pass batch twin: latest vectors assigned against the
+        # quantizer frozen on the ORIGINAL corpus (the engine's own
+        # batch primitive, independent of the incremental loop — the
+        # loop must converge to it; the DuckDB oracle is the
+        # cross-engine check of the same statement)
+        cents = _ann_cents_relation(emb)
+        expected = {
+            r.vec_id: r.cell for r in assign_batch(latest, cents).collect()
+        }
+        assert got_map == expected
+        n_vec = emb.count()
+        assert len(got_map) == n_vec
+        # updates actually changed assignments for a real share of slices
+        # 0/1 (a sign-flipped vector rarely keeps its nearest cell)
+        orig = {
+            r.vec_id: r.cell for r in assign_batch(emb, cents).collect()
+        }
+        moved = sum(
+            1
+            for v, c in got_map.items()
+            if v % N_UPSERT_SLICES < N_UPSERT_SLICES - 2 and orig[v] != c
+        )
+        assert moved > 0
+
+        # (b) a final purge-compaction leaves one physical row per vector
+        loc_base = _table_location(spark, tbl)
+        compact_index_table(
+            spark, tbl, 16, loc_base + "_purgetest", purge_latest_by="ver"
+        )
+        assert spark.table(tbl).count() == n_vec
+        # and the purged table still answers identically
+        purged = {
+            r.vec_id: r.cell
+            for r in spark.table(tbl).select("vec_id", "cell").collect()
+        }
+        assert purged == expected
+    finally:
+        final_loc = _table_location(spark, tbl)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(final_loc, ignore_errors=True)
+        base = "/tmp/spark_graft_tables/" + tbl
+        for gen in range(N_UPSERT_SLICES + 2):
+            shutil.rmtree(f"{base}_gen{gen}", ignore_errors=True)
+        shutil.rmtree(base + "_gen1_purgetest", ignore_errors=True)
+
+
 def test_ann_index_read_after_appends(spark, sf_dir):
     """VERDICT r13 #5: the maintained index's READ path. Build the index
     through >= 3 incremental appends (multiple files per bucket — the
