@@ -18,9 +18,13 @@ replica scale with the audit on and reports, as JSON lines:
    single centroid) — the probe reports the drifted batch's skew beside
    the organic band, showing the metric flags quantizer staleness.
 
+With --upsert, runs the RE-EMBEDDING loop instead (versioned slices,
+last-writer-wins, purging compaction) and reports the merge-on-write
+cost: rows before/after each purge and the total maintenance time.
+
 Usage:
     python tools/scale_testdata.py /root/testdata/sf0.1 /tmp/sf100x_emb 1000 embeddings
-    python tools/probe_ann_index_lifecycle.py /tmp/sf100x_emb [n_slices] [compact_every]
+    python tools/probe_ann_index_lifecycle.py /tmp/sf100x_emb [n_slices] [compact_every] [--upsert]
 """
 
 from __future__ import annotations
@@ -51,9 +55,13 @@ N_BUCKETS = 16
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_slices = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else ANN_COMPACT_EVERY
+    args = [a for a in sys.argv[1:] if a != "--upsert"]
+    upsert = "--upsert" in sys.argv
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    n_slices = int(args[1]) if len(args) > 1 else (4 if upsert else 12)
+    compact_every = (
+        int(args[2]) if len(args) > 2 else (2 if upsert else ANN_COMPACT_EVERY)
+    )
     spark = get_spark("ann-index-lifecycle-probe")
 
     audit: list = []
@@ -66,14 +74,19 @@ def main() -> None:
         compact_every=compact_every,
         audit=audit,
         cleanup=False,
+        upsert=upsert,
     )
     maintain_sec = round(time.perf_counter() - t0, 1)
     n_vecs = snap.count()
     print(
         json.dumps(
             {
+                "mode": "upsert" if upsert else "append",
                 "maintain_sec": maintain_sec,
                 "n_vectors": n_vecs,
+                "rows_at_compactions": [
+                    a["rows"] for a in audit if "compacted_after" in a
+                ],
                 "n_slices": n_slices,
                 "compact_every": compact_every,
                 "file_bound": N_BUCKETS * (compact_every + 1),
@@ -127,7 +140,19 @@ def main() -> None:
     # STALENESS injection: a drifted batch — every vector sits exactly at
     # quantizer seed 3, so the whole batch lands in one cell. The
     # per-batch skew must spike to ~n_occupied_cells while the organic
-    # band stays near 1.
+    # band stays near 1. (Append-mode only: the upsert table carries a
+    # version column this synthetic batch doesn't.)
+    if upsert:
+        import shutil
+
+        final_loc = _table_location(spark, TABLE)
+        spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
+        shutil.rmtree(final_loc, ignore_errors=True)
+        base = os.path.join("/tmp", "spark_graft_tables", TABLE)
+        for gen in range(n_slices + 2):
+            shutil.rmtree(f"{base}_gen{gen}", ignore_errors=True)
+        spark.stop()
+        return
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
