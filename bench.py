@@ -176,6 +176,7 @@ HEADLINE = [
     "streaming_ann_index_update",
     "streaming_ann_index_compact",
     "streaming_ann_index_upsert",
+    "streaming_ann_index_delete",
 ]
 
 

@@ -611,11 +611,14 @@ R13_WINDOW: tuple[str, ...] = R13_CHANGED_HEAD + (
 # streaming_ann_index_compact (registered mid-round-14, after this pin
 # froze — the ANN index lifecycle query: compaction every
 # ANN_COMPACT_EVERY appends bounds the live file count,
-# streaming/ann_index.py) and streaming_ann_index_upsert (also
+# streaming/ann_index.py), streaming_ann_index_upsert (also
 # mid-round-14 — the re-embedding path: last-writer-wins on a
-# data-derived version column, purging compaction); both named in
-# CHANGED_THIS_ROUND, so they head the r15 window first by the
-# standing rule: never-checked precedes changed.
+# data-derived version column, purging compaction), and
+# streaming_ann_index_delete (also mid-round-14 — the removal path:
+# keyed tombstones in a delete-marker side table, applied physically
+# at compaction); all named in CHANGED_THIS_ROUND, so they head the
+# r15 window first by the standing rule: never-checked precedes
+# changed.
 R14_CHANGED_HEAD: tuple[str, ...] = (
     "streaming_ann_index_update",
     "streaming_window_counts",
@@ -724,7 +727,16 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # (merge-on-write). The oracle computes the latest-version one-pass
 # assignment, so upsert-equals-rebuild is hash-checked. Also
 # registered mid-round-14, never driver-checked -> r15 head.
+# And: streaming_ann_index_delete is NEW this round — the removal
+# path completing the index CRUD story: a final tombstone slice
+# deletes vec_id % 4 == 2; keyed delete markers land in a small side
+# table (written BEFORE the batch's index append, so replays can only
+# duplicate markers, never lose them), the snapshot anti-joins markers
+# newer than the winning version, and compaction applies them
+# physically. Oracle = the post-CRUD one-pass assignment. Also
+# registered mid-round-14, never driver-checked -> r15 head.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_ann_index_delete",
     "streaming_ann_index_upsert",
     "streaming_ann_index_compact",
     "streaming_ann_index_update",

@@ -94,6 +94,8 @@ N_INDEX_SLICES = 3  # staged arrival batches for the availableNow replay
 N_COMPACT_SLICES = 10  # lifecycle query: enough appends for 2 compactions
 N_UPSERT_SLICES = 4  # upsert query: 2 insert-only slices + 2 update slices
 UPSERT_COMPACT_EVERY = 2  # purge superseded versions every 2 appends
+ANN_DELETE_TABLE = "spark_graft_ann_index_d"
+N_DELETE_SLICES = 5  # delete query: the upsert schedule + a tombstone slice
 # Appends between compactions. Each append adds <= 1 file per bucket, a
 # compaction rewrites to exactly 1, so the live file count is bounded by
 # n_buckets x (ANN_COMPACT_EVERY + 1) regardless of index age. 4 keeps
@@ -244,6 +246,7 @@ def compact_index_table(
     n_buckets: int,
     new_loc: str,
     purge_latest_by: str | None = None,
+    tombstones: DataFrame | None = None,
 ) -> None:
     """Rewrite the bucketed index back to ONE file per bucket.
 
@@ -290,6 +293,17 @@ def compact_index_table(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
+        if tombstones is not None:
+            # apply delete markers physically: drop every row at or
+            # below its key's newest marker version (newer re-inserts
+            # survive); the markers themselves stay in their side table
+            cur = (
+                cur.join(tombstones, "vec_id", "left")
+                .filter(
+                    F.col("__dver").isNull() | (F.col("__dver") < F.col("ver"))
+                )
+                .drop("__dver")
+            )
         (
             cur.repartition(n_buckets, "cell")
             .write.mode("overwrite")
@@ -318,6 +332,7 @@ def maintain_index(
     audit: list | None = None,
     cleanup: bool = True,
     upsert: bool = False,
+    deletes: bool = False,
 ) -> DataFrame:
     """Run the incremental-maintenance loop end to end and return the
     final index contents (vec_id, cell). `audit`, when given, receives
@@ -332,7 +347,19 @@ def maintain_index(
     data-derived version column — the snapshot keeps each vec_id's
     max-ver row, and compaction physically PURGES superseded versions
     (merge-on-write), so the steady-state table holds one row per
-    vector regardless of re-embedding traffic."""
+    vector regardless of re-embedding traffic.
+
+    ``deletes=True`` (implies the versioned staging) reserves the LAST
+    slice for TOMBSTONES (vec_id % mod == 2, at ver = mod — the delete
+    arrives after every version it kills): deletes land in a small side
+    table of (vec_id, ver, batch_id) delete markers — the Iceberg
+    delete-file shape, since a keyed tombstone cannot be routed into
+    the cell-bucketed layout without knowing the key's cell — the
+    snapshot anti-joins markers newer than the winning version (an even
+    newer re-insert would revive the key), and compaction applies them
+    PHYSICALLY to the index rewrite. Markers are retained (bounded:
+    one row per deleted key) so replays and late versions stay
+    correct."""
     import tempfile
 
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
@@ -354,18 +381,28 @@ def maintain_index(
         # Slices are written SEQUENTIALLY so file mtimes follow version
         # order; correctness never depends on it (max-ver wins), it just
         # makes the replay realistic.
-        orig = emb.withColumn(
-            "ver", F.pmod("vec_id", F.lit(n_slices)).cast("int")
+        mod = n_slices - 1 if deletes else n_slices
+        orig = emb.select(
+            "vec_id",
+            "e",
+            F.pmod("vec_id", F.lit(mod)).cast("int").alias("ver"),
+            F.lit("u").alias("op"),
         )
-        upd = (
-            emb.filter(F.pmod("vec_id", F.lit(n_slices)) < n_slices - 2)
-            .select(
-                "vec_id",
-                F.transform("e", lambda x: -x).alias("e"),
-                (F.pmod("vec_id", F.lit(n_slices)) + 2).cast("int").alias("ver"),
-            )
+        upd = emb.filter(F.pmod("vec_id", F.lit(mod)) < mod - 2).select(
+            "vec_id",
+            F.transform("e", lambda x: -x).alias("e"),
+            (F.pmod("vec_id", F.lit(mod)) + 2).cast("int").alias("ver"),
+            F.lit("u").alias("op"),
         )
         versions = orig.unionByName(upd)
+        if deletes:
+            tombs = emb.filter(F.pmod("vec_id", F.lit(mod)) == 2).select(
+                "vec_id",
+                F.lit(None).cast("array<double>").alias("e"),
+                F.lit(mod).cast("int").alias("ver"),
+                F.lit("d").alias("op"),
+            )
+            versions = versions.unionByName(tombs)
         os.makedirs(stage_dir, exist_ok=True)
         for s in range(n_slices):
             (
@@ -374,7 +411,7 @@ def maintain_index(
                 .write.mode("append")
                 .parquet(stage_dir)
             )
-        read_schema = "vec_id long, e array<double>, ver integer"
+        read_schema = "vec_id long, e array<double>, ver integer, op string"
         stream = (
             spark.readStream.schema(read_schema)
             .option("maxFilesPerTrigger", 1)
@@ -415,24 +452,60 @@ def maintain_index(
         resume_floor = -1 if row[0] is None else int(row[0])
     else:
         resume_floor = -1
+    tomb_table = f"{table}_tombs"
+    if deletes:
+        spark.sql(f"DROP TABLE IF EXISTS {tomb_table}")
+        shutil.rmtree(f"{loc_base}_tombs", ignore_errors=True)
     state = {"appends": 0, "gen": 0}
 
+    def _tombstones() -> DataFrame | None:
+        """Newest delete marker per key, or None when nothing is
+        tombstoned yet. Bounded: one row per ever-deleted vec_id."""
+        if not (deletes and spark.catalog.tableExists(tomb_table)):
+            return None
+        spark.catalog.refreshTable(tomb_table)
+        return spark.table(tomb_table).groupBy("vec_id").agg(
+            F.max("ver").alias("__dver")
+        )
+
     def emit(batch_df: DataFrame, batch_id: int) -> None:
+        upserts = batch_df
+        if upsert:
+            upserts = batch_df.filter(F.col("op") == "u").drop("op")
+        check_ledger = int(batch_id) <= resume_floor
+        if check_ledger and batch_already_applied(spark, table, batch_id):
+            if audit is not None:
+                audit.append({"replay_skipped": int(batch_id)})
+            return
+        if deletes:
+            # delete markers ride a SMALL side table (the Iceberg
+            # delete-file shape — a keyed tombstone can't be routed into
+            # the cell-bucketed layout without knowing the key's cell).
+            # Markers are written BEFORE the index append — the append is
+            # the batch's commit marker, so a crash in between replays
+            # the whole batch and merely duplicates markers, which the
+            # max(ver)-per-key aggregation absorbs; the reverse order
+            # could LOSE deletes forever.
+            dels = batch_df.filter(F.col("op") == "d").select(
+                "vec_id", "ver", F.lit(int(batch_id)).alias("batch_id")
+            )
+            writer = dels.coalesce(1).write.mode("append").format("parquet")
+            if not spark.catalog.tableExists(tomb_table):
+                writer = writer.option("path", f"{loc_base}_tombs")
+            writer.saveAsTable(tomb_table)
+            spark.catalog.refreshTable(tomb_table)
         applied = apply_index_batch(
             spark,
             table,
             f"{loc_base}_gen0",
-            batch_df,
+            upserts,
             cents,
             batch_id,
             n_buckets,
-            check_ledger=int(batch_id) <= resume_floor,
+            check_ledger=False,  # the guard above already ran
             carry=("ver",) if upsert else (),
         )
-        if not applied:
-            if audit is not None:
-                audit.append({"replay_skipped": int(batch_id)})
-            return
+        assert applied
         state["appends"] += 1
         if audit is not None:
             # THIS batch's cell histogram (bounded: <= N_IVF_CELLS rows) —
@@ -459,9 +532,12 @@ def maintain_index(
                     # (not just occupied ones — a fully-concentrated
                     # drifted batch occupies ONE cell, and max/mean over
                     # occupied cells would read a flat 1.0 exactly when
-                    # the drift is worst)
-                    "cell_skew": round(
-                        max(counts) / (sum(counts) / N_IVF_CELLS), 3
+                    # the drift is worst). None for a batch with no
+                    # upsert rows (e.g. a tombstone-only delete batch).
+                    "cell_skew": (
+                        round(max(counts) / (sum(counts) / N_IVF_CELLS), 3)
+                        if counts
+                        else None
                     ),
                 }
             )
@@ -473,6 +549,7 @@ def maintain_index(
                 n_buckets,
                 f"{loc_base}_gen{state['gen']}",
                 purge_latest_by="ver" if upsert else None,
+                tombstones=_tombstones(),
             )
             if audit is not None:
                 audit.append(
@@ -507,10 +584,21 @@ def maintain_index(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    tombs = _tombstones()
+    if tombs is not None:
+        # a marker kills every version up to its own; a NEWER version
+        # (a re-insert after the delete) revives the key
+        contents = (
+            contents.join(tombs, "vec_id", "left")
+            .filter(F.col("__dver").isNull() | (F.col("__dver") < F.col("ver")))
+            .drop("__dver")
+        )
     snap = _snapshot_and_clean(contents.select("vec_id", "cell"), stage_dir)
     if cleanup:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {tomb_table}")
         shutil.rmtree(final_loc, ignore_errors=True)
+        shutil.rmtree(f"{loc_base}_tombs", ignore_errors=True)
         for gen in range(n_slices + 2):
             shutil.rmtree(f"{loc_base}_gen{gen}", ignore_errors=True)
     return snap
@@ -657,4 +745,81 @@ def streaming_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         N_UPSERT_SLICES,
         compact_every=UPSERT_COMPACT_EVERY,
         upsert=True,
+    )
+
+
+@register(
+    "streaming_ann_index_delete",
+    # The oracle replays the full CRUD schedule: the upsert arrival
+    # plan (originals at ver = vec_id % 4, sign-flipped re-embeddings
+    # of slices 0/1 at ver + 2), then a final tombstone slice deleting
+    # vec_id % 4 == 2 at ver 4. Live = winners whose version exceeds
+    # their newest delete marker; assignment over the live set. The
+    # engine must converge through incremental appends, the delete-
+    # marker side table, and tombstone-applying compactions.
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    versions AS (
+        SELECT vec_id, e, CAST(vec_id % 4 AS INTEGER) AS ver FROM base
+        UNION ALL
+        SELECT vec_id, list_transform(e, x -> -x) AS e,
+               CAST(vec_id % 4 + 2 AS INTEGER) AS ver
+        FROM base WHERE vec_id % 4 < 2
+    ),
+    tombs AS (
+        SELECT vec_id, CAST(4 AS INTEGER) AS dver FROM base WHERE vec_id % 4 = 2
+    ),
+    latest AS (
+        SELECT vec_id, e, ver FROM (
+            SELECT vec_id, e, ver,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY ver DESC
+                   ) AS vrn
+            FROM versions
+        ) WHERE vrn = 1
+    ),
+    live AS (
+        SELECT l.vec_id, l.e FROM latest l
+        LEFT JOIN tombs t ON l.vec_id = t.vec_id
+        WHERE t.vec_id IS NULL OR t.dver < l.ver
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {N_IVF_CELLS}),
+    scored AS (
+        SELECT l.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.vec_id
+                   ORDER BY list_dot_product(l.e, c.ce) /
+                            (sqrt(list_dot_product(l.e, l.e)) *
+                             sqrt(list_dot_product(c.ce, c.ce)) + 1e-8) DESC,
+                            c.cid
+               ) AS rn
+        FROM live l CROSS JOIN cent c
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS cell FROM scored WHERE rn = 1
+    """,
+    doc="Streaming ANN index DELETE (beyond-reference — the removal path "
+    "that completes the index CRUD story: items leave the catalog and "
+    "their index entries must stop matching): the upsert arrival "
+    "schedule plus a final tombstone slice (vec_id % 4 == 2 deleted at "
+    "version 4). Keyed tombstones land in a SMALL delete-marker side "
+    "table (the Iceberg delete-file shape — a bare key can't be routed "
+    "into the cell-bucketed layout), written BEFORE the batch's index "
+    "append so a replay can only duplicate markers (absorbed by the "
+    "max-version aggregation), never lose them; the snapshot anti-joins "
+    "markers newer than the winning version (a later re-insert revives "
+    "the key), and every "
+    f"{UPSERT_COMPACT_EVERY} appends the generation-swap compaction "
+    "applies markers PHYSICALLY to the rewrite. Returns the final live "
+    "index (vec_id, cell); the oracle computes the post-CRUD one-pass "
+    "assignment, so delete-equals-rebuild is hash-checked exactly.",
+)
+def streaming_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return maintain_index(
+        spark,
+        sf_dir,
+        ANN_DELETE_TABLE,
+        N_DELETE_SLICES,
+        compact_every=UPSERT_COMPACT_EVERY,
+        upsert=True,
+        deletes=True,
     )

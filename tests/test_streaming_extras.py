@@ -951,6 +951,105 @@ def test_ann_index_upsert_last_writer_wins_and_purges(spark, sf_dir):
         shutil.rmtree(base + "_gen1_purgetest", ignore_errors=True)
 
 
+def test_ann_index_delete_tombstones_and_physical_purge(spark, sf_dir):
+    """The removal path: a final tombstone slice deletes vec_id%4==2.
+    (a) The live index equals the one-pass assignment over the post-CRUD
+    corpus (re-embedded 0/1, original 3, DELETED 2); (b) compaction
+    applies markers physically — a final tombstone-aware compaction
+    leaves exactly the live rows, no filter-on-read debt; (c) the
+    delete-marker side table holds exactly the tombstoned keys."""
+    import shutil
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
+        N_DELETE_SLICES,
+        UPSERT_COMPACT_EVERY,
+        _ann_cents_relation,
+        _table_location,
+        assign_batch,
+        compact_index_table,
+        maintain_index,
+    )
+
+    tbl = "spark_graft_ann_index_delete_test"
+    audit: list = []
+    got = maintain_index(
+        spark,
+        sf_dir,
+        tbl,
+        N_DELETE_SLICES,
+        compact_every=UPSERT_COMPACT_EVERY,
+        audit=audit,
+        upsert=True,
+        deletes=True,
+        cleanup=False,
+    )
+    try:
+        got_map = {r.vec_id: r.cell for r in got.collect()}
+
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        live = emb.filter(F.pmod("vec_id", F.lit(4)) != 2).select(
+            "vec_id",
+            F.when(
+                F.pmod("vec_id", F.lit(4)) < 2,
+                F.transform("e", lambda x: -x),
+            )
+            .otherwise(F.col("e"))
+            .alias("e"),
+        )
+        cents = _ann_cents_relation(emb)
+        expected = {
+            r.vec_id: r.cell for r in assign_batch(live, cents).collect()
+        }
+        assert got_map == expected
+        n_total = emb.count()
+        n_live = live.count()
+        assert len(got_map) == n_live < n_total
+        assert not any(v % 4 == 2 for v in got_map)  # tombstoned keys gone
+
+        # (c) the marker table holds exactly the deleted keys
+        tombs = {r.vec_id for r in spark.table(f"{tbl}_tombs").collect()}
+        assert tombs == {
+            r.vec_id
+            for r in emb.filter(F.pmod("vec_id", F.lit(4)) == 2).collect()
+        }
+
+        # (b) a final marker-aware purge leaves exactly the live rows
+        marker_agg = (
+            spark.table(f"{tbl}_tombs")
+            .groupBy("vec_id")
+            .agg(F.max("ver").alias("__dver"))
+        )
+        loc_base = _table_location(spark, tbl)
+        compact_index_table(
+            spark,
+            tbl,
+            16,
+            loc_base + "_purgetest",
+            purge_latest_by="ver",
+            tombstones=marker_agg,
+        )
+        assert spark.table(tbl).count() == n_live
+        purged = {
+            r.vec_id: r.cell
+            for r in spark.table(tbl).select("vec_id", "cell").collect()
+        }
+        assert purged == expected
+    finally:
+        final_loc = _table_location(spark, tbl)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_tombs")
+        shutil.rmtree(final_loc, ignore_errors=True)
+        base = "/tmp/spark_graft_tables/" + tbl
+        shutil.rmtree(base + "_tombs", ignore_errors=True)
+        for gen in range(N_DELETE_SLICES + 2):
+            shutil.rmtree(f"{base}_gen{gen}", ignore_errors=True)
+        shutil.rmtree(base + "_gen1_purgetest", ignore_errors=True)
+        shutil.rmtree(base + "_gen2_purgetest", ignore_errors=True)
+
+
 def test_ann_index_read_after_appends(spark, sf_dir):
     """VERDICT r13 #5: the maintained index's READ path. Build the index
     through >= 3 incremental appends (multiple files per bucket — the

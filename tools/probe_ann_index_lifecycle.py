@@ -98,7 +98,9 @@ def main() -> None:
                 ],
                 "final_files": _index_file_count(_table_location(spark, TABLE)),
                 "organic_cell_skew": [
-                    a["cell_skew"] for a in audit if "cell_skew" in a
+                    a["cell_skew"]
+                    for a in audit
+                    if a.get("cell_skew") is not None
                 ],
             }
         ),
@@ -179,7 +181,9 @@ def main() -> None:
     # same definition as the audit's cell_skew: largest cell vs the mean
     # over ALL quantizer cells
     drift_skew = round(max(counts) / (sum(counts) / N_IVF_CELLS), 3)
-    organic = [a["cell_skew"] for a in audit if "cell_skew" in a]
+    organic = [
+        a["cell_skew"] for a in audit if a.get("cell_skew") is not None
+    ]
     print(
         json.dumps(
             {
