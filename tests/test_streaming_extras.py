@@ -1050,6 +1050,67 @@ def test_ann_index_delete_tombstones_and_physical_purge(spark, sf_dir):
         shutil.rmtree(base + "_gen2_purgetest", ignore_errors=True)
 
 
+def test_ann_index_delete_then_reinsert_revives(spark, sf_dir):
+    """A delete marker kills versions up to its own; a NEWER version
+    (a re-insert after the delete) must revive the key — in both the
+    snapshot filter and the marker-aware compaction."""
+    import shutil
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
+        _ann_cents_relation,
+        _table_location,
+        apply_index_batch,
+        compact_index_table,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cents = _ann_cents_relation(emb)
+    tbl = "spark_graft_ann_index_revive_test"
+    loc = "/tmp/spark_graft_tables/" + tbl
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(loc, ignore_errors=True)
+    shutil.rmtree(loc + "_compacted", ignore_errors=True)
+    try:
+        # ver 0: insert everything; markers at ver 1 delete evens;
+        # ver 2: re-insert HALF the evens (vec_id % 4 == 0) — those
+        # must revive, vec_id % 4 == 2 must stay dead
+        v0 = emb.withColumn("ver", F.lit(0).cast("int"))
+        apply_index_batch(spark, tbl, loc, v0, cents, 0, 16, carry=("ver",))
+        v2 = emb.filter(F.pmod("vec_id", F.lit(4)) == 0).withColumn(
+            "ver", F.lit(2).cast("int")
+        )
+        apply_index_batch(spark, tbl, loc, v2, cents, 2, 16, carry=("ver",))
+        markers = (
+            emb.filter(F.pmod("vec_id", F.lit(2)) == 0)
+            .select("vec_id", F.lit(1).cast("int").alias("__dver"))
+        )
+        compact_index_table(
+            spark,
+            tbl,
+            16,
+            loc + "_compacted",
+            purge_latest_by="ver",
+            tombstones=markers,
+        )
+        live = {r.vec_id for r in spark.table(tbl).select("vec_id").collect()}
+        all_ids = {r.vec_id for r in emb.collect()}
+        expected = {
+            v for v in all_ids if v % 2 == 1 or v % 4 == 0
+        }  # odds never deleted; %4==0 revived; %4==2 dead
+        assert live == expected
+        # exactly one physical row per live key (winners only)
+        assert spark.table(tbl).count() == len(expected)
+    finally:
+        final_loc = _table_location(spark, tbl)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(final_loc, ignore_errors=True)
+        shutil.rmtree(loc, ignore_errors=True)
+        shutil.rmtree(loc + "_compacted", ignore_errors=True)
+
+
 def test_ann_index_read_after_appends(spark, sf_dir):
     """VERDICT r13 #5: the maintained index's READ path. Build the index
     through >= 3 incremental appends (multiple files per bucket — the
