@@ -177,6 +177,7 @@ HEADLINE = [
     "streaming_ann_index_compact",
     "streaming_ann_index_upsert",
     "streaming_ann_index_delete",
+    "streaming_ann_search",
 ]
 
 

@@ -616,9 +616,11 @@ R13_WINDOW: tuple[str, ...] = R13_CHANGED_HEAD + (
 # data-derived version column, purging compaction), and
 # streaming_ann_index_delete (also mid-round-14 — the removal path:
 # keyed tombstones in a delete-marker side table, applied physically
-# at compaction); all named in CHANGED_THIS_ROUND, so they head the
-# r15 window first by the standing rule: never-checked precedes
-# changed.
+# at compaction), and streaming_ann_search (also mid-round-14 — the
+# serving path: streaming query vectors answered from the maintained
+# cell-bucketed index, exact-checked pruned top-k); all named in
+# CHANGED_THIS_ROUND, so they head the r15 window first by the
+# standing rule: never-checked precedes changed.
 R14_CHANGED_HEAD: tuple[str, ...] = (
     "streaming_ann_index_update",
     "streaming_window_counts",
@@ -735,7 +737,17 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # newer than the winning version, and compaction applies them
 # physically. Oracle = the post-CRUD one-pass assignment. Also
 # registered mid-round-14, never driver-checked -> r15 head.
+# And: streaming_ann_search is NEW this round — the SERVING path
+# closing the similarity-search loop: streaming query vectors are
+# assigned map-side to their nprobe nearest quantizer cells and
+# answered with an exact cosine top-k over the probed cells'
+# candidates, fetched on the cell key from the vector-bearing
+# bucketed index the maintenance write path builds. The oracle
+# replays the full pruned pipeline, so the served answer is
+# exact-checked row by row. Also registered mid-round-14, never
+# driver-checked -> r15 head.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_ann_search",
     "streaming_ann_index_delete",
     "streaming_ann_index_upsert",
     "streaming_ann_index_compact",
@@ -808,5 +820,6 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.ml.foldin  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.streaming.ridge  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_search  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,238 @@
+"""Streaming vector search over the maintained ANN index (beyond-
+reference — the SERVING path that closes the similarity-search loop:
+streaming/ann_index.py maintains the cell-bucketed index, this module
+answers arriving queries from it).
+
+Shape, end to end:
+
+- the INDEX is built by the maintenance write path itself
+  (`apply_index_batch` with the embedding payload carried), so the
+  served artifact is literally the bucketBy(cell) table the
+  update/compact/upsert/delete loops produce — vectors stored
+  cell-clustered, the classic IVF layout;
+- QUERY vectors arrive as micro-batches (a staged file stream); each
+  arriving query is assigned map-side to its SEARCH_NPROBE nearest
+  quantizer cells (the shared `_nearest_cells` fold over the broadcast
+  centroid row — no corpus-sized exchange on the query side), exploded
+  to one row per probed cell;
+- candidates = the probed cells' index rows, fetched ON THE CELL KEY —
+  a broadcast hash join while the index fits, the SMJ-on-bucketed-
+  files layout past that (the same two-regime story as
+  streaming/candidates.py; each corpus vector lives in exactly one
+  cell, so a candidate appears at most once per query);
+- exact cosine over the candidates (the JVM fold from
+  operators/vectors.py — bit-identical to the oracle's
+  list_dot_product form), per-query top-SEARCH_TOPK (cosine DESC,
+  neighbor_id ASC), self-matches excluded;
+- per batch the results append to the staging sink; queries are
+  disjoint across batches, so the final snapshot is their union.
+
+The DuckDB oracle replays the whole pipeline — quantizer, per-query
+nprobe cells, one-cell-per-corpus-vector assignment, cell-key
+candidate fetch, exact cosine ranking — so the PRUNED search result is
+exact-checked: the engine must return precisely the neighbors the
+pruned search defines, in rank order (ranks are integers; no float
+column rides the hash). Recall vs exhaustive search is the separately
+measured dial (tools/probe_candidates_recall.py,
+tools/probe_ivf_multiprobe.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+    N_IVF_CELLS,
+    cosine,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
+from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
+    _ann_cents_relation,
+    apply_index_batch,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
+    _nearest_cells,
+)
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+ANN_SEARCH_TABLE = "spark_graft_ann_search_index"
+SEARCH_NPROBE = 2  # probed cells per query — the measured recall dial
+SEARCH_TOPK = 5
+QUERY_MOD = 50  # query set: vec_id % QUERY_MOD == QUERY_REM (2% of corpus)
+QUERY_REM = 7
+N_SEARCH_SLICES = 2  # staged query-arrival batches
+
+
+def score_query_batch(
+    batch_df: DataFrame, cents: DataFrame, index_df: DataFrame
+) -> DataFrame:
+    """(query_id, rank, neighbor_id): one micro-batch of query vectors
+    answered from the index. Map-side nprobe cell assignment on the
+    query side; candidates fetched on the cell key; exact cosine
+    ranking inside the candidate set."""
+    probes = batch_df.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.explode(_nearest_cells("e", SEARCH_NPROBE)).alias("cell"),
+    )
+    cands = probes.join(index_df, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine("qe", "ne")), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SEARCH_TOPK)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+@register(
+    "streaming_ann_search",
+    # The oracle replays the full pruned-search pipeline: quantizer =
+    # the first N_IVF_CELLS corpus vectors; each corpus vector in its
+    # single nearest cell; each query probing its SEARCH_NPROBE nearest
+    # cells; exact cosine top-SEARCH_TOPK within the fetched candidates
+    # (cos DESC, neighbor ASC; self excluded). Every row of the pruned
+    # answer is exact-checked — approximation quality vs exhaustive is
+    # the separately measured recall dial.
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {N_IVF_CELLS}),
+    corpus AS (
+        SELECT vec_id AS neighbor_id, e AS ne, cid AS cell FROM (
+            SELECT b.vec_id, b.e, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.e, c.ce) /
+                                (sqrt(list_dot_product(b.e, b.e)) *
+                                 sqrt(list_dot_product(c.ce, c.ce)) + 1e-8) DESC,
+                                c.cid
+                   ) AS rn
+            FROM base b CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, e AS qe FROM base
+        WHERE vec_id % {QUERY_MOD} = {QUERY_REM}
+    ),
+    qcells AS (
+        SELECT query_id, qe, cid AS cell FROM (
+            SELECT q.query_id, q.qe, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qe, c.ce) /
+                                (sqrt(list_dot_product(q.qe, q.qe)) *
+                                 sqrt(list_dot_product(c.ce, c.ce)) + 1e-8) DESC,
+                                c.cid
+                   ) AS rn
+            FROM queries q CROSS JOIN cent c
+        ) WHERE rn <= {SEARCH_NPROBE}
+    ),
+    ranked AS (
+        SELECT qc.query_id, co.neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qc.query_id
+                   ORDER BY list_dot_product(qc.qe, co.ne) /
+                            (sqrt(list_dot_product(qc.qe, qc.qe)) *
+                             sqrt(list_dot_product(co.ne, co.ne)) + 1e-8) DESC,
+                            co.neighbor_id
+               ) AS rank
+        FROM qcells qc JOIN corpus co USING (cell)
+        WHERE co.neighbor_id != qc.query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+    FROM ranked WHERE rank <= {SEARCH_TOPK}
+    """,
+    doc="Streaming VECTOR SEARCH over the maintained ANN index (beyond-"
+    "reference — the serving path closing the similarity-search loop): "
+    "the cell-bucketed, vector-bearing index is built by the "
+    "maintenance write path itself (apply_index_batch carrying the "
+    f"embedding payload); query vectors (vec_id % {QUERY_MOD} == "
+    f"{QUERY_REM}, {N_SEARCH_SLICES} staged arrival batches) are "
+    f"assigned map-side to their {SEARCH_NPROBE} nearest quantizer "
+    "cells and answered with an exact cosine "
+    f"top-{SEARCH_TOPK} over the probed cells' candidates (cell-key "
+    "fetch — broadcast under the ceiling, SMJ-on-bucketed-files past "
+    "it; self-matches excluded). Returns (query_id, rank, "
+    "neighbor_id); the oracle replays the full pruned pipeline, so the "
+    "served answer is exact-checked row by row.",
+)
+def streaming_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        _snapshot_and_clean,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cents = _ann_cents_relation(emb)
+
+    # the served index: ONE maintenance append of the full corpus with
+    # the vector payload carried — the same write path the update/
+    # compact/upsert/delete loops run, so search serves their artifact
+    tbl = ANN_SEARCH_TABLE
+    loc = os.path.join(tempfile.gettempdir(), "spark_graft_tables", tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(loc, ignore_errors=True)
+    n_buckets = min(16, N_IVF_CELLS)
+    apply_index_batch(spark, tbl, loc, emb, cents, 0, n_buckets, carry=("e",))
+    index_df = spark.table(tbl).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", F.col("e").alias("ne")
+    )
+
+    # stage the query stream: 2%-of-corpus query vectors in
+    # N_SEARCH_SLICES sequential arrival files
+    queries = emb.filter(F.pmod("vec_id", F.lit(QUERY_MOD)) == QUERY_REM)
+    stage_dir = tempfile.mkdtemp(prefix="spark_graft_ann_query_stage_")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir, exist_ok=True)
+    for s in range(N_SEARCH_SLICES):
+        (
+            queries.filter(
+                F.pmod((F.col("vec_id") / QUERY_MOD).cast("long"), F.lit(N_SEARCH_SLICES))
+                == s
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage_dir)
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, e array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_ann_search_out_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            score_query_batch(batch_df, cents, index_df)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(emit)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    snap = _snapshot_and_clean(spark.read.parquet(out_dir), out_dir)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(loc, ignore_errors=True)
+    return snap
