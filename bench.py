@@ -510,6 +510,16 @@ EXPECTED_SHIFTS: dict[str, str] = {
 # simhash_near_dup_pairs 5.88 cold -> 1.91/1.77 warm (record 1.799) —
 # both warm floors AT or UNDER record: suite-context / first-run
 # variance, no code cause, regression map clean.
+#
+# Round-14 final-record flags (the 145-query record, cal 0.229,
+# compared against the fast-window 0.203 record — the same whipsawing
+# host; none of the four names is in any r14 code closure): isolation
+# runs (fresh session, calibration 0.200, 3 reps, sf0.1) put every
+# warm floor AT or UNDER its record — class_tfidf_top_terms
+# 0.92/0.76 (record 0.881), prefix_filter_jaccard_join 1.06/1.76
+# (1.384), phrase_retrieval_topdocs 2.05/2.05 (2.44),
+# streaming_interest_fold 1.52/1.54 (1.652). Suite-context variance,
+# no code cause, map adjudicated clean.
 
 
 def _regressions(
