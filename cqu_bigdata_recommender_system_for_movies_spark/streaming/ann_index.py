@@ -48,7 +48,12 @@ batches, compaction every 4) and must produce the identical index;
 `streaming_ann_index_upsert` runs the RE-EMBEDDING path (later slices
 carry new versions of already-indexed vectors; last-writer-wins on a
 data-derived version column; compaction physically purges superseded
-versions) and must produce the latest-version assignment:
+versions) and must produce the latest-version assignment;
+`streaming_ann_index_delete` completes the CRUD story (keyed tombstones
+in a small delete-marker side table, applied physically at compaction)
+and must produce the post-CRUD assignment. The SERVING path lives in
+streaming/ann_search.py — queries answered from the index these loops
+maintain. Common to all:
 
 - quantizer seeds = the N_IVF_CELLS smallest vec_ids of the EXISTING
   corpus (identical to ann_ivf_topk's deterministic quantizer,
