@@ -1050,6 +1050,65 @@ def test_ann_index_delete_tombstones_and_physical_purge(spark, sf_dir):
         shutil.rmtree(base + "_gen2_purgetest", ignore_errors=True)
 
 
+def test_ann_index_resume_floor_skips_replays_only(spark, sf_dir):
+    """The restart path's guard arithmetic: after a restart the loop
+    reads the table's max committed batch_id ONCE (the resume floor);
+    a replayed batch at or below the floor probes the ledger and skips,
+    a genuinely new batch above the floor appends WITHOUT probing.
+    Replays the exact derivation maintain_index runs at startup."""
+    import shutil
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
+        _ann_cents_relation,
+        apply_index_batch,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cents = _ann_cents_relation(emb)
+    tbl = "spark_graft_ann_index_resume_test"
+    loc = "/tmp/spark_graft_tables/" + tbl
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(loc, ignore_errors=True)
+    try:
+        thirds = [emb.filter(F.pmod("vec_id", F.lit(3)) == s) for s in range(3)]
+        # pre-restart run: batches 0 and 1 committed
+        assert apply_index_batch(spark, tbl, loc, thirds[0], cents, 0, 16)
+        assert apply_index_batch(spark, tbl, loc, thirds[1], cents, 1, 16)
+
+        # restart: derive the floor exactly as maintain_index does
+        spark.catalog.refreshTable(tbl)
+        row = spark.table(tbl).agg(F.max("batch_id")).collect()[0]
+        resume_floor = -1 if row[0] is None else int(row[0])
+        assert resume_floor == 1
+
+        # the source replays batch 1 (<= floor: probe -> skip) then
+        # delivers the new batch 2 (> floor: append, no probe)
+        assert (
+            apply_index_batch(
+                spark, tbl, loc, thirds[1], cents, 1, 16,
+                check_ledger=1 <= resume_floor,
+            )
+            is False
+        )
+        assert (
+            apply_index_batch(
+                spark, tbl, loc, thirds[2], cents, 2, 16,
+                check_ledger=2 <= resume_floor,
+            )
+            is True
+        )
+        assert spark.table(tbl).count() == emb.count()
+        assert (
+            spark.table(tbl).select("vec_id").distinct().count() == emb.count()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_ann_index_delete_then_reinsert_revives(spark, sf_dir):
     """A delete marker kills versions up to its own; a NEWER version
     (a re-insert after the delete) must revive the key — in both the
