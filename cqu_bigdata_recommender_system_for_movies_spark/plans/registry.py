@@ -676,89 +676,101 @@ R14_WINDOW: tuple[str, ...] = R14_CHANGED_HEAD + (
     "approx_aggregates",
 )
 
-# Round 14 rotation (VERDICT r13 #1): burn the pinned window.
-DRIVER_CHECK_FIRST: tuple[str, ...] = R14_WINDOW
-DRIVER_CHECK_LAST: tuple[str, ...] = ()
-
-# Queries whose implementation hash (transitive in-package closure, see
-# plans/manifest.py) changed since the round-14 start tree (the tree the
-# r13 driver verified; plans/query_manifest.json is frozen there).
-# VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as any
-# query/oracle/helper change — enforced by
-# tests/test_plans.py::test_changed_queries_are_manifested, which fails
-# on any hash drift not named here. The r15 window head is derived from
-# it mechanically: CHANGED_THIS_ROUND minus R14_WINDOW (in-window names
-# get fresh r14 rows at round end and need no r15 slot). At the start of
-# round 15: refresh the manifest (python -m
-# cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
-# refresh), pin R15_WINDOW, reset this tuple to ().
-#
-# r14 changes so far (all result-neutral — ADVICE r13 + VERDICT r13 #7):
-# _parquet_rows now imports pyarrow INSIDE its try so a deployment
-# without pyarrow degrades to the derive unknown-size branch instead of
-# raising at plan time (closure reaches every _stream_state_partitions
-# wrapper: streaming_window_counts, streaming_stream_stream_join,
-# streaming_stream_stream_left_join, streaming_simhash_dedup,
-# streaming_online_ridge). streaming_online_ridge additionally passes
-# its actual source path so the sf0.1 run stays on the documented
-# 8-partition floor (ADVICE r13 medium — the no-arg call read "size
-# unknown" and silently fanned out to min(256, cores), polluting the
-# bench attribution). streaming_recommend_candidates: REC_NPROBE is now
-# the documented deployment dial (SPARK_GRAFT_REC_NPROBE, default
-# unchanged at 2, measured curve cited at the constant).
-# And: the ANN index maintenance loop grew its lifecycle half (VERDICT
-# r13 #3 + ADVICE r13): streaming_ann_index_update's appends are now
-# IDEMPOTENT (per-row batch_id ledger; a foreachBatch replay of a
-# committed batch is detected and skipped) and each append repartitions
-# its assigned rows onto the bucket layout so a batch adds at most one
-# file per bucket (an un-repartitioned bucketed write emits one file
-# per bucket PER TASK). Result-unchanged at every sf (same (vec_id,
-# cell) contents; it heads R14_WINDOW, so the driver checks the new
-# plan this round). streaming_ann_index_compact is NEW this round: the
-# same loop with write-new-generation-then-swap compaction every
-# ANN_COMPACT_EVERY appends, bounding live file count at n_buckets x
-# (ANN_COMPACT_EVERY + 1) forever; it shares the one-pass-rebuild
-# oracle, so compaction neutrality is hash-checked. Registered
-# mid-round-14, never driver-checked -> r15 head FIRST (never-checked
-# precedes changed).
-# And: streaming_ann_index_upsert is NEW this round — the RE-EMBEDDING
-# path: later arrival slices carry new versions of already-indexed
-# vectors (deterministic sign-flip payload), index semantics become
-# last-writer-wins on a data-derived version column, and the
-# generation-swap compaction physically PURGES superseded versions
-# (merge-on-write). The oracle computes the latest-version one-pass
-# assignment, so upsert-equals-rebuild is hash-checked. Also
-# registered mid-round-14, never driver-checked -> r15 head.
-# And: streaming_ann_index_delete is NEW this round — the removal
-# path completing the index CRUD story: a final tombstone slice
-# deletes vec_id % 4 == 2; keyed delete markers land in a small side
-# table (written BEFORE the batch's index append, so replays can only
-# duplicate markers, never lose them), the snapshot anti-joins markers
-# newer than the winning version, and compaction applies them
-# physically. Oracle = the post-CRUD one-pass assignment. Also
-# registered mid-round-14, never driver-checked -> r15 head.
-# And: streaming_ann_search is NEW this round — the SERVING path
-# closing the similarity-search loop: streaming query vectors are
-# assigned map-side to their nprobe nearest quantizer cells and
-# answered with an exact cosine top-k over the probed cells'
-# candidates, fetched on the cell key from the vector-bearing
-# bucketed index the maintenance write path builds. The oracle
-# replays the full pruned pipeline, so the served answer is
-# exact-checked row by row. Also registered mid-round-14, never
-# driver-checked -> r15 head.
-CHANGED_THIS_ROUND: tuple[str, ...] = (
+# r15 fill — the EXACT round-15 window, pinned at the start of round 15
+# from the round-14 manifest (VERDICT r14 #1). Rule, recomputed and
+# asserted by tests/test_plans.py::test_r15_window_pin:
+# (a) head = the r14 CHANGED_THIS_ROUND tuple minus R14_WINDOW names
+# (in-window names got fresh r14 rows at round end), ordered
+# never-driver-checked FIRST (the standing r11 rule: never-checked
+# precedes changed): the four ANN lifecycle/serving queries registered
+# mid-round-14 with no driver row in any CORRECTNESS_r* file
+# (streaming_ann_search, streaming_ann_index_delete,
+# streaming_ann_index_upsert, streaming_ann_index_compact — VERDICT r14
+# #1's exact ask: the driver hash-confirms the served answer,
+# delete-equals-rebuild, upsert-equals-rebuild and compaction
+# neutrality), then the three whose green rows predate result-neutral
+# r14 re-plans, in tuple order (streaming_simhash_dedup,
+# streaming_online_ridge — the pyarrow-inside-try _parquet_rows change
+# reached their closures; streaming_recommend_candidates — REC_NPROBE
+# became the documented env dial).
+# (b) oldest-green-first re-confirmations (last driver round ascending
+# over CORRECTNESS_r01..r14, NAME as the tie-break — registry insertion
+# order varies with module import order, so it cannot anchor a pinned
+# list — R14_WINDOW names excluded since their r14 rows are freshest)
+# up to the 50-slot window: the first 43 r10-latest rows alphabetically,
+# from asof_join_last_order through topk_per_user_window.
+R15_CHANGED_HEAD: tuple[str, ...] = (
     "streaming_ann_search",
     "streaming_ann_index_delete",
     "streaming_ann_index_upsert",
     "streaming_ann_index_compact",
-    "streaming_ann_index_update",
-    "streaming_window_counts",
-    "streaming_stream_stream_join",
-    "streaming_stream_stream_left_join",
     "streaming_simhash_dedup",
     "streaming_online_ridge",
     "streaming_recommend_candidates",
 )
+R15_WINDOW: tuple[str, ...] = R15_CHANGED_HEAD + (
+    "asof_join_last_order",
+    "cold_start_new_items",
+    "cold_start_popular_items",
+    "cross_join_scoring",
+    "cube_lang_source",
+    "date_functions_suite",
+    "distinct_user_event_pairs",
+    "filter_notnull_range",
+    "filter_point_lookup",
+    "gap_fill_forward",
+    "global_stats",
+    "group_count_having_events",
+    "image_decode_pixel_stats",
+    "join_star_2hop",
+    "json_extract_props",
+    "last_touch_attribution",
+    "map_functions_suite",
+    "minhash_lsh_dedup",
+    "nested_struct_history",
+    "ngram_jaccard_pairs",
+    "orderby_limit_topk",
+    "percentile_stats",
+    "pivot_event_type",
+    "preagg_join_rollup",
+    "project_cast_rename",
+    "rollup_nation_brand",
+    "roundtrip_delimited_parse",
+    "salted_join_segment_counts",
+    "semi_join_active_customers",
+    "sessionize_events",
+    "set_ops_except",
+    "set_ops_intersect",
+    "set_ops_union_distinct",
+    "stats_agg_suite",
+    "stream_static_enrich",
+    "streaming_dedup_events",
+    "streaming_parse_records",
+    "streaming_static_join",
+    "streaming_wordcount",
+    "string_functions_suite",
+    "top1_per_user_maxby",
+    "topk_avg_rating_items",
+    "topk_per_user_window",
+)
+
+# Round 15 rotation (VERDICT r14 #1): burn the pinned window.
+DRIVER_CHECK_FIRST: tuple[str, ...] = R15_WINDOW
+DRIVER_CHECK_LAST: tuple[str, ...] = ()
+
+# Queries whose implementation hash (transitive in-package closure, see
+# plans/manifest.py) changed since the round-15 start tree (the tree the
+# r14 driver verified; plans/query_manifest.json is frozen there).
+# VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as any
+# query/oracle/helper change — enforced by
+# tests/test_plans.py::test_changed_queries_are_manifested, which fails
+# on any hash drift not named here. The r16 window head is derived from
+# it mechanically: CHANGED_THIS_ROUND minus R15_WINDOW (in-window names
+# get fresh r15 rows at round end and need no r16 slot). At the start of
+# round 16: refresh the manifest (python -m
+# cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
+# refresh), pin R16_WINDOW, reset this tuple to ().
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def _driver_order(names) -> list[str]:

@@ -1111,7 +1111,6 @@ def test_r14_window_pin():
     import re
 
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
-        DRIVER_CHECK_FIRST,
         DRIVER_WINDOW,
         QUERIES,
         R13_WINDOW,
@@ -1120,7 +1119,8 @@ def test_r14_window_pin():
     )
 
     all_queries()  # populate the registry
-    assert DRIVER_CHECK_FIRST == R14_WINDOW  # the r14 rotation is live
+    # (the r14 rotation was live through round 14; DRIVER_CHECK_FIRST now
+    # points at R15_WINDOW — asserted by test_r15_window_pin)
     assert len(R14_WINDOW) == DRIVER_WINDOW
     assert len(set(R14_WINDOW)) == len(R14_WINDOW)
     assert R14_WINDOW[: len(R14_CHANGED_HEAD)] == R14_CHANGED_HEAD
@@ -1172,6 +1172,101 @@ def test_r14_window_pin():
     assert R14_WINDOW == expect, (
         "pinned R14_WINDOW deviates from the oldest-green-first rule: "
         f"{[(a, b) for a, b in zip(R14_WINDOW, expect) if a != b]}"
+    )
+
+
+def test_r15_window_pin():
+    """VERDICT r14 #1: pin the EXACT r15 window at the start of round 15.
+    Recompute it from the stated rule — head = the r14
+    CHANGED_THIS_ROUND tuple minus R14_WINDOW names, ordered
+    never-driver-checked FIRST (the standing r11 rule: never-checked
+    precedes changed): the four ANN lifecycle/serving queries registered
+    mid-round-14 with no driver row in any CORRECTNESS_r* file
+    (streaming_ann_search, streaming_ann_index_delete,
+    streaming_ann_index_upsert, streaming_ann_index_compact), then the
+    three whose green rows predate result-neutral r14 re-plans, in tuple
+    order (streaming_simhash_dedup, streaming_online_ridge,
+    streaming_recommend_candidates). Fill = oldest-green-first (last
+    driver round ascending over CORRECTNESS_r01..r14, NAME tie-break,
+    R14_WINDOW names excluded since their r14 rows are freshest) — and
+    assert the pinned tuple matches bit for bit. The r14
+    CHANGED_THIS_ROUND tuple is reproduced here as a literal because it
+    was reset to () at the same commit that pinned this window."""
+    import glob
+    import json
+    import os
+    import re
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        DRIVER_WINDOW,
+        QUERIES,
+        R14_WINDOW,
+        R15_CHANGED_HEAD,
+        R15_WINDOW,
+    )
+
+    all_queries()  # populate the registry
+    assert DRIVER_CHECK_FIRST == R15_WINDOW  # the r15 rotation is live
+    assert len(R15_WINDOW) == DRIVER_WINDOW
+    assert len(set(R15_WINDOW)) == len(R15_WINDOW)
+    assert R15_WINDOW[: len(R15_CHANGED_HEAD)] == R15_CHANGED_HEAD
+    # the r14 CHANGED_THIS_ROUND tuple, frozen at the r15 pin commit
+    changed_r14 = (
+        "streaming_ann_search",
+        "streaming_ann_index_delete",
+        "streaming_ann_index_upsert",
+        "streaming_ann_index_compact",
+        "streaming_ann_index_update",
+        "streaming_window_counts",
+        "streaming_stream_stream_join",
+        "streaming_stream_stream_left_join",
+        "streaming_simhash_dedup",
+        "streaming_online_ridge",
+        "streaming_recommend_candidates",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rnd > 14:
+            continue  # the pin froze on the r01..r14 rows
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    head_pool = tuple(n for n in changed_r14 if n not in set(R14_WINDOW))
+    never_checked = tuple(n for n in head_pool if n not in last)
+    replanned = tuple(n for n in head_pool if n in last)
+    assert never_checked == (
+        "streaming_ann_search",
+        "streaming_ann_index_delete",
+        "streaming_ann_index_upsert",
+        "streaming_ann_index_compact",
+    )
+    expect_head = never_checked + replanned
+    assert R15_CHANGED_HEAD == expect_head, (
+        "r15 head deviates from never-checked-first over "
+        "CHANGED_THIS_ROUND(r14) minus R14_WINDOW: "
+        f"{[(a, b) for a, b in zip(R15_CHANGED_HEAD, expect_head) if a != b]}"
+    )
+    unknown = [n for n in R15_WINDOW if n not in QUERIES]
+    assert not unknown, f"r15 window names unregistered queries: {unknown}"
+    overlap = set(R15_WINDOW) & set(R14_WINDOW)
+    assert not overlap, (
+        f"r15 window repeats r14-window names whose rows are freshest: {overlap}"
+    )
+    rest = [
+        n
+        for n in QUERIES
+        if n not in set(R15_CHANGED_HEAD) and n not in set(R14_WINDOW)
+    ]
+    rest.sort(key=lambda n: (last.get(n, 99), n))
+    expect = R15_CHANGED_HEAD + tuple(
+        rest[: DRIVER_WINDOW - len(R15_CHANGED_HEAD)]
+    )
+    assert R15_WINDOW == expect, (
+        "pinned R15_WINDOW deviates from the oldest-green-first rule: "
+        f"{[(a, b) for a, b in zip(R15_WINDOW, expect) if a != b]}"
     )
 
 
