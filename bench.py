@@ -325,7 +325,13 @@ def main() -> None:
         jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     except Exception:
         pass
-    spark.stop()
+    try:
+        # ADVICE r14: an exception here must not kill the process before
+        # the result line prints — losing the whole run to teardown noise
+        # is the exact failure this ordering exists to prevent.
+        spark.stop()
+    except Exception:
+        pass
     sys.stdout.flush()
     sys.stderr.flush()
     time.sleep(2.0)

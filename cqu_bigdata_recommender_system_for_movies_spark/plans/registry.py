@@ -699,6 +699,14 @@ R14_WINDOW: tuple[str, ...] = R14_CHANGED_HEAD + (
 # list — R14_WINDOW names excluded since their r14 rows are freshest)
 # up to the 50-slot window: the first 43 r10-latest rows alphabetically,
 # from asof_join_last_order through topk_per_user_window.
+# Never-driver-checked outside this window:
+# streaming_ann_index_requantize (registered mid-round-15, after this
+# pin froze — the staleness alarm's actuator: a drifted arrival slice
+# trips the per-batch cell-skew detector, the quantizer re-seeds from
+# the index's own stored vectors, and the index migrates one generation
+# under the new seeds, streaming/ann_requantize.py); named in
+# CHANGED_THIS_ROUND, so it heads the r16 window first by the standing
+# rule: never-checked precedes changed.
 R15_CHANGED_HEAD: tuple[str, ...] = (
     "streaming_ann_search",
     "streaming_ann_index_delete",
@@ -770,7 +778,44 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # round 16: refresh the manifest (python -m
 # cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
 # refresh), pin R16_WINDOW, reset this tuple to ().
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+#
+# r15 changes so far (VERDICT r14 #3 + ADVICE r14): the maintained ANN
+# index/search family's quantizer width is now CORPUS-DERIVED on both
+# engines (derive_ann_cells = the candidates family's
+# derive_rec_cells/_rec_cells_sql sqrt-corpus twins, sized from the
+# embeddings footer count; oracles derive the same width via a COUNT(*)
+# scalar subquery — ANN_CELLS_SQL) instead of the fixed 16-cell pin;
+# the offline ann_ivf_topk keeps its pinned fixed width. Results change
+# (wider quantizer -> different cells), parity re-proven at three sfs;
+# all five queries sit in the R15_WINDOW head, so the driver checks the
+# new plans this round. Also in their closures: the compaction swap is
+# now rename-aside (a live catalog entry exists at every instant), the
+# resume path is constructible (fresh=False + checkpoint_dir +
+# caller-owned stage_dir; the unconditional drop is fresh-gated), the
+# audit's per-batch `rows` is a running sum re-anchored from rewrite
+# footers (never an O(index) count), and maintain_index can carry the
+# vector payload (carry_vectors — the IVF-list shape serving/migration
+# read). streaming_recommend_candidates: REC_NPROBE's env read is
+# validated/clamped (malformed values degrade to the default instead of
+# raising at import — ADVICE r14).
+# And: streaming_ann_index_requantize is NEW this round (VERDICT r14
+# #4 — the staleness alarm's ACTUATOR): 3 organic slices + 1 drifted
+# slice (abs(x)+1.0 payload), the per-batch cell-skew alarm (threshold
+# 4.0, measured >= 1.7x margin to both bands incl. slice-merge cases)
+# triggers a quantizer RE-SEED from the index's own stored vectors and
+# a one-generation MIGRATION rewrite; the oracle is the fresh rebuild
+# under the refreshed quantizer, so post-migration-equals-rebuild is
+# hash-checked. Registered mid-round-15, never driver-checked -> r16
+# head FIRST (never-checked precedes changed).
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_ann_index_requantize",
+    "streaming_ann_search",
+    "streaming_ann_index_delete",
+    "streaming_ann_index_upsert",
+    "streaming_ann_index_compact",
+    "streaming_ann_index_update",
+    "streaming_recommend_candidates",
+)
 
 
 def _driver_order(names) -> list[str]:
@@ -833,5 +878,6 @@ def _load_operator_modules() -> None:
     import cqu_bigdata_recommender_system_for_movies_spark.streaming.ridge  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index  # noqa: F401
     import cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_search  # noqa: F401
+    import cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_requantize  # noqa: F401
 
     _LOADED = True

@@ -55,10 +55,13 @@ and must produce the post-CRUD assignment. The SERVING path lives in
 streaming/ann_search.py — queries answered from the index these loops
 maintain. Common to all:
 
-- quantizer seeds = the N_IVF_CELLS smallest vec_ids of the EXISTING
-  corpus (identical to ann_ivf_topk's deterministic quantizer,
-  vectors.py:456), shipped once as the single-row broadcast `__cents`
-  relation (plan size independent of the cell count);
+- quantizer seeds = the derive_ann_cells(corpus) smallest vec_ids of
+  the EXISTING corpus (the candidates family's sqrt-corpus width —
+  VERDICT r14 #3: the serving probe measured width as the dominant cost
+  dial, so it is COUNT-derived on both engines via the
+  derive_rec_cells/_rec_cells_sql twins; the offline ann_ivf_topk keeps
+  its pinned fixed width), shipped once as the single-row broadcast
+  `__cents` relation (plan size independent of the cell count);
 - per micro-batch: one map-side fold per vector (the shared
   `_nearest_cells` expression from streaming/candidates.py — let-bound
   row norm, one pass over the cell structs, cos DESC / cid ASC ties),
@@ -83,14 +86,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
-    N_IVF_CELLS,
     shuffle_partitions,
 )
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
 from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
     _nearest_cells,
+    _rec_cells_sql,
+    derive_rec_cells,
 )
-from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+from cqu_bigdata_recommender_system_for_movies_spark.tables import (
+    load,
+    table_row_count,
+)
 
 ANN_INDEX_TABLE = "spark_graft_ann_index"
 ANN_COMPACT_TABLE = "spark_graft_ann_index_c"
@@ -107,9 +114,34 @@ N_DELETE_SLICES = 5  # delete query: the upsert schedule + a tombstone slice
 # the rewrite amortized at ~1/4 of append volume while the read path
 # never sees more than 5 files per bucket.
 ANN_COMPACT_EVERY = 4
+# Bucket-count ceiling for the index layout. The QUANTIZER width is
+# corpus-derived (derive_rec_cells — VERDICT r14 #3: the serving probe
+# measured width as THE cost dial, 600 -> 272 ms/query going 64 -> 256
+# cells at 2M vectors, and sqrt(corpus) is the balanced IVF point), but
+# the FILE layout need not follow it 1:1 — cells hash onto a bounded
+# bucket set (join key stays `cell`, so the bucketed scan still joins
+# with zero index-side exchange), keeping the compaction file bound
+# n_buckets x (ANN_COMPACT_EVERY + 1) independent of quantizer growth.
+ANN_MAX_BUCKETS = 16
 
 
-def _ann_cents_relation(emb: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+def derive_ann_cells(sf_dir: str) -> int:
+    """Quantizer width for the maintained index family: the SAME
+    integer-exact sqrt-corpus derivation as the candidates family
+    (derive_rec_cells / _rec_cells_sql twins), sized from the embeddings
+    parquet FOOTER count (driver-side metadata, no Spark job). The
+    offline ann_ivf_topk keeps its fixed pinned width — its oracle pins
+    the historical 16-cell quantizer; this family's oracles derive the
+    width from the same COUNT(*) scalar."""
+    return derive_rec_cells(table_row_count(sf_dir, "embeddings"))
+
+
+# SQL twin of derive_ann_cells for the DuckDB oracles: the quantizer
+# width as a scalar subquery over the SAME corpus count.
+ANN_CELLS_SQL = f"(SELECT {_rec_cells_sql('COUNT(*)')} FROM embeddings)"
+
+
+def _ann_cents_relation(emb: DataFrame, n_cells: int) -> DataFrame:
     """The frozen quantizer as the single-row broadcast `__cents`
     relation (cid, ce, nc) — seeds = the n_cells smallest vec_ids of the
     existing corpus, norms precomputed with the same left fold +
@@ -245,6 +277,21 @@ def _index_file_count(loc: str) -> int:
     )
 
 
+def _index_row_count(loc: str) -> int:
+    """Total rows from parquet FOOTER metadata — a driver-side,
+    milliseconds read, never a Spark job (VERDICT r14 #7: the audit's
+    per-batch `rows` instrument must not cost an O(index) count; at a
+    real 100 TB index a full count per batch is the wrong tool)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        for root, _, files in os.walk(loc)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
 def compact_index_table(
     spark: SparkSession,
     table: str,
@@ -267,11 +314,22 @@ def compact_index_table(
     NEW generation directory under a temp catalog name (repartitioning
     by the bucket column — HashPartitioning is the same murmur3 pmod as
     the bucket assignment, so each task holds exactly one bucket and
-    writes exactly one file), then the catalog entries swap and the old
-    generation's files are deleted. A crash mid-compaction leaves the
-    live table untouched. Contents (batch_id ledger included) are
-    invariant — the incremental-equals-rebuild hash oracle checks runs
-    that compacted, so neutrality is driver-proven, not asserted."""
+    writes exactly one file), then the catalog entries swap
+    (rename-aside, so a live catalog entry exists at every point — see
+    the swap comment below) and the old generation's files are deleted.
+    A crash mid-compaction never loses the live data. For the PLAIN
+    merge, contents (batch_id ledger included) are invariant — the
+    incremental-equals-rebuild hash oracle checks runs that compacted,
+    so neutrality is driver-proven, not asserted. ADVICE r14: the
+    PURGING modes (purge_latest_by / tombstones) physically drop
+    superseded rows, which can drop the only rows carrying an old
+    batch_id — after a purge, the in-table ledger no longer remembers
+    those batches. Results stay correct regardless: a replayed stale
+    batch re-appends rows that max-version/tombstone semantics
+    supersede again (and the next purge re-drops). The ZERO-re-append
+    idempotency guarantee therefore survives only non-purging
+    compactions; deployments that need a complete commit history under
+    purges should keep a tiny committed-batch_id side ledger."""
     tmp = f"{table}_compacting"
     old_loc = _table_location(spark, table)
     spark.catalog.refreshTable(table)  # see batch_already_applied
@@ -322,10 +380,70 @@ def compact_index_table(
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_auto
         )
-    spark.sql(f"DROP TABLE {table}")
+    _swap_generations(spark, table, tmp, old_loc)
+
+
+def _swap_generations(
+    spark: SparkSession, table: str, tmp: str, old_loc: str
+) -> None:
+    """Promote a fully-written new generation (catalog name ``tmp``) to
+    ``table`` and delete the old generation's files.
+
+    ADVICE r14: rename the live table ASIDE before promoting the new
+    generation — a DROP-then-RENAME swap has a window where NO catalog
+    entry exists for the data. With rename-aside, a crash at any point
+    leaves a live catalog entry: before the first rename the old
+    generation serves; between the two renames the new generation is
+    already complete on disk and a restart re-runs the swap (the
+    retiring name is cleaned up front); after the second rename the
+    new generation serves. Both tables are EXTERNAL (created with an
+    explicit path), so renames move only catalog entries, never files."""
+    retiring = f"{table}_retiring"
+    spark.sql(f"DROP TABLE IF EXISTS {retiring}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {retiring}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {retiring}")
     spark.catalog.refreshTable(table)
     shutil.rmtree(old_loc, ignore_errors=True)
+
+
+def migrate_index_table(
+    spark: SparkSession,
+    table: str,
+    n_buckets: int,
+    new_loc: str,
+    new_cents: DataFrame,
+) -> None:
+    """The staleness alarm's ACTUATOR (VERDICT r14 #4): re-assign every
+    stored vector map-side under a REFRESHED quantizer and swap
+    generations. The detector (the audit's per-batch cell-skew signal)
+    says the frozen quantizer no longer fits arriving data; remediation
+    is a one-generation rewrite of the index under new seeds — the same
+    write-new-then-swap machinery as compaction, with the assignment
+    fold applied during the rewrite. Requires a vector-bearing index
+    (maintain_index carry_vectors=True — the IVF-list shape): the
+    migration reads vectors FROM THE INDEX ITSELF, never a trip back to
+    the source corpus. One exchange total: the re-assigned rows
+    repartition onto the (new) bucket layout; the assignment itself is
+    the broadcast-fold, exactly the append path's shape."""
+    tmp = f"{table}_migrating"
+    old_loc = _table_location(spark, table)
+    spark.catalog.refreshTable(table)  # see batch_already_applied
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    shutil.rmtree(new_loc, ignore_errors=True)
+    cur = spark.table(table)
+    carry = tuple(c for c in cur.columns if c not in ("vec_id", "cell"))
+    reassigned = assign_batch(cur.drop("cell"), new_cents, carry=carry)
+    (
+        reassigned.repartition(n_buckets, "cell")
+        .write.mode("overwrite")
+        .option("path", new_loc)
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    _swap_generations(spark, table, tmp, old_loc)
 
 
 def maintain_index(
@@ -338,6 +456,10 @@ def maintain_index(
     cleanup: bool = True,
     upsert: bool = False,
     deletes: bool = False,
+    fresh: bool = True,
+    checkpoint_dir: str | None = None,
+    stage_dir: str | None = None,
+    carry_vectors: bool = False,
 ) -> DataFrame:
     """Run the incremental-maintenance loop end to end and return the
     final index contents (vec_id, cell). `audit`, when given, receives
@@ -364,20 +486,52 @@ def maintain_index(
     newer re-insert would revive the key), and compaction applies them
     PHYSICALLY to the index rewrite. Markers are retained (bounded:
     one row per deleted key) so replays and late versions stay
-    correct."""
+    correct.
+
+    ``fresh=False`` RESUMES an existing index instead of dropping it
+    (ADVICE r14: with an unconditional drop the resume-floor/ledger
+    guard could never engage in the streaming path): the table survives,
+    the resume floor is read from its max committed batch_id, and every
+    replayed batch at or below the floor consults the in-table ledger.
+    Resuming requires ``checkpoint_dir`` (batch-id monotonicity — the
+    floor's correctness argument — holds only PER CHECKPOINT; a fresh
+    checkpoint restarts ids at 0 and relies on the source replaying the
+    SAME batches, which only the original checkpoint's offset log
+    guarantees) and ``stage_dir`` pointing at the already-staged
+    arrivals. The registered queries run fresh=True end to end;
+    tests/test_streaming_extras.py::test_ann_index_resume_skips_replayed_batch
+    constructs the resume by dropping the newest checkpoint commit.
+
+    ``carry_vectors=True`` stores each row's embedding beside its cell
+    assignment (the IVF-list shape the serving path reads) so the
+    maintained artifact can answer searches and be MIGRATED under a
+    refreshed quantizer without a trip back to the source corpus."""
     import tempfile
 
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
         _snapshot_and_clean,
     )
 
+    if not fresh and (checkpoint_dir is None or stage_dir is None):
+        raise ValueError(
+            "fresh=False resumes an existing run: pass the original "
+            "checkpoint_dir and stage_dir (see docstring)"
+        )
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    cents = _ann_cents_relation(emb)
+    n_cells = derive_ann_cells(sf_dir)
+    cents = _ann_cents_relation(emb, n_cells)
 
-    stage_dir = tempfile.mkdtemp(prefix="spark_graft_ann_stage_")
-    shutil.rmtree(stage_dir, ignore_errors=True)
+    own_stage = stage_dir is None
+    if own_stage:
+        stage_dir = tempfile.mkdtemp(prefix="spark_graft_ann_stage_")
+        restage = True
+    else:
+        # caller owns the staging dir (the resume path re-reads it)
+        restage = fresh or not os.path.isdir(stage_dir)
+    if restage:
+        shutil.rmtree(stage_dir, ignore_errors=True)
     if upsert:
         # versioned staging: slice s = the originals with vec_id%n==s
         # (ver=s), plus for s >= 2 the re-embedded updates of slice s-2
@@ -408,14 +562,15 @@ def maintain_index(
                 F.lit("d").alias("op"),
             )
             versions = versions.unionByName(tombs)
-        os.makedirs(stage_dir, exist_ok=True)
-        for s in range(n_slices):
-            (
-                versions.filter(F.col("ver") == s)
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(stage_dir)
-            )
+        if restage:
+            os.makedirs(stage_dir, exist_ok=True)
+            for s in range(n_slices):
+                (
+                    versions.filter(F.col("ver") == s)
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(stage_dir)
+                )
         read_schema = "vec_id long, e array<double>, ver integer, op string"
         stream = (
             spark.readStream.schema(read_schema)
@@ -425,13 +580,16 @@ def maintain_index(
     else:
         # stage the corpus as n_slices arrival batches (pmod keeps the
         # slicing deterministic; one file per trigger = one batch per slice)
-        (
-            emb.withColumn("slice", F.pmod("vec_id", F.lit(n_slices)).cast("int"))
-            .repartition(n_slices, "slice")
-            .write.mode("overwrite")
-            .partitionBy("slice")
-            .parquet(stage_dir)
-        )
+        if restage:
+            (
+                emb.withColumn(
+                    "slice", F.pmod("vec_id", F.lit(n_slices)).cast("int")
+                )
+                .repartition(n_slices, "slice")
+                .write.mode("overwrite")
+                .partitionBy("slice")
+                .parquet(stage_dir)
+            )
         read_schema = "vec_id long, e array<double>, slice integer"
         stream = (
             spark.readStream.schema(read_schema)
@@ -441,27 +599,45 @@ def maintain_index(
         )
 
     loc_base = os.path.join(tempfile.gettempdir(), "spark_graft_tables", table)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {table}_compacting")
-    for gen in range(n_slices + 2):
-        shutil.rmtree(f"{loc_base}_gen{gen}", ignore_errors=True)
-    n_buckets = min(16, N_IVF_CELLS)
-    # resume floor: the max batch_id already committed to the table (a
-    # restart resuming an existing index). Batch ids are monotonic per
-    # checkpoint, so only ids AT OR BELOW the floor can be replays — ids
-    # above it skip the per-batch ledger probe entirely (zero existence
-    # scans in the steady state / on a fresh build).
-    if spark.catalog.tableExists(table):
-        spark.catalog.refreshTable(table)
-        row = spark.table(table).agg(F.max("batch_id")).collect()[0]
-        resume_floor = -1 if row[0] is None else int(row[0])
-    else:
-        resume_floor = -1
     tomb_table = f"{table}_tombs"
-    if deletes:
-        spark.sql(f"DROP TABLE IF EXISTS {tomb_table}")
-        shutil.rmtree(f"{loc_base}_tombs", ignore_errors=True)
-    state = {"appends": 0, "gen": 0}
+    n_buckets = min(ANN_MAX_BUCKETS, n_cells)
+    if fresh:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_compacting")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_retiring")
+        for gen in range(n_slices + 2):
+            shutil.rmtree(f"{loc_base}_gen{gen}", ignore_errors=True)
+        if deletes:
+            spark.sql(f"DROP TABLE IF EXISTS {tomb_table}")
+            shutil.rmtree(f"{loc_base}_tombs", ignore_errors=True)
+        resume_floor = -1  # nothing to resume: zero ledger probes
+    else:
+        # resume floor: the max batch_id already committed to the table
+        # (a restart resuming an existing index under its ORIGINAL
+        # checkpoint — see docstring). Batch ids are monotonic per
+        # checkpoint, so only ids AT OR BELOW the floor can be replays —
+        # ids above it skip the per-batch ledger probe entirely (zero
+        # existence scans in the steady state).
+        if spark.catalog.tableExists(table):
+            spark.catalog.refreshTable(table)
+            row = spark.table(table).agg(F.max("batch_id")).collect()[0]
+            resume_floor = -1 if row[0] is None else int(row[0])
+        else:
+            resume_floor = -1
+    # audit row counter: running sum of applied batch rows, re-anchored
+    # from the rewrite's own parquet footers after each compaction
+    # (VERDICT r14 #7 — no O(index) count in the per-batch path). On
+    # resume, re-anchor from the live generation's footers; its directory
+    # suffix also tells the compactor which generation number is next
+    # (writing into the LIVE generation's directory would destroy it).
+    if not fresh and spark.catalog.tableExists(table):
+        live_loc = _table_location(spark, table)
+        start_rows = _index_row_count(live_loc)
+        gen_suffix = live_loc.rsplit("_gen", 1)[-1]
+        start_gen = int(gen_suffix) if gen_suffix.isdigit() else 0
+    else:
+        start_rows, start_gen = 0, 0
+    state = {"appends": 0, "gen": start_gen, "rows": start_rows}
 
     def _tombstones() -> DataFrame | None:
         """Newest delete marker per key, or None when nothing is
@@ -508,12 +684,13 @@ def maintain_index(
             batch_id,
             n_buckets,
             check_ledger=False,  # the guard above already ran
-            carry=("ver",) if upsert else (),
+            carry=(("ver",) if upsert else ())
+            + (("e",) if carry_vectors else ()),
         )
         assert applied
         state["appends"] += 1
         if audit is not None:
-            # THIS batch's cell histogram (bounded: <= N_IVF_CELLS rows) —
+            # THIS batch's cell histogram (bounded: <= n_cells rows) —
             # the quantizer-staleness signal: the frozen quantizer is
             # correct by construction, but drift in the arriving data
             # shows up as this per-batch largest-cell/mean-cell ratio
@@ -527,11 +704,14 @@ def maintain_index(
                 .collect()
             )
             counts = [r["count"] for r in cells]
+            state["rows"] += int(sum(counts))
             audit.append(
                 {
                     "batch_id": int(batch_id),
                     "files": _index_file_count(_table_location(spark, table)),
-                    "rows": int(spark.table(table).count()),
+                    # VERDICT r14 #7: running sum of applied batch rows —
+                    # never an O(index) count in the per-batch path
+                    "rows": int(state["rows"]),
                     "batch_rows": int(sum(counts)),
                     # largest cell vs the mean over ALL quantizer cells
                     # (not just occupied ones — a fully-concentrated
@@ -540,7 +720,7 @@ def maintain_index(
                     # the drift is worst). None for a batch with no
                     # upsert rows (e.g. a tombstone-only delete batch).
                     "cell_skew": (
-                        round(max(counts) / (sum(counts) / N_IVF_CELLS), 3)
+                        round(max(counts) / (sum(counts) / n_cells), 3)
                         if counts
                         else None
                     ),
@@ -557,20 +737,33 @@ def maintain_index(
                 tombstones=_tombstones(),
             )
             if audit is not None:
+                # re-anchor the running row counter from the rewrite's
+                # OWN output (parquet footers of the new generation — a
+                # purging compaction changes the row count; footers are
+                # a driver-side metadata read, not a table scan)
+                new_loc = _table_location(spark, table)
+                state["rows"] = _index_row_count(new_loc)
                 audit.append(
                     {
                         "compacted_after": int(batch_id),
-                        "files": _index_file_count(_table_location(spark, table)),
-                        "rows": int(spark.table(table).count()),
+                        "files": _index_file_count(new_loc),
+                        "rows": int(state["rows"]),
                     }
                 )
 
-    q = (
+    writer = (
         stream.writeStream.foreachBatch(emit)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        # a PERSISTENT checkpoint makes the resume path constructible
+        # (ADVICE r14): batch ids and batch contents replay from its
+        # offset log, which is what the resume floor's monotonicity
+        # argument assumes. Without it Spark uses an ephemeral
+        # checkpoint — fine for the fresh one-shot registered queries.
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.awaitTermination()
     finally:
@@ -598,7 +791,12 @@ def maintain_index(
             .filter(F.col("__dver").isNull() | (F.col("__dver") < F.col("ver")))
             .drop("__dver")
         )
-    snap = _snapshot_and_clean(contents.select("vec_id", "cell"), stage_dir)
+    # materialize the snapshot, then clean only staging WE created — a
+    # caller-provided stage_dir backs the resume path's second run
+    snap = _snapshot_and_clean(
+        contents.select("vec_id", "cell"),
+        stage_dir if own_stage else os.path.join(stage_dir, "__keep_sentinel__"),
+    )
     if cleanup:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {tomb_table}")
@@ -611,7 +809,7 @@ def maintain_index(
 
 _ANN_ORACLE = f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {N_IVF_CELLS}),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {ANN_CELLS_SQL}),
     scored AS (
         SELECT b.vec_id, c.cid,
                ROW_NUMBER() OVER (
@@ -639,8 +837,8 @@ _ANN_ORACLE = f"""
     "path of the similarity-search story): new vectors arrive as "
     f"micro-batches ({N_INDEX_SLICES} staged slices, availableNow); "
     "each batch is assigned map-side against the FROZEN broadcast "
-    f"quantizer (the first {N_IVF_CELLS} corpus vectors, ann_ivf_topk's "
-    "seeds) and idempotently APPENDED to the persistent bucketBy(cell) "
+    "quantizer (derive_ann_cells seeds — the corpus-derived ~sqrt "
+    "width) and idempotently APPENDED to the persistent bucketBy(cell) "
     "index table the cell-local read path consumes — no corpus rebuild, "
     "each batch adds at most one bucketed file per bucket under the "
     "constant bucket spec, and a replayed batch (foreachBatch is "
@@ -711,7 +909,7 @@ def streaming_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM versions
         ) WHERE vrn = 1
     ),
-    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {N_IVF_CELLS}),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {ANN_CELLS_SQL}),
     scored AS (
         SELECT l.vec_id, c.cid,
                ROW_NUMBER() OVER (
@@ -788,7 +986,7 @@ def streaming_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN tombs t ON l.vec_id = t.vec_id
         WHERE t.vec_id IS NULL OR t.dver < l.ver
     ),
-    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {N_IVF_CELLS}),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {ANN_CELLS_SQL}),
     scored AS (
         SELECT l.vec_id, c.cid,
                ROW_NUMBER() OVER (

@@ -46,13 +46,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
-    N_IVF_CELLS,
     cosine,
 )
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
 from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
+    ANN_CELLS_SQL,
+    ANN_MAX_BUCKETS,
     _ann_cents_relation,
     apply_index_batch,
+    derive_ann_cells,
 )
 from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
     _nearest_cells,
@@ -95,7 +97,9 @@ def score_query_batch(
 @register(
     "streaming_ann_search",
     # The oracle replays the full pruned-search pipeline: quantizer =
-    # the first N_IVF_CELLS corpus vectors; each corpus vector in its
+    # the derive_ann_cells(corpus) smallest corpus vectors (the same
+    # COUNT-derived sqrt width as the index family — VERDICT r14 #3,
+    # via the derive_rec_cells/_rec_cells_sql twins); each corpus vector in its
     # single nearest cell; each query probing its SEARCH_NPROBE nearest
     # cells; exact cosine top-SEARCH_TOPK within the fetched candidates
     # (cos DESC, neighbor ASC; self excluded). Every row of the pruned
@@ -103,7 +107,7 @@ def score_query_batch(
     # the separately measured recall dial.
     oracle=f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {N_IVF_CELLS}),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM base WHERE vec_id < {ANN_CELLS_SQL}),
     corpus AS (
         SELECT vec_id AS neighbor_id, e AS ne, cid AS cell FROM (
             SELECT b.vec_id, b.e, c.cid,
@@ -173,7 +177,8 @@ def streaming_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    cents = _ann_cents_relation(emb)
+    n_cells = derive_ann_cells(sf_dir)
+    cents = _ann_cents_relation(emb, n_cells)
 
     # the served index: ONE maintenance append of the full corpus with
     # the vector payload carried — the same write path the update/
@@ -182,7 +187,7 @@ def streaming_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = os.path.join(tempfile.gettempdir(), "spark_graft_tables", tbl)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(loc, ignore_errors=True)
-    n_buckets = min(16, N_IVF_CELLS)
+    n_buckets = min(ANN_MAX_BUCKETS, n_cells)
     apply_index_batch(spark, tbl, loc, emb, cents, 0, n_buckets, carry=("e",))
     index_df = spark.table(tbl).select(
         F.col("vec_id").alias("neighbor_id"), "cell", F.col("e").alias("ne")

@@ -75,7 +75,19 @@ REC_CELLS_MIN = 8
 # import so the registered query AND its oracle SQL (an f-string over
 # this module constant) bake the SAME width; a per-call read could
 # desync the twins mid-session.
-REC_NPROBE = int(os.environ.get("SPARK_GRAFT_REC_NPROBE", "2"))
+def _env_nprobe(raw: str | None) -> int:
+    """ADVICE r14: a malformed env value must degrade to the shipped
+    default, not raise at import time and take down the whole query
+    registry. Non-integer -> 2; anything below 1 -> 1 (a width above
+    the derived cell count is harmless — the probe list is just the
+    full cell ranking, i.e. exhaustive scoring)."""
+    try:
+        return max(1, int(raw if raw is not None else 2))
+    except ValueError:
+        return 2
+
+
+REC_NPROBE = _env_nprobe(os.environ.get("SPARK_GRAFT_REC_NPROBE"))
 
 
 def _rec_cells_sql(count_expr: str) -> str:

@@ -53,14 +53,20 @@ COLLECT_WHITELIST = {
     # centroid relation for streaming candidate pruning, same bound as
     # operators/vectors.py _ivf_assign_cells
     ("streaming/candidates.py", "_centroid_relation"),
-    # exactly N_IVF_CELLS seed rows — the frozen quantizer of the
-    # streaming ANN index maintenance loop, same bound as
+    # exactly derive_ann_cells(corpus) seed rows (~sqrt(corpus)
+    # quantizer seeds) — the frozen quantizer of the streaming ANN
+    # index maintenance loop, same bound as
     # _ivf_assign_cells / _centroid_relation
     ("streaming/ann_index.py", "_ann_cents_relation"),
     # one catalog-metadata row (the table's Location string) — feeds the
     # compaction generation swap and the audit's file counter
     ("streaming/ann_index.py", "_table_location"),
-    # audit-only per-batch cell histogram: <= N_IVF_CELLS rows (the
+    # the staleness DETECTOR'S per-batch cell histogram: <= n_cells
+    # rows read back off a batch_id-pruned scan — here it is the
+    # operator itself (the alarm arming the refresh+migrate actuator),
+    # not an optional audit
+    ("streaming/ann_requantize.py", "emit"),
+    # audit-only per-batch cell histogram: <= n_cells rows (the
     # quantizer-staleness/skew signal); skipped entirely when no audit
     # list is passed (the registered queries pass none)
     ("streaming/ann_index.py", "emit"),

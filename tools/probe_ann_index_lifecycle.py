@@ -44,6 +44,7 @@ from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import 
     ANN_COMPACT_EVERY,
     _ann_cents_relation,
     _index_file_count,
+    derive_ann_cells,
     _table_location,
     apply_index_batch,
     maintain_index,
@@ -158,7 +159,8 @@ def main() -> None:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    cents = _ann_cents_relation(emb)
+    n_cells = derive_ann_cells(sf_dir)
+    cents = _ann_cents_relation(emb, n_cells)
     seed3 = emb.filter(F.col("vec_id") == 3).select("e").collect()[0].e
     drifted = spark.range(n_vecs, n_vecs + 10_000).select(
         F.col("id").alias("vec_id"),
@@ -173,14 +175,10 @@ def main() -> None:
         .count()
         .collect()
     )
-    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
-        N_IVF_CELLS,
-    )
-
     counts = [r["count"] for r in cells]
     # same definition as the audit's cell_skew: largest cell vs the mean
     # over ALL quantizer cells
-    drift_skew = round(max(counts) / (sum(counts) / N_IVF_CELLS), 3)
+    drift_skew = round(max(counts) / (sum(counts) / n_cells), 3)
     organic = [
         a["cell_skew"] for a in audit if a.get("cell_skew") is not None
     ]

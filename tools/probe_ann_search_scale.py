@@ -1,11 +1,12 @@
 """Streaming-vector-search scale probe (the r14 serving path at the
 2M-vector replica).
 
-The registered `streaming_ann_search` pins the 16-cell quantizer so its
-DuckDB oracle stays exact at suite scale; at decade scale the quantizer
-width is the deployment dial (the same derive-from-corpus story the
-candidate pruning ships — cells ~ sqrt(corpus) balances assignment cost
-against per-query candidate volume). This probe builds the
+The registered `streaming_ann_search` derives its quantizer width from
+the corpus count (derive_ann_cells — r15, after this probe's r14 curve
+showed width is the dominant serving-cost dial); this probe keeps the
+width a CLI argument so the cost curve around the derived point stays
+measurable (cells ~ sqrt(corpus) balances assignment cost against
+per-query candidate volume). It builds the
 vector-bearing index at a configurable width via the maintenance write
 path, then serves a query batch and reports:
 
