@@ -178,6 +178,8 @@ HEADLINE = [
     "streaming_ann_index_upsert",
     "streaming_ann_index_delete",
     "streaming_ann_search",
+    # round-15 addition
+    "streaming_ann_index_requantize",
 ]
 
 
@@ -526,6 +528,30 @@ EXPECTED_SHIFTS: dict[str, str] = {
 # (1.384), phrase_retrieval_topdocs 2.05/2.05 (2.44),
 # streaming_interest_fold 1.52/1.54 (1.652). Suite-context variance,
 # no code cause, map adjudicated clean.
+#
+# Round-15 adjudication of the ~25-flag DRIVER-run map (VERDICT r14 #2:
+# the driver's own r14 bench ran 266.8 s at calibration 0.228 vs the
+# committed 230.1 s record at 0.229 — uniform 1.25-1.62x flags on
+# queries with NO r14 code change). Two-pronged evidence, both on this
+# host: (1) a fresh full r15 run REPRODUCED the driver's number
+# (268.7 s at calibration 0.236; its regression map vs the driver's
+# bench_full carries only 3 sub-1.51x names) — the committed 230.1 s
+# record was a faster host window, and the single-threaded calibration
+# probe under-captures whatever co-tenant load moved the suite; (2)
+# isolation runs of the driver map's four worst flags (fresh session,
+# calibration reps [4.22, 0.326, 0.439] — the host visibly noisy even
+# then, 3 reps, sf0.1): warm floors sessionize_events 0.96 (record
+# ~1.0), benford_law_audit 0.48, streaming_stream_stream_left_join
+# 3.46 (the documented high-variance availableNow class; normalized
+# under its 2.7 record at matched calibration), ann_ivf_topk 1.45
+# (record 1.345, zero r14/r15 code change — the r15 width derivation
+# touches only the STREAMING ann family). Ambient host drift, no code
+# cause, driver-run map adjudicated clean. The fresh run's OWN three
+# residual flags isolation-ran on a still-noisier window (calibration
+# reps [6.2, 0.89, 0.68]): warm floors text_normalize 0.58 (prev
+# 1.407 — UNDER), eval_candidate_sampling 2.04, embedding_near_dup_pairs
+# 2.24 — both under prev once the 3x calibration gap is applied. Same
+# verdict: ambient, clean.
 
 
 def _regressions(
