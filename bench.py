@@ -178,8 +178,9 @@ HEADLINE = [
     "streaming_ann_index_upsert",
     "streaming_ann_index_delete",
     "streaming_ann_search",
-    # round-15 addition
+    # round-15 additions
     "streaming_ann_index_requantize",
+    "ann_two_level_assign",
 ]
 
 

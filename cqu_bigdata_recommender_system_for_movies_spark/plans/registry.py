@@ -704,9 +704,12 @@ R14_WINDOW: tuple[str, ...] = R14_CHANGED_HEAD + (
 # pin froze — the staleness alarm's actuator: a drifted arrival slice
 # trips the per-batch cell-skew detector, the quantizer re-seeds from
 # the index's own stored vectors, and the index migrates one generation
-# under the new seeds, streaming/ann_requantize.py); named in
-# CHANGED_THIS_ROUND, so it heads the r16 window first by the standing
-# rule: never-checked precedes changed.
+# under the new seeds, streaming/ann_requantize.py) and
+# ann_two_level_assign (also mid-round-15 — the hierarchical coarse
+# quantizer: the ingest scale path past the flat fold's width cap,
+# streaming/ann_index.py); both named in CHANGED_THIS_ROUND, so they
+# head the r16 window first by the standing rule: never-checked
+# precedes changed.
 R15_CHANGED_HEAD: tuple[str, ...] = (
     "streaming_ann_search",
     "streaming_ann_index_delete",
@@ -801,13 +804,31 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # And: streaming_ann_index_requantize is NEW this round (VERDICT r14
 # #4 — the staleness alarm's ACTUATOR): 3 organic slices + 1 drifted
 # slice (abs(x)+1.0 payload), the per-batch cell-skew alarm (threshold
-# 4.0, measured >= 1.7x margin to both bands incl. slice-merge cases)
+# 6.0, measured >= 1.47x margin to both bands incl. slice-merge and
+# 2M-replica cases)
 # triggers a quantizer RE-SEED from the index's own stored vectors and
 # a one-generation MIGRATION rewrite; the oracle is the fresh rebuild
 # under the refreshed quantizer, so post-migration-equals-rebuild is
 # hash-checked. Registered mid-round-15, never driver-checked -> r16
 # head FIRST (never-checked precedes changed).
+# And: the derived width gained a measured CAP (ANN_DERIVED_CELLS_CAP =
+# 256 with a LEAST() SQL twin): ingest cost is linear in width under
+# the interpreted flat fold (measured 1.5k rows/s at 256 cells, 147 at
+# 2048 on the 2M replica) while 256 is the r14-measured serving
+# optimum; suite-sf widths (32/64) sit under the cap, so results and
+# parity are unchanged at every test sf.
+# And: ann_two_level_assign is NEW this round — the ingest scale path
+# PAST the cap: a hierarchical coarse quantizer (level 1 = the
+# sqrt(n_cells) smallest seeds; every cell grouped driver-side under
+# its own nearest rep — geometry-aware; level 2 = best cell among the
+# top-ANN_GROUP_PROBE probed groups), O((1+probe)*sqrt(cells)) dots per
+# row instead of the flat fold's n_cells. Deterministic given the
+# seeds; the oracle replays grouping + both levels, and the measured
+# flat-agreement curve (0.33/0.48/0.61/0.71 at probe 1-4, sf0.1) is
+# floored in pytest. Registered mid-round-15, never driver-checked ->
+# r16 head (never-checked precedes changed).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "ann_two_level_assign",
     "streaming_ann_index_requantize",
     "streaming_ann_search",
     "streaming_ann_index_delete",

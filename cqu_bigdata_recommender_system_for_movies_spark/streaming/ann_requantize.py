@@ -14,8 +14,9 @@ cell lists stop pruning, and serving cost climbs. The lifecycle is:
   batches sit in a tight band (measured 1.7-2.3 across three sfs and
   the 2M replica), a drifted batch spikes (measured >= n_cells/4 even
   when the file source merges a drifted slice with organic ones; the
-  fully-drifted slice reads n_cells exactly). ANN_SKEW_REFRESH = 4.0
-  splits the bands with >= 1.7x margin on both sides.
+  fully-drifted slice reads n_cells exactly). ANN_SKEW_REFRESH = 6.0
+  splits every measured organic point (<= 3.58, incl. the 2M replica)
+  from every measured drift point (>= 8.8) with >= 1.47x margin.
 - REFRESH: re-seed the quantizer from the index's own CURRENT contents
   (the n_cells smallest live vec_ids with their stored — i.e. arrived —
   embeddings). The refreshed seeds therefore reflect the drift; no trip
@@ -62,11 +63,14 @@ from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 ANN_REQUANT_TABLE = "spark_graft_ann_index_q"
 N_REQUANT_SLICES = 4  # 3 organic arrival slices + 1 drifted slice
 # Alarm threshold on the per-batch largest-cell/mean-over-all-cells
-# ratio. Measured bands (tools/probe_ann_requantize.py + the module
-# docstring): organic <= 2.3 at every sf and the 2M replica; a drifted
-# batch >= 8.8 even under full slice merging, n_cells alone. 4.0 sits
-# >= 1.7x above organic and >= 2.2x below the worst-case drift signal.
-ANN_SKEW_REFRESH = 4.0
+# ratio. Measured bands (tools/probe_ann_requantize.py): organic <= 2.3
+# at the three suite sfs but 3.58 at the 2M replica (256 cells — the
+# replica tiles 2000 distinct vectors, concentrating cells), while a
+# drifted batch reads >= 8.8 even under full slice merging and n_cells
+# exactly (256.0 at the replica) when it rides alone. 6.0 sits >= 1.67x
+# above every measured organic point and >= 1.47x below the worst-case
+# (fully-merged) drift signal.
+ANN_SKEW_REFRESH = 6.0
 
 
 def requantize_loop(
@@ -123,7 +127,7 @@ def requantize_loop(
     # sequential staging (distinct mtimes) so the drifted slice arrives
     # last; correctness never depends on the batching — the alarm
     # threshold holds even if the file source merges slices (measured:
-    # full merge still reads >= 8.8 vs the 4.0 threshold)
+    # full merge still reads >= 8.8 vs the 6.0 threshold)
     for s in range(n_slices):
         (
             arrived.filter(F.pmod("vec_id", F.lit(n_slices)) == s)
@@ -269,7 +273,7 @@ def requantize_loop(
     "frozen quantizer, a final DRIFTED slice (deterministic "
     "abs(x) + 1.0 payload — a new embedding model's near-parallel "
     "output) trips the per-batch cell-skew alarm (threshold "
-    f"{ANN_SKEW_REFRESH}, measured >= 1.7x margin against both bands), "
+    f"{ANN_SKEW_REFRESH}, measured >= 1.47x margin against both bands), "
     "and at the next maintenance window the quantizer is RE-SEEDED "
     "from the index's own stored vectors and the whole index is "
     "MIGRATED one generation forward under the new seeds (the "

@@ -58,6 +58,13 @@ COLLECT_WHITELIST = {
     # index maintenance loop, same bound as
     # _ivf_assign_cells / _centroid_relation
     ("streaming/ann_index.py", "_ann_cents_relation"),
+    # exactly n_cells seed rows, collected ONCE to build the two-level
+    # quantizer's broadcast `__reps` (~sqrt(n_cells) representatives)
+    # and `__gcents` (cells tagged with their nearest-rep group — the
+    # geometry-aware grouping computed driver-side over the bounded
+    # seed set) relations; same driver-resident-seed bound as
+    # _ann_cents_relation
+    ("streaming/ann_index.py", "_two_level_relations"),
     # one catalog-metadata row (the table's Location string) — feeds the
     # compaction generation swap and the audit's file counter
     ("streaming/ann_index.py", "_table_location"),
