@@ -493,6 +493,7 @@ def maintain_index(
     checkpoint_dir: str | None = None,
     stage_dir: str | None = None,
     carry_vectors: bool = False,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Run the incremental-maintenance loop end to end and return the
     final index contents (vec_id, cell). `audit`, when given, receives
@@ -538,7 +539,13 @@ def maintain_index(
     ``carry_vectors=True`` stores each row's embedding beside its cell
     assignment (the IVF-list shape the serving path reads) so the
     maintained artifact can answer searches and be MIGRATED under a
-    refreshed quantizer without a trip back to the source corpus."""
+    refreshed quantizer without a trip back to the source corpus.
+
+    ``n_cells`` overrides the corpus-derived quantizer width — PROBE
+    USE ONLY (decade replicas pin a narrow width so a multi-pass run
+    stays inside the harness budget; the flat fold is linear in width).
+    The registered queries never pass it: an override would desync the
+    engine from its COUNT-derived oracle twin."""
     import tempfile
 
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (

@@ -63,6 +63,10 @@ def main() -> None:
     compact_every = (
         int(args[2]) if len(args) > 2 else (2 if upsert else ANN_COMPACT_EVERY)
     )
+    # optional pinned quantizer width (decade replicas: the flat fold is
+    # linear in width, so multi-pass runs pin a narrow quantizer — the
+    # r14 decade convention; None derives the capped sqrt width)
+    pin_cells = int(args[3]) if len(args) > 3 else None
     spark = get_spark("ann-index-lifecycle-probe")
 
     audit: list = []
@@ -76,6 +80,7 @@ def main() -> None:
         audit=audit,
         cleanup=False,
         upsert=upsert,
+        n_cells=pin_cells,
     )
     maintain_sec = round(time.perf_counter() - t0, 1)
     n_vecs = snap.count()
@@ -159,7 +164,7 @@ def main() -> None:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    n_cells = derive_ann_cells(sf_dir)
+    n_cells = pin_cells if pin_cells is not None else derive_ann_cells(sf_dir)
     cents = _ann_cents_relation(emb, n_cells)
     seed3 = emb.filter(F.col("vec_id") == 3).select("e").collect()[0].e
     drifted = spark.range(n_vecs, n_vecs + 10_000).select(
