@@ -553,6 +553,17 @@ EXPECTED_SHIFTS: dict[str, str] = {
 # 1.407 — UNDER), eval_candidate_sampling 2.04, embedding_near_dup_pairs
 # 2.24 — both under prev once the 3x calibration gap is applied. Same
 # verdict: ambient, clean.
+#
+# Round-15 final-record flags (the 147-query record, cal 0.207, vs the
+# same-day 145-query run at cal 0.236 — the known fast-calibration
+# over-correction; only recommend_candidates is even in the r15 code
+# closure, and only via the behavior-neutral REC_NPROBE env clamp):
+# isolation runs (fresh session, calibration [3.66, 0.234, 0.241],
+# 3 reps, sf0.1) put every warm floor AT or UNDER prev —
+# streaming_recommend_emit 3.19 (prev 5.80), dedup_components 1.02
+# (2.39), data_profile_summary 3.55 (3.42, raw 1.04x at matched
+# calibration), streaming_recommend_candidates 4.08 (4.94).
+# Suite-context variance, no code cause, map adjudicated clean.
 
 
 def _regressions(
