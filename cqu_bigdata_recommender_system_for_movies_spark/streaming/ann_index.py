@@ -1144,25 +1144,13 @@ def _two_level_relations(
     return reps_df, gcents_df
 
 
-def _two_level_cell(vec_col: str):
-    """Column expression: the hierarchically-selected quantizer cell of
-    `vec_col` — level 1 picks the top-ANN_GROUP_PROBE representatives
-    from the broadcast `__reps` row (cos DESC, rid ASC), level 2 picks
-    the best cell among the probed groups' members from the broadcast
-    `__gcents` row (cos DESC, cid ASC). Work per row:
-    ~(1 + ANN_GROUP_PROBE) * sqrt(n_cells) interpreted dots instead of
-    the flat fold's n_cells (measured at the 2M replica: the flat fold
-    runs ~1.5k rows/s across 32 threads at 256 cells and ~147 rows/s at
-    2048 — linear in width; tools/probe_ann_two_level.py measures the
-    hierarchical rate). The price is approximation: the true nearest
-    cell can live outside the probed groups — the same pruning bet IVF
-    serving makes at the cell level, measured as flat-agreement in the
-    probe and floored in tests. Selection is deterministic given the
-    seeds, so the DuckDB oracle replays it exactly (argmax via
-    array_max over (cos, -id) structs: highest cos, then smallest id —
-    the family's tie order). The row norm and the winning rep ids are
-    let-bound via single-element transforms (higher-order functions
-    have no CSE)."""
+def _two_level_cells(vec_col: str, k: int):
+    """Column expression: the top-k hierarchically-selected quantizer
+    cells of `vec_col` (cos DESC, cid ASC within the probed groups) —
+    the SEARCH side of the two-level quantizer: a query probes its
+    ANN_GROUP_PROBE best level-1 groups and then its k best cells
+    inside them, the hierarchical analogue of the flat _nearest_cells
+    multiprobe. k=1 is the assignment path (_two_level_cell)."""
 
     from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
         EPS,
@@ -1203,24 +1191,56 @@ def _two_level_cell(vec_col: str):
                             lambda s: -s["negid"],
                         )
                     ),
-                    lambda gids: -F.array_max(
-                        _scored(
-                            F.filter(
-                                F.col("__gcents"),
-                                lambda c: F.array_contains(gids, c["gid"]),
+                    lambda gids: F.transform(
+                        F.slice(
+                            F.reverse(
+                                F.array_sort(
+                                    _scored(
+                                        F.filter(
+                                            F.col("__gcents"),
+                                            lambda c: F.array_contains(
+                                                gids, c["gid"]
+                                            ),
+                                        ),
+                                        "ce",
+                                        "nc",
+                                        "cid",
+                                        ne,
+                                    )
+                                )
                             ),
-                            "ce",
-                            "nc",
-                            "cid",
-                            ne,
-                        )
-                    )["negid"],
+                            1,
+                            k,
+                        ),
+                        lambda s: -s["negid"],
+                    ),
                 ),
                 1,
             ),
         ),
         1,
     )
+
+
+def _two_level_cell(vec_col: str):
+    """Column expression: the hierarchically-selected quantizer cell of
+    `vec_col` — level 1 picks the top-ANN_GROUP_PROBE representatives
+    from the broadcast `__reps` row (cos DESC, rid ASC), level 2 picks
+    the best cell among the probed groups' members from the broadcast
+    `__gcents` row (cos DESC, cid ASC) — the k=1 case of
+    _two_level_cells. Work per row: ~(1 + ANN_GROUP_PROBE) *
+    sqrt(n_cells) interpreted dots instead of the flat fold's n_cells
+    (measured at the 2M replica: the flat fold runs ~1.5k rows/s across
+    32 threads at 256 cells and ~147 rows/s at 2048 — linear in width;
+    tools/probe_ann_two_level.py measures the hierarchical rate). The
+    price is approximation: the true nearest cell can live outside the
+    probed groups — the same pruning bet IVF serving makes at the cell
+    level, measured as flat-agreement in the probe and floored in
+    tests. Selection is deterministic given the seeds, so the DuckDB
+    oracle replays it exactly. The row norm and the winning rep ids are
+    let-bound via single-element transforms (higher-order functions
+    have no CSE)."""
+    return F.element_at(_two_level_cells(vec_col, 1), 1)
 
 
 def ivf_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
