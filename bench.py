@@ -181,6 +181,7 @@ HEADLINE = [
     # round-15 additions
     "streaming_ann_index_requantize",
     "ann_two_level_assign",
+    "ann_two_level_search",
 ]
 
 

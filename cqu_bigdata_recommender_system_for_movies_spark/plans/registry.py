@@ -705,11 +705,11 @@ R14_WINDOW: tuple[str, ...] = R14_CHANGED_HEAD + (
 # trips the per-batch cell-skew detector, the quantizer re-seeds from
 # the index's own stored vectors, and the index migrates one generation
 # under the new seeds, streaming/ann_requantize.py) and
-# ann_two_level_assign (also mid-round-15 — the hierarchical coarse
-# quantizer: the ingest scale path past the flat fold's width cap,
-# streaming/ann_index.py); both named in CHANGED_THIS_ROUND, so they
-# head the r16 window first by the standing rule: never-checked
-# precedes changed.
+# ann_two_level_assign and ann_two_level_search (also mid-round-15 —
+# the hierarchical coarse quantizer's ingest and serving sides: the
+# scale path past the flat fold's width cap, streaming/ann_index.py);
+# all named in CHANGED_THIS_ROUND, so they head the r16 window first by
+# the standing rule: never-checked precedes changed.
 R15_CHANGED_HEAD: tuple[str, ...] = (
     "streaming_ann_search",
     "streaming_ann_index_delete",
@@ -827,7 +827,17 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # flat-agreement curve (0.33/0.48/0.61/0.71 at probe 1-4, sf0.1) is
 # floored in pytest. Registered mid-round-15, never driver-checked ->
 # r16 head (never-checked precedes changed).
+# And: ann_two_level_search is NEW this round — the hierarchical
+# quantizer's SERVING side (corpus assigned two-level, each query
+# probes its top groups then its top SEARCH_NPROBE cells inside them,
+# exact cosine top-k over the fetched candidates); the oracle replays
+# grouping + both per-side selection levels + fetch + ranking. The
+# serving convention constants (SEARCH_NPROBE/TOPK, QUERY_MOD/REM)
+# moved from ann_search.py into ann_index.py (import direction), which
+# is also in streaming_ann_search's closure. Registered mid-round-15,
+# never driver-checked -> r16 head.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "ann_two_level_search",
     "ann_two_level_assign",
     "streaming_ann_index_requantize",
     "streaming_ann_search",

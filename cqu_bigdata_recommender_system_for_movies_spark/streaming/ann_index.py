@@ -138,6 +138,14 @@ ANN_MAX_BUCKETS = 16
 # see ivf_two_level_assign below: O(2*sqrt(cells)) dots per row
 # restores width-insensitive ingest at production widths.
 ANN_DERIVED_CELLS_CAP = 256
+# Serving-convention constants, shared by the streaming serving path
+# (streaming/ann_search.py imports them from here — this module cannot
+# import from ann_search without a cycle) and the hierarchical batch
+# search below.
+SEARCH_NPROBE = 2  # probed cells per query — the measured recall dial
+SEARCH_TOPK = 5
+QUERY_MOD = 50  # query set: vec_id % QUERY_MOD == QUERY_REM (2% of corpus)
+QUERY_REM = 7
 # Level-1 groups probed by the two-level quantizer's assignment — the
 # hierarchical analogue of IVF nprobe. Measured flat-agreement curve at
 # sf0.1 (64 cells, 8 geometry-grouped reps, near-random synthetic
@@ -1348,3 +1356,168 @@ ANN_GROUP_SQL = (
 )
 def ann_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_two_level_assign(spark, sf_dir)
+
+
+@register(
+    "ann_two_level_search",
+    # The serving side of the hierarchical quantizer, exact-checked end
+    # to end: the oracle replays the corpus grouping + assignment (the
+    # ann_two_level_assign pipeline), the QUERY side's hierarchical
+    # probe (top-ANN_GROUP_PROBE reps, then top-SEARCH_NPROBE cells
+    # within the probed groups — cos DESC, cid ASC across their union,
+    # the _two_level_cells sort order), the cell-key candidate fetch,
+    # and the exact cosine top-k (cos DESC, neighbor ASC; self
+    # excluded). Integer ranks ride the hash; no float columns.
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    width AS (SELECT {ANN_CELLS_SQL} AS n),
+    gw AS (SELECT {ANN_GROUP_SQL} AS g),
+    cent AS (
+        SELECT vec_id AS cid, e AS ce FROM base
+        WHERE vec_id < (SELECT n FROM width)
+    ),
+    reps AS (SELECT cid AS rid, ce AS re FROM cent WHERE cid < (SELECT g FROM gw)),
+    grouped AS (
+        SELECT cid, ce, rid AS gid FROM (
+            SELECT c.cid, c.ce, r.rid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cid
+                       ORDER BY list_dot_product(c.ce, r.re) /
+                                (sqrt(list_dot_product(c.ce, c.ce)) *
+                                 sqrt(list_dot_product(r.re, r.re)) + 1e-8) DESC,
+                                r.rid
+                   ) AS rn
+            FROM cent c CROSS JOIN reps r
+        ) WHERE rn = 1
+    ),
+    corpus_l1 AS (
+        SELECT vec_id, rid AS gid FROM (
+            SELECT b.vec_id, r.rid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.e, r.re) /
+                                (sqrt(list_dot_product(b.e, b.e)) *
+                                 sqrt(list_dot_product(r.re, r.re)) + 1e-8) DESC,
+                                r.rid
+                   ) AS rn
+            FROM base b CROSS JOIN reps r
+        ) WHERE rn <= {ANN_GROUP_PROBE}
+    ),
+    corpus AS (
+        SELECT vec_id AS neighbor_id, ne, cell FROM (
+            SELECT b.vec_id, b.e AS ne, c.cid AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.e, c.ce) /
+                                (sqrt(list_dot_product(b.e, b.e)) *
+                                 sqrt(list_dot_product(c.ce, c.ce)) + 1e-8) DESC,
+                                c.cid
+                   ) AS rn
+            FROM corpus_l1 w
+            JOIN base b ON b.vec_id = w.vec_id
+            JOIN grouped c ON c.gid = w.gid
+        ) WHERE rn = 1
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, e AS qe FROM base
+        WHERE vec_id % {QUERY_MOD} = {QUERY_REM}
+    ),
+    query_l1 AS (
+        SELECT query_id, qe, rid AS gid FROM (
+            SELECT q.query_id, q.qe, r.rid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qe, r.re) /
+                                (sqrt(list_dot_product(q.qe, q.qe)) *
+                                 sqrt(list_dot_product(r.re, r.re)) + 1e-8) DESC,
+                                r.rid
+                   ) AS rn
+            FROM queries q CROSS JOIN reps r
+        ) WHERE rn <= {ANN_GROUP_PROBE}
+    ),
+    qcells AS (
+        SELECT query_id, qe, cid AS cell FROM (
+            SELECT w.query_id, w.qe, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY w.query_id
+                       ORDER BY list_dot_product(w.qe, c.ce) /
+                                (sqrt(list_dot_product(w.qe, w.qe)) *
+                                 sqrt(list_dot_product(c.ce, c.ce)) + 1e-8) DESC,
+                                c.cid
+                   ) AS rn
+            FROM query_l1 w
+            JOIN grouped c ON c.gid = w.gid
+        ) WHERE rn <= {SEARCH_NPROBE}
+    ),
+    ranked AS (
+        SELECT qc.query_id, co.neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qc.query_id
+                   ORDER BY list_dot_product(qc.qe, co.ne) /
+                            (sqrt(list_dot_product(qc.qe, qc.qe)) *
+                             sqrt(list_dot_product(co.ne, co.ne)) + 1e-8) DESC,
+                            co.neighbor_id
+               ) AS rank
+        FROM qcells qc JOIN corpus co USING (cell)
+        WHERE co.neighbor_id != qc.query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+    FROM ranked WHERE rank <= {SEARCH_TOPK}
+    """,
+    doc="Hierarchical vector SEARCH through the two-level quantizer "
+    "(beyond-reference — the serving side of ann_two_level_assign, "
+    "exact-checked): the corpus is assigned hierarchically "
+    "(vector-bearing IVF layout), each query probes its top-"
+    f"{ANN_GROUP_PROBE} level-1 groups and then its top query-nprobe "
+    "cells inside them (the _two_level_cells multiprobe), candidates "
+    "are fetched on the cell key, and the answer is an exact cosine "
+    "top-k (self-matches excluded). At replica scale this is the "
+    "16.2 ms/query wide-width regime the flat fold cannot build "
+    "(SCALE_r15.json ann_two_level_serve_1000x); the oracle replays "
+    "grouping, both per-side selection levels, the fetch, and the "
+    "ranking, so the served hierarchical answer is hash-checked row "
+    "by row.",
+)
+def ann_two_level_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        cosine,
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    n_cells = derive_ann_cells(sf_dir)
+    n_reps = derive_group_width(n_cells)
+    reps, gcents = _two_level_relations(emb, n_cells, n_reps)
+    corpus = (
+        emb.repartition(shuffle_partitions(spark))
+        .crossJoin(F.broadcast(gcents))
+        .crossJoin(F.broadcast(reps))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            _two_level_cell("e").alias("cell"),
+            F.col("e").alias("ne"),
+        )
+    )
+    probes = (
+        emb.filter(F.pmod("vec_id", F.lit(QUERY_MOD)) == QUERY_REM)
+        .crossJoin(F.broadcast(gcents))
+        .crossJoin(F.broadcast(reps))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(_two_level_cells("e", SEARCH_NPROBE)).alias("cell"),
+        )
+    )
+    cands = probes.join(corpus, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine("qe", "ne")), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SEARCH_TOPK)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -52,6 +52,10 @@ from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import regis
 from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
     ANN_CELLS_SQL,
     ANN_MAX_BUCKETS,
+    QUERY_MOD,
+    QUERY_REM,
+    SEARCH_NPROBE,
+    SEARCH_TOPK,
     _ann_cents_relation,
     apply_index_batch,
     derive_ann_cells,
@@ -62,10 +66,10 @@ from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import
 from cqu_bigdata_recommender_system_for_movies_spark.tables import load
 
 ANN_SEARCH_TABLE = "spark_graft_ann_search_index"
-SEARCH_NPROBE = 2  # probed cells per query — the measured recall dial
-SEARCH_TOPK = 5
-QUERY_MOD = 50  # query set: vec_id % QUERY_MOD == QUERY_REM (2% of corpus)
-QUERY_REM = 7
+# SEARCH_NPROBE / SEARCH_TOPK / QUERY_MOD / QUERY_REM moved to
+# streaming/ann_index.py (r15: the hierarchical batch search shares the
+# serving convention and this module imports ann_index, not vice versa);
+# re-exported here so existing importers keep working.
 N_SEARCH_SLICES = 2  # staged query-arrival batches
 
 
