@@ -565,6 +565,15 @@ EXPECTED_SHIFTS: dict[str, str] = {
 # (2.39), data_profile_summary 3.55 (3.42, raw 1.04x at matched
 # calibration), streaming_recommend_candidates 4.08 (4.94).
 # Suite-context variance, no code cause, map adjudicated clean.
+#
+# Round-15 closing record (148 queries, cal 0.247 — ann_two_level_search
+# lands its first number, 1.83 s): two flags, neither in any r15 code
+# closure; isolation runs (fresh session, calibration [4.51, 0.339,
+# 0.315] — a ~1.5x-slower window than the record's 0.207, 3 reps,
+# sf0.1): file_metadata_columns warm 0.89 (prev 0.79 — raw 1.13x on the
+# slower window, under prev normalized), dedup_components warm 1.03
+# (prev 2.39 — well under; the checkpoint-heavy family's documented
+# first-run variance). Ambient, clean.
 
 
 def _regressions(
