@@ -765,88 +765,98 @@ R15_WINDOW: tuple[str, ...] = R15_CHANGED_HEAD + (
     "topk_per_user_window",
 )
 
-# Round 15 rotation (VERDICT r14 #1): burn the pinned window.
-DRIVER_CHECK_FIRST: tuple[str, ...] = R15_WINDOW
-DRIVER_CHECK_LAST: tuple[str, ...] = ()
-
-# Queries whose implementation hash (transitive in-package closure, see
-# plans/manifest.py) changed since the round-15 start tree (the tree the
-# r14 driver verified; plans/query_manifest.json is frozen there).
-# VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as any
-# query/oracle/helper change — enforced by
-# tests/test_plans.py::test_changed_queries_are_manifested, which fails
-# on any hash drift not named here. The r16 window head is derived from
-# it mechanically: CHANGED_THIS_ROUND minus R15_WINDOW (in-window names
-# get fresh r15 rows at round end and need no r16 slot). At the start of
-# round 16: refresh the manifest (python -m
-# cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
-# refresh), pin R16_WINDOW, reset this tuple to ().
-#
-# r15 changes so far (VERDICT r14 #3 + ADVICE r14): the maintained ANN
-# index/search family's quantizer width is now CORPUS-DERIVED on both
-# engines (derive_ann_cells = the candidates family's
-# derive_rec_cells/_rec_cells_sql sqrt-corpus twins, sized from the
-# embeddings footer count; oracles derive the same width via a COUNT(*)
-# scalar subquery — ANN_CELLS_SQL) instead of the fixed 16-cell pin;
-# the offline ann_ivf_topk keeps its pinned fixed width. Results change
-# (wider quantizer -> different cells), parity re-proven at three sfs;
-# all five queries sit in the R15_WINDOW head, so the driver checks the
-# new plans this round. Also in their closures: the compaction swap is
-# now rename-aside (a live catalog entry exists at every instant), the
-# resume path is constructible (fresh=False + checkpoint_dir +
-# caller-owned stage_dir; the unconditional drop is fresh-gated), the
-# audit's per-batch `rows` is a running sum re-anchored from rewrite
-# footers (never an O(index) count), and maintain_index can carry the
-# vector payload (carry_vectors — the IVF-list shape serving/migration
-# read). streaming_recommend_candidates: REC_NPROBE's env read is
-# validated/clamped (malformed values degrade to the default instead of
-# raising at import — ADVICE r14).
-# And: streaming_ann_index_requantize is NEW this round (VERDICT r14
-# #4 — the staleness alarm's ACTUATOR): 3 organic slices + 1 drifted
-# slice (abs(x)+1.0 payload), the per-batch cell-skew alarm (threshold
-# 6.0, measured >= 1.47x margin to both bands incl. slice-merge and
-# 2M-replica cases)
-# triggers a quantizer RE-SEED from the index's own stored vectors and
-# a one-generation MIGRATION rewrite; the oracle is the fresh rebuild
-# under the refreshed quantizer, so post-migration-equals-rebuild is
-# hash-checked. Registered mid-round-15, never driver-checked -> r16
-# head FIRST (never-checked precedes changed).
-# And: the derived width gained a measured CAP (ANN_DERIVED_CELLS_CAP =
-# 256 with a LEAST() SQL twin): ingest cost is linear in width under
-# the interpreted flat fold (measured 1.5k rows/s at 256 cells, 147 at
-# 2048 on the 2M replica) while 256 is the r14-measured serving
-# optimum; suite-sf widths (32/64) sit under the cap, so results and
-# parity are unchanged at every test sf.
-# And: ann_two_level_assign is NEW this round — the ingest scale path
-# PAST the cap: a hierarchical coarse quantizer (level 1 = the
-# sqrt(n_cells) smallest seeds; every cell grouped driver-side under
-# its own nearest rep — geometry-aware; level 2 = best cell among the
-# top-ANN_GROUP_PROBE probed groups), O((1+probe)*sqrt(cells)) dots per
-# row instead of the flat fold's n_cells. Deterministic given the
-# seeds; the oracle replays grouping + both levels, and the measured
-# flat-agreement curve (0.33/0.48/0.61/0.71 at probe 1-4, sf0.1) is
-# floored in pytest. Registered mid-round-15, never driver-checked ->
-# r16 head (never-checked precedes changed).
-# And: ann_two_level_search is NEW this round — the hierarchical
-# quantizer's SERVING side (corpus assigned two-level, each query
-# probes its top groups then its top SEARCH_NPROBE cells inside them,
-# exact cosine top-k over the fetched candidates); the oracle replays
-# grouping + both per-side selection levels + fetch + ranking. The
-# serving convention constants (SEARCH_NPROBE/TOPK, QUERY_MOD/REM)
-# moved from ann_search.py into ann_index.py (import direction), which
-# is also in streaming_ann_search's closure. Registered mid-round-15,
-# never driver-checked -> r16 head.
-CHANGED_THIS_ROUND: tuple[str, ...] = (
+# r16 fill — the EXACT round-16 window, pinned at the start of round 16
+# from the round-15 manifest (VERDICT r15 #1). Rule, recomputed and
+# asserted by tests/test_plans.py::test_r16_window_pin:
+# (a) head = the r15 CHANGED_THIS_ROUND tuple minus R15_WINDOW names
+# (in-window names got fresh r15 rows at round end), ordered
+# never-driver-checked FIRST (the standing r11 rule: never-checked
+# precedes changed): the three queries registered mid-round-15 with no
+# driver row in any CORRECTNESS_r* file (ann_two_level_search,
+# ann_two_level_assign, streaming_ann_index_requantize — VERDICT r15
+# #1's exact ask: the driver hash-confirms the hierarchical
+# assignment/serving answers and post-migration-equals-rebuild), then
+# the one changed-but-previously-green name (streaming_ann_index_update
+# — its closure took the r15 derive_ann_cells/carry_vectors/rename-aside
+# re-plan but R15_WINDOW had no slot for it).
+# (b) oldest-green-first re-confirmations (last driver round ascending
+# over CORRECTNESS_r01..r15, NAME as the tie-break, R15_WINDOW names
+# excluded since their r15 rows are freshest) up to the 50-slot window:
+# the two remaining r10-latest rows (window_functions_suite,
+# zorder_layout_stats) then the first 44 r11-latest rows alphabetically,
+# from ann_ivf_topk through rfm_segmentation.
+R16_CHANGED_HEAD: tuple[str, ...] = (
     "ann_two_level_search",
     "ann_two_level_assign",
     "streaming_ann_index_requantize",
-    "streaming_ann_search",
-    "streaming_ann_index_delete",
-    "streaming_ann_index_upsert",
-    "streaming_ann_index_compact",
     "streaming_ann_index_update",
-    "streaming_recommend_candidates",
 )
+R16_WINDOW: tuple[str, ...] = R16_CHANGED_HEAD + (
+    "window_functions_suite",
+    "zorder_layout_stats",
+    "ann_ivf_topk",
+    "approx_topk_parts",
+    "arrow_vector_norms",
+    "auc_rank_sum",
+    "bigram_logprob_score",
+    "bloom_semi_join_prune",
+    "boolean_retrieval_and",
+    "bucketed_ratings_join",
+    "calibration_bins",
+    "correlation_matrix",
+    "covisitation_matrix",
+    "data_profile_summary",
+    "dedup_canonical_docs",
+    "dedup_components",
+    "dedup_components_lss",
+    "dedup_pipeline_summary",
+    "embedding_quantize_int8",
+    "eval_candidate_sampling",
+    "ewma_by_type",
+    "gap_fill_linear",
+    "gdpr_erasure_audit",
+    "graph_triangle_count",
+    "image_resize_stats",
+    "incremental_agg_merge",
+    "item_cooccurrence_jaccard",
+    "item_cooccurrence_topk",
+    "ivf_pq_topk",
+    "kcore_membership",
+    "lpa_communities",
+    "mad_outlier_counts",
+    "merge_upsert_snapshot",
+    "minhash_jaccard_estimate",
+    "mixture_rebalance_weights",
+    "nearest_centroid_classify",
+    "next_item_training_pairs",
+    "ohlc_resample",
+    "pagerank_bipartite",
+    "quality_filter_funnel",
+    "quality_quartile_stats",
+    "random_walk_training_paths",
+    "rank_normalize_features",
+    "record_linkage_blocked",
+    "referential_integrity_audit",
+    "rfm_segmentation",
+)
+
+# Round 16 rotation (VERDICT r15 #1): burn the pinned window.
+DRIVER_CHECK_FIRST: tuple[str, ...] = R16_WINDOW
+DRIVER_CHECK_LAST: tuple[str, ...] = ()
+
+# Queries whose implementation hash (transitive in-package closure, see
+# plans/manifest.py) changed since the round-16 start tree (the tree the
+# r15 driver verified; plans/query_manifest.json is frozen there).
+# VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as any
+# query/oracle/helper change — enforced by
+# tests/test_plans.py::test_changed_queries_are_manifested, which fails
+# on any hash drift not named here. The r17 window head is derived from
+# it mechanically: CHANGED_THIS_ROUND minus R16_WINDOW (in-window names
+# get fresh r16 rows at round end and need no r17 slot). At the start of
+# round 17: refresh the manifest (python -m
+# cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
+# refresh), pin R17_WINDOW, reset this tuple to ().
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def _driver_order(names) -> list[str]:

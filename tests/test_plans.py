@@ -1207,7 +1207,8 @@ def test_r15_window_pin():
     )
 
     all_queries()  # populate the registry
-    assert DRIVER_CHECK_FIRST == R15_WINDOW  # the r15 rotation is live
+    # (the r15 rotation completed in CORRECTNESS_r15 — 50/50 green; the
+    # live rotation points at R16_WINDOW — asserted by test_r16_window_pin)
     assert len(R15_WINDOW) == DRIVER_WINDOW
     assert len(set(R15_WINDOW)) == len(R15_WINDOW)
     assert R15_WINDOW[: len(R15_CHANGED_HEAD)] == R15_CHANGED_HEAD
@@ -1267,6 +1268,97 @@ def test_r15_window_pin():
     assert R15_WINDOW == expect, (
         "pinned R15_WINDOW deviates from the oldest-green-first rule: "
         f"{[(a, b) for a, b in zip(R15_WINDOW, expect) if a != b]}"
+    )
+
+
+def test_r16_window_pin():
+    """VERDICT r15 #1: pin the EXACT r16 window at the start of round 16.
+    Recompute it from the stated rule — head = the r15
+    CHANGED_THIS_ROUND tuple minus R15_WINDOW names, ordered
+    never-driver-checked FIRST (the standing r11 rule: never-checked
+    precedes changed): the three queries registered mid-round-15 with
+    no driver row in any CORRECTNESS_r* file (ann_two_level_search,
+    ann_two_level_assign, streaming_ann_index_requantize), then the one
+    changed-but-previously-green name (streaming_ann_index_update).
+    Fill = oldest-green-first (last driver round ascending over
+    CORRECTNESS_r01..r15, NAME tie-break, R15_WINDOW names excluded
+    since their r15 rows are freshest) — and assert the pinned tuple
+    matches bit for bit. The r15 CHANGED_THIS_ROUND tuple is reproduced
+    here as a literal because it was reset to () at the same commit that
+    pinned this window."""
+    import glob
+    import json
+    import os
+    import re
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        DRIVER_WINDOW,
+        QUERIES,
+        R15_WINDOW,
+        R16_CHANGED_HEAD,
+        R16_WINDOW,
+    )
+
+    all_queries()  # populate the registry
+    assert DRIVER_CHECK_FIRST == R16_WINDOW  # the r16 rotation is live
+    assert len(R16_WINDOW) == DRIVER_WINDOW
+    assert len(set(R16_WINDOW)) == len(R16_WINDOW)
+    assert R16_WINDOW[: len(R16_CHANGED_HEAD)] == R16_CHANGED_HEAD
+    # the r15 CHANGED_THIS_ROUND tuple, frozen at the r16 pin commit
+    changed_r15 = (
+        "ann_two_level_search",
+        "ann_two_level_assign",
+        "streaming_ann_index_requantize",
+        "streaming_ann_search",
+        "streaming_ann_index_delete",
+        "streaming_ann_index_upsert",
+        "streaming_ann_index_compact",
+        "streaming_ann_index_update",
+        "streaming_recommend_candidates",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rnd > 15:
+            continue  # the pin froze on the r01..r15 rows
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    head_pool = tuple(n for n in changed_r15 if n not in set(R15_WINDOW))
+    never_checked = tuple(n for n in head_pool if n not in last)
+    replanned = tuple(n for n in head_pool if n in last)
+    assert never_checked == (
+        "ann_two_level_search",
+        "ann_two_level_assign",
+        "streaming_ann_index_requantize",
+    )
+    assert replanned == ("streaming_ann_index_update",)
+    expect_head = never_checked + replanned
+    assert R16_CHANGED_HEAD == expect_head, (
+        "r16 head deviates from never-checked-first over "
+        "CHANGED_THIS_ROUND(r15) minus R15_WINDOW: "
+        f"{[(a, b) for a, b in zip(R16_CHANGED_HEAD, expect_head) if a != b]}"
+    )
+    unknown = [n for n in R16_WINDOW if n not in QUERIES]
+    assert not unknown, f"r16 window names unregistered queries: {unknown}"
+    overlap = set(R16_WINDOW) & set(R15_WINDOW)
+    assert not overlap, (
+        f"r16 window repeats r15-window names whose rows are freshest: {overlap}"
+    )
+    rest = [
+        n
+        for n in QUERIES
+        if n not in set(R16_CHANGED_HEAD) and n not in set(R15_WINDOW)
+    ]
+    rest.sort(key=lambda n: (last.get(n, 99), n))
+    expect = R16_CHANGED_HEAD + tuple(
+        rest[: DRIVER_WINDOW - len(R16_CHANGED_HEAD)]
+    )
+    assert R16_WINDOW == expect, (
+        "pinned R16_WINDOW deviates from the oldest-green-first rule: "
+        f"{[(a, b) for a, b in zip(R16_WINDOW, expect) if a != b]}"
     )
 
 
