@@ -856,7 +856,24 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # round 17: refresh the manifest (python -m
 # cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
 # refresh), pin R17_WINDOW, reset this tuple to ().
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+#
+# r16 changes so far (ADVICE r15 #1/#3): maintain_index now HONORS a
+# caller-pinned n_cells (the unconditional reassignment silently ran
+# every "pinned" probe at the derived width), and the generation-swap
+# machinery gained recover_swap — a startup step every fresh=False
+# resume runs that completes a promotion interrupted between the two
+# swap renames (the complete new generation survives under the temp
+# name; previously a resume at that instant would have started a fresh
+# gen0 beside it). Registered-query behavior is unchanged (they run
+# fresh=True and never pin a width — results identical at every sf);
+# the closure hash moves for the maintain/migrate family.
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "streaming_ann_index_update",
+    "streaming_ann_index_compact",
+    "streaming_ann_index_upsert",
+    "streaming_ann_index_delete",
+    "streaming_ann_index_requantize",
+)
 
 
 def _driver_order(names) -> list[str]:

@@ -433,12 +433,18 @@ def _swap_generations(
     ADVICE r14: rename the live table ASIDE before promoting the new
     generation — a DROP-then-RENAME swap has a window where NO catalog
     entry exists for the data. With rename-aside, a crash at any point
-    leaves a live catalog entry: before the first rename the old
-    generation serves; between the two renames the new generation is
-    already complete on disk and a restart re-runs the swap (the
-    retiring name is cleaned up front); after the second rename the
-    new generation serves. Both tables are EXTERNAL (created with an
-    explicit path), so renames move only catalog entries, never files."""
+    leaves the data under SOME catalog entry: before the first rename
+    the old generation serves as ``table``; between the two renames the
+    complete new generation sits under ``tmp`` and the old one under
+    ``retiring`` (no entry named ``table`` exists for that instant);
+    after the second rename the new generation serves. ADVICE r15: the
+    mid-swap instant is not self-healing — a resume that only checked
+    ``tableExists(table)`` would see False and start a fresh gen0 while
+    the complete generation sat aside — so ``recover_swap`` (called by
+    every resume entry point) completes the promotion first: it renames
+    the surviving ``tmp`` to ``table`` and drops the retired entry.
+    Both tables are EXTERNAL (created with an explicit path), so
+    renames move only catalog entries, never files."""
     retiring = f"{table}_retiring"
     spark.sql(f"DROP TABLE IF EXISTS {retiring}")
     spark.sql(f"ALTER TABLE {table} RENAME TO {retiring}")
@@ -446,6 +452,41 @@ def _swap_generations(
     spark.sql(f"DROP TABLE {retiring}")
     spark.catalog.refreshTable(table)
     shutil.rmtree(old_loc, ignore_errors=True)
+
+
+def recover_swap(spark: SparkSession, table: str) -> bool:
+    """Startup recovery for a crash inside ``_swap_generations``
+    (ADVICE r15): if a COMPLETE new generation survives under a
+    temporary name (``{table}_compacting`` / ``{table}_migrating``)
+    while no entry named ``table`` exists — the mid-swap instant, after
+    the live table was renamed aside but before the promotion rename —
+    finish the promotion: rename the surviving generation to ``table``
+    and drop the retired entry (its files included). Also reclaims a
+    leftover ``{table}_retiring`` when ``table`` DOES exist (a crash
+    after the promotion rename but before the retire drop). Idempotent,
+    a metadata-only no-op in the steady state; every resume entry point
+    (``maintain_index`` ``fresh=False``) calls it before reading the
+    resume floor. Returns True when a promotion was completed.
+
+    The one state it cannot repair is a crash BEFORE the rename-aside
+    with a fully-written ``tmp``: both ``table`` (old generation, still
+    live and correct) and ``tmp`` exist — the swap simply re-runs at
+    the next maintenance window, so nothing needs recovering."""
+    promoted = False
+    retiring = f"{table}_retiring"
+    if not spark.catalog.tableExists(table):
+        for suffix in ("_compacting", "_migrating"):
+            tmp = f"{table}{suffix}"
+            if spark.catalog.tableExists(tmp):
+                spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+                spark.catalog.refreshTable(table)
+                promoted = True
+                break
+    if spark.catalog.tableExists(retiring):
+        old_loc = _table_location(spark, retiring)
+        spark.sql(f"DROP TABLE {retiring}")
+        shutil.rmtree(old_loc, ignore_errors=True)
+    return promoted
 
 
 def migrate_index_table(
@@ -568,7 +609,12 @@ def maintain_index(
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    n_cells = derive_ann_cells(sf_dir)
+    if n_cells is None:
+        # ADVICE r15: honor a caller-pinned width — an unconditional
+        # reassignment here silently ran every "pinned" probe at the
+        # derived width (tests/test_streaming_extras.py::
+        # test_maintain_index_honors_pinned_width pins the regression).
+        n_cells = derive_ann_cells(sf_dir)
     cents = _ann_cents_relation(emb, n_cells)
 
     own_stage = stage_dir is None
@@ -660,6 +706,10 @@ def maintain_index(
             shutil.rmtree(f"{loc_base}_tombs", ignore_errors=True)
         resume_floor = -1  # nothing to resume: zero ledger probes
     else:
+        # a crash inside a generation swap leaves the complete new
+        # generation under an aside name — complete the promotion before
+        # reading the resume floor (ADVICE r15; see recover_swap)
+        recover_swap(spark, table)
         # resume floor: the max batch_id already committed to the table
         # (a restart resuming an existing index under its ORIGINAL
         # checkpoint — see docstring). Batch ids are monotonic per

@@ -46,6 +46,10 @@ def norm(v):
 
 queries = e.queries()
 oracles = e.oracle_sql()
+if len(sys.argv) > 1:  # targeted re-verify: driver_sim.py name [name ...]
+    unknown = [n for n in sys.argv[1:] if n not in queries]
+    assert not unknown, f"unknown query names: {unknown}"
+    queries = {n: queries[n] for n in queries if n in set(sys.argv[1:])}
 n_ok = n_rowsonly = 0
 failures = []
 for name in queries:  # registration order — same as the driver's check order

@@ -1711,3 +1711,105 @@ def test_two_level_assign_agreement(spark, sf_dir):
         f"two-level/flat agreement {agreement:.3f} below the degeneration "
         "floor — the geometry-aware grouping or level-1 ranking broke"
     )
+
+
+def test_maintain_index_honors_pinned_width(spark, sf_dir, monkeypatch):
+    """ADVICE r15 (high): maintain_index's ``n_cells`` override — the
+    documented PROBE-ONLY width pin — was silently ignored: the body
+    unconditionally reassigned the derived width, so a "pinned 16-cell"
+    decade run actually executed at the derived/capped width. Pin a
+    width narrower than the derivation and assert it REACHES the
+    quantizer relation (and the written assignment); then assert the
+    default path still derives."""
+    import cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index as ai
+
+    pinned = 4
+    assert ai.derive_ann_cells(sf_dir) > pinned  # the pin is observable
+    seen: list[int] = []
+    real = ai._ann_cents_relation
+
+    def spy(emb, n_cells):
+        seen.append(int(n_cells))
+        return real(emb, n_cells)
+
+    monkeypatch.setattr(ai, "_ann_cents_relation", spy)
+    tbl = "spark_graft_ann_pin_test"
+    got = ai.maintain_index(spark, sf_dir, tbl, 2, n_cells=pinned)
+    assert seen == [pinned]
+    cells = {r.cell for r in got.collect()}
+    assert cells and cells <= set(range(pinned))
+    seen.clear()
+    got2 = ai.maintain_index(spark, sf_dir, tbl, 2)
+    assert seen == [ai.derive_ann_cells(sf_dir)]
+    assert {r.cell for r in got2.collect()} - set(range(pinned))
+
+
+def test_recover_swap_completes_interrupted_promotion(spark, sf_dir):
+    """ADVICE r15 (low): a crash between _swap_generations' two renames
+    leaves the COMPLETE new generation under the temp name and no entry
+    named ``table`` — a resume that only checked tableExists(table)
+    would start a fresh gen0 while the finished generation sat aside.
+    Simulate both crash instants and assert recover_swap (run by every
+    fresh=False resume) completes the promotion / reclaims the retired
+    entry, then is a steady-state no-op."""
+    import shutil
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
+        _table_location,
+        maintain_index,
+        recover_swap,
+    )
+
+    tbl = "spark_graft_ann_swap_test"
+    got = maintain_index(spark, sf_dir, tbl, 2, cleanup=False)
+    want = {r.vec_id: r.cell for r in got.collect()}
+    old_loc = _table_location(spark, tbl)
+    new_loc = f"{old_loc}_recovered"
+    try:
+        # crash instant 1: new generation complete under the temp name,
+        # live table renamed aside, promotion rename never ran
+        shutil.rmtree(new_loc, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_compacting")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_retiring")
+        (
+            spark.table(tbl)
+            .write.option("path", new_loc)
+            .format("parquet")
+            .saveAsTable(f"{tbl}_compacting")
+        )
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}_retiring")
+        assert not spark.catalog.tableExists(tbl)
+
+        assert recover_swap(spark, tbl)  # promotion completed
+        assert spark.catalog.tableExists(tbl)
+        assert not spark.catalog.tableExists(f"{tbl}_compacting")
+        assert not spark.catalog.tableExists(f"{tbl}_retiring")
+        spark.catalog.refreshTable(tbl)
+        assert {r.vec_id: r.cell for r in spark.table(tbl).select("vec_id", "cell").collect()} == want
+        import os
+
+        assert not os.path.exists(old_loc)  # retired generation reclaimed
+
+        # crash instant 2: promotion rename ran, retire drop didn't
+        stale_loc = f"{new_loc}_stale"
+        shutil.rmtree(stale_loc, ignore_errors=True)
+        (
+            spark.table(tbl)
+            .limit(1)
+            .write.option("path", stale_loc)
+            .format("parquet")
+            .saveAsTable(f"{tbl}_retiring")
+        )
+        assert not recover_swap(spark, tbl)  # nothing to promote...
+        assert not spark.catalog.tableExists(f"{tbl}_retiring")  # ...but reclaimed
+        assert not os.path.exists(stale_loc)
+
+        # steady state: a pure no-op
+        assert not recover_swap(spark, tbl)
+        assert spark.catalog.tableExists(tbl)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_compacting")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_retiring")
+        shutil.rmtree(old_loc, ignore_errors=True)
+        shutil.rmtree(new_loc, ignore_errors=True)
