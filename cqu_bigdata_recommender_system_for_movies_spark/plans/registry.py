@@ -785,6 +785,14 @@ R15_WINDOW: tuple[str, ...] = R15_CHANGED_HEAD + (
 # the two remaining r10-latest rows (window_functions_suite,
 # zorder_layout_stats) then the first 44 r11-latest rows alphabetically,
 # from ann_ivf_topk through rfm_segmentation.
+# Never-driver-checked outside this window:
+# streaming_ann_requantize_two_level (registered mid-round-16, after
+# this pin froze — the WIDE lifecycle end to end: two-level appends at
+# the uncapped sqrt-corpus width, the cell-skew alarm, the two-level
+# refresh from the index's own stored vectors, and the two-level
+# migration rewrite, streaming/ann_requantize.py); named in
+# CHANGED_THIS_ROUND, so it heads the r17 window by the standing rule
+# (never-checked precedes changed).
 R16_CHANGED_HEAD: tuple[str, ...] = (
     "ann_two_level_search",
     "ann_two_level_assign",
@@ -867,12 +875,32 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # gen0 beside it). Registered-query behavior is unchanged (they run
 # fresh=True and never pin a width — results identical at every sf);
 # the closure hash moves for the maintain/migrate family.
+#
+# And (VERDICT r15 #2 — the lifecycle integration seam): the two-level
+# quantizer is now a first-class TwoLevel value assign_batch dispatches
+# on, so maintain_index / migrate_index_table / requantize_loop inherit
+# hierarchical assignment via two_level=True at the UNCAPPED
+# sqrt-corpus width (derive_ann_cells_wide + ANN_CELLS_WIDE_SQL twin);
+# two_level_serve factors the hierarchical probe/fetch/rank pipeline
+# out of ann_two_level_search so it can serve the MAINTAINED artifact
+# (test_two_level_serve_of_crud_maintained_index). NEW registered
+# query: streaming_ann_requantize_two_level — the WIDE drift lifecycle
+# end to end (two-level appends, skew alarm, two-level refresh from
+# stored vectors, two-level migration), oracle = the fresh two-level
+# rebuild under the refreshed quantizer. Existing-query results are
+# unchanged at every sf (flat family untouched semantically;
+# ann_two_level_assign/_search re-planned onto the shared helpers with
+# identical output — parity re-proven at three sfs).
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_ann_index_update",
     "streaming_ann_index_compact",
     "streaming_ann_index_upsert",
     "streaming_ann_index_delete",
     "streaming_ann_index_requantize",
+    "streaming_ann_requantize_two_level",
+    "streaming_ann_search",
+    "ann_two_level_assign",
+    "ann_two_level_search",
 )
 
 

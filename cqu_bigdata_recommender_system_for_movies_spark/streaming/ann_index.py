@@ -81,6 +81,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -182,6 +183,25 @@ ANN_CELLS_SQL = (
 )
 
 
+def derive_ann_cells_wide(sf_dir: str) -> int:
+    """Quantizer width for the WIDE (two-level) lifecycle family:
+    the same integer-exact sqrt-corpus derivation, UNCAPPED. The cap on
+    derive_ann_cells encodes the FLAT fold's measured ingest/serving
+    crossover (ingest linear in width — see ANN_DERIVED_CELLS_CAP);
+    under hierarchical assignment ingest is width-INSENSITIVE (measured
+    r15/r16: the two-level rate moves 8.9k -> 5.8k rows/s going
+    256 -> 2048 cells while the flat fold collapses 1.5k -> 147), so
+    the wide family lets the derivation follow sqrt(corpus) all the way
+    up and buys the wide-serving regime (16.2 ms/query at 2048 cells vs
+    272 at 256 — SCALE_r15 ann_two_level_serve_1000x). At the suite sfs
+    the corpus sits under the cap, so wide == capped width there."""
+    return derive_rec_cells(table_row_count(sf_dir, "embeddings"))
+
+
+# SQL twin of derive_ann_cells_wide: the same scalar subquery, no cap.
+ANN_CELLS_WIDE_SQL = f"(SELECT {_rec_cells_sql('COUNT(*)')} FROM embeddings)"
+
+
 def _ann_cents_relation(emb: DataFrame, n_cells: int) -> DataFrame:
     """The frozen quantizer as the single-row broadcast `__cents`
     relation (cid, ce, nc) — seeds = the n_cells smallest vec_ids of the
@@ -215,13 +235,29 @@ def _ann_cents_relation(emb: DataFrame, n_cells: int) -> DataFrame:
 
 
 def assign_batch(
-    batch_df: DataFrame, cents: DataFrame, carry: tuple[str, ...] = ()
+    batch_df: DataFrame, cents, carry: tuple[str, ...] = ()
 ) -> DataFrame:
-    """(vec_id, cell, *carry): map-side nearest-cell assignment of one
-    arrival batch against the frozen quantizer — the shared
-    `_nearest_cells` fold over the broadcast centroid row; no
-    corpus-sized exchange. `carry` names batch columns to keep beside
-    the assignment (the upsert loop carries its version column)."""
+    """(vec_id, cell, *carry): map-side cell assignment of one arrival
+    batch against the frozen quantizer — no corpus-sized exchange
+    either way. `carry` names batch columns to keep beside the
+    assignment (the upsert loop carries its version column).
+
+    ``cents`` picks the assignment algorithm (r16 — VERDICT r15 #2, the
+    lifecycle integration seam):
+    - a plain DataFrame (the `__cents` single-row relation) runs the
+      FLAT nearest-cell fold — exact argmax, linear in quantizer width
+      (the right plan at or under ANN_DERIVED_CELLS_CAP);
+    - a ``TwoLevel`` quantizer runs the HIERARCHICAL selection
+      (_two_level_cell over the broadcast reps+grouped-cells rows) —
+      O((1+probe)*sqrt(width)) dots per row, the width-insensitive
+      ingest path past the cap (measured: 8.9k vs 147 rows/s at 2048
+      cells on the 2M replica)."""
+    if isinstance(cents, TwoLevel):
+        return (
+            batch_df.crossJoin(F.broadcast(cents.gcents))
+            .crossJoin(F.broadcast(cents.reps))
+            .select("vec_id", _two_level_cell("e").alias("cell"), *carry)
+        )
     return batch_df.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         F.element_at(_nearest_cells("e", 1), 1).alias("cell"),
@@ -543,6 +579,7 @@ def maintain_index(
     stage_dir: str | None = None,
     carry_vectors: bool = False,
     n_cells: int | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """Run the incremental-maintenance loop end to end and return the
     final index contents (vec_id, cell). `audit`, when given, receives
@@ -594,7 +631,18 @@ def maintain_index(
     USE ONLY (decade replicas pin a narrow width so a multi-pass run
     stays inside the harness budget; the flat fold is linear in width).
     The registered queries never pass it: an override would desync the
-    engine from its COUNT-derived oracle twin."""
+    engine from its COUNT-derived oracle twin.
+
+    ``two_level=True`` runs the WIDE lifecycle (r16 — VERDICT r15 #2):
+    the quantizer width is the UNCAPPED sqrt-corpus derivation
+    (derive_ann_cells_wide) and every assignment — appends and any
+    migration built on this loop — goes through the hierarchical
+    two-level selection instead of the flat fold, which is what makes
+    the uncapped width affordable (flat ingest is linear in width,
+    two-level is O((1+probe)*sqrt(width)) — see assign_batch). File
+    layout is unchanged: cells still hash onto the bounded bucket set,
+    so the compaction file bound and the zero-exchange bucketed read
+    survive the wider quantizer."""
     import tempfile
 
     from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
@@ -614,8 +662,14 @@ def maintain_index(
         # reassignment here silently ran every "pinned" probe at the
         # derived width (tests/test_streaming_extras.py::
         # test_maintain_index_honors_pinned_width pins the regression).
-        n_cells = derive_ann_cells(sf_dir)
-    cents = _ann_cents_relation(emb, n_cells)
+        n_cells = (
+            derive_ann_cells_wide(sf_dir) if two_level else derive_ann_cells(sf_dir)
+        )
+    cents = (
+        two_level_quantizer(emb, n_cells)
+        if two_level
+        else _ann_cents_relation(emb, n_cells)
+    )
 
     own_stage = stage_dir is None
     if own_stage:
@@ -1202,6 +1256,25 @@ def _two_level_relations(
     return reps_df, gcents_df
 
 
+class TwoLevel(NamedTuple):
+    """The hierarchical coarse quantizer as a first-class value the
+    maintenance/migration machinery can carry in place of the flat
+    `__cents` relation (r16 — VERDICT r15 #2): ``assign_batch``
+    dispatches on this type, so ``maintain_index``,
+    ``migrate_index_table`` and every loop built on them inherit the
+    width-insensitive hierarchical ingest without a second write path."""
+
+    reps: DataFrame
+    gcents: DataFrame
+
+
+def two_level_quantizer(emb: DataFrame, n_cells: int) -> TwoLevel:
+    """Build the two-level quantizer over ``emb``'s seed prefix — the
+    derive_group_width(n_cells) representative row plus the
+    geometry-grouped cell row (see _two_level_relations)."""
+    return TwoLevel(*_two_level_relations(emb, n_cells, derive_group_width(n_cells)))
+
+
 def _two_level_cells(vec_col: str, k: int):
     """Column expression: the top-k hierarchically-selected quantizer
     cells of `vec_col` (cos DESC, cid ASC within the probed groups) —
@@ -1320,12 +1393,61 @@ def ivf_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _group_sql(cells_sql: str) -> str:
+    """SQL twin of derive_group_width over any width scalar (the width
+    is always a power of two here, so LOG2 is exact)."""
+    return (
+        f"CAST(POWER(2, CEIL(LOG2(CAST(GREATEST({cells_sql}, 2) AS DOUBLE)) / 2)) "
+        "AS BIGINT)"
+    )
+
+
 # the level-1 width as the SAME integer-exact SQL derivation (n_cells is
 # a power of two, so LOG2 is exact)
-ANN_GROUP_SQL = (
-    f"CAST(POWER(2, CEIL(LOG2(CAST(GREATEST({ANN_CELLS_SQL}, 2) AS DOUBLE)) / 2)) "
-    "AS BIGINT)"
-)
+ANN_GROUP_SQL = _group_sql(ANN_CELLS_SQL)
+
+
+def two_level_serve(
+    queries_df: DataFrame, index_df: DataFrame, quant: TwoLevel
+) -> DataFrame:
+    """(query_id, rank, neighbor_id): answer query vectors from a
+    vector-bearing index through the hierarchical probe (VERDICT r15
+    #3 — the serving side of the two-level quantizer as a reusable
+    piece, so it can serve the MAINTAINED CRUD artifact, not only an
+    inline-built assignment). Query side: top-ANN_GROUP_PROBE level-1
+    groups, then the top-SEARCH_NPROBE cells inside them
+    (_two_level_cells), exploded to one row per probed cell — map-side
+    against the two broadcast seed rows. Candidates are fetched on the
+    cell key (broadcast under the ceiling, SMJ over the bucketed files
+    past it — zero index-side exchange either way), ranked by exact
+    cosine, top-SEARCH_TOPK per query, self-matches excluded.
+    ``queries_df``: (vec_id, e); ``index_df``: (neighbor_id, cell, ne)."""
+    from pyspark.sql import Window
+
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        cosine,
+    )
+
+    probes = (
+        queries_df.crossJoin(F.broadcast(quant.gcents))
+        .crossJoin(F.broadcast(quant.reps))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(_two_level_cells("e", SEARCH_NPROBE)).alias("cell"),
+        )
+    )
+    cands = probes.join(index_df, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine("qe", "ne")), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SEARCH_TOPK)
+        .select("query_id", "rank", "neighbor_id")
+    )
 
 
 @register(
@@ -1529,45 +1651,20 @@ def ann_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by row.",
 )
 def ann_two_level_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
-        cosine,
-    )
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     n_cells = derive_ann_cells(sf_dir)
-    n_reps = derive_group_width(n_cells)
-    reps, gcents = _two_level_relations(emb, n_cells, n_reps)
+    quant = two_level_quantizer(emb, n_cells)
     corpus = (
         emb.repartition(shuffle_partitions(spark))
-        .crossJoin(F.broadcast(gcents))
-        .crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(quant.gcents))
+        .crossJoin(F.broadcast(quant.reps))
         .select(
             F.col("vec_id").alias("neighbor_id"),
             _two_level_cell("e").alias("cell"),
             F.col("e").alias("ne"),
         )
     )
-    probes = (
-        emb.filter(F.pmod("vec_id", F.lit(QUERY_MOD)) == QUERY_REM)
-        .crossJoin(F.broadcast(gcents))
-        .crossJoin(F.broadcast(reps))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("e").alias("qe"),
-            F.explode(_two_level_cells("e", SEARCH_NPROBE)).alias("cell"),
-        )
-    )
-    cands = probes.join(corpus, "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine("qe", "ne")), F.asc("neighbor_id")
-    )
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= SEARCH_TOPK)
-        .select("query_id", "rank", "neighbor_id")
-    )
+    queries = emb.filter(F.pmod("vec_id", F.lit(QUERY_MOD)) == QUERY_REM)
+    return two_level_serve(queries, corpus, quant)

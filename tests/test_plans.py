@@ -622,7 +622,7 @@ def test_next_window_plan_comment_is_exact():
     never = [n for n in QUERIES if n not in checked and n not in set(DRIVER_CHECK_FIRST)]
     with open(reg.__file__) as f:
         src = f.read()
-    comment = src[src.index("# r15 fill") : src.index("R15_CHANGED_HEAD: tuple")]
+    comment = src[src.index("# r16 fill") : src.index("R16_CHANGED_HEAD: tuple")]
     # Tokenize the comment into identifiers rather than substring-matching:
     # a name that is a substring of another listed name (e.g. "foo" inside
     # "foo_bar") must NOT count as present (ADVICE r5).
@@ -639,12 +639,12 @@ def test_next_window_plan_comment_is_exact():
     # be pinned by name at the head of the current plan so its stale
     # green row gets refreshed first.
     from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
-        R15_CHANGED_HEAD,
+        R16_CHANGED_HEAD,
     )
 
-    unpinned = [n for n in R15_CHANGED_HEAD if n not in tokens]
+    unpinned = [n for n in R16_CHANGED_HEAD if n not in tokens]
     assert not unpinned, (
-        f"r15-fill plan comment must name the round-14 changed queries for "
+        f"r16-fill plan comment must name the round-15 changed queries for "
         f"re-verification; missing: {unpinned}"
     )
 
