@@ -1,0 +1,167 @@
+"""Arrow-vectorized nearest-quantizer-cell assignment (r16 optimization).
+
+The flat coarse-quantizer assignment used to run as an interpreted
+higher-order fold per row (`_nearest_cells` — a `transform` over the
+broadcast cell structs, each scoring a `zip_with`+`aggregate` dot):
+higher-order functions never codegen, so the measured per-cosine cost is
+~15-30 µs and assignment throughput is LINEAR in quantizer width (33k /
+1.5k / 147 rows/s at 16 / 256 / 2048 cells on the 2M replica — the wall
+that forced ANN_DERIVED_CELLS_CAP). Guide §4.2: hand whole Arrow batches
+to vectorized native code instead. This module computes the SAME
+assignment in numpy at ~10 ns per cosine — three orders of magnitude —
+while staying BIT-IDENTICAL to the JVM fold, which the driver's
+bit-sensitive result hash requires:
+
+- The JVM fold is ``acc := acc + e[d]*c[d]`` left-to-right in binary64.
+  numpy replays the identical op sequence elementwise-over-rows
+  (``acc += E[:, d] * C[c, d]`` for d ascending), so every intermediate
+  double is the same IEEE-754 value.
+- ``sqrt`` is correctly rounded in both (Math.sqrt / hardware sqrtsd).
+- The cosine expression ``dot / (ne * nc + EPS)`` is replayed with the
+  same association: ``(ne * nc) + EPS`` then the divide.
+- Cell selection replicates ``reverse(array_sort((cos, -cid)))[:k]`` —
+  cos DESC, ties to the smaller cid — including Spark's total order on
+  doubles (java.lang.Double.compare: -0.0 < +0.0, NaN greatest) by
+  comparing the IEEE total-order integer key of each cosine rather than
+  the float itself. Ascending-cid argmax keeps the first of equal keys,
+  which IS the smaller-cid tie-break.
+
+The closure captures the bounded seed arrays by value (cloudpickle), so
+the physical plan stays independent of quantizer width — the same
+property the single-row broadcast `__cents` relation pinned
+(test_ivf_assign_plan_size_independent_of_cells), now without the
+per-row interpreted fold.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+
+def _ship() -> None:
+    """Workers unpickle these UDFs by module reference — ship the
+    package once per session (no-op when already shipped)."""
+    from cqu_bigdata_recommender_system_for_movies_spark.shipping import (
+        ensure_shipped,
+    )
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        ensure_shipped(spark)
+
+# Sentinel key for already-selected cells in the top-k loop: below every
+# real cosine's total-order key (the minimum reachable key for a non-NaN
+# double is the one for -inf, 0x800fffffffffffff > int64 min; cosines
+# here are never NaN — the denominator is >= EPS > 0).
+_KEY_SENTINEL = -(2**63)
+
+EPS = 1e-8  # must equal operators.vectors.EPS (cosine denominator)
+
+
+def _seed_arrays(seeds):
+    import numpy as np
+
+    srt = sorted(seeds, key=lambda s: s[0])
+    cids = np.array([s[0] for s in srt], dtype=np.int64)
+    cmat = np.array([s[1] for s in srt], dtype=np.float64)  # (m, dim)
+    ncs = np.array([s[2] for s in srt], dtype=np.float64)
+    return cids, cmat, ncs
+
+
+def topk_cells_np(E, cids, cmat, ncs, k):
+    """Top-k cells for a (n, dim) float64 matrix of row vectors — the
+    numpy replay of `_nearest_cells` (see module docstring for the
+    bit-exactness argument). Returns an (n, k) int64 array, columns in
+    rank order (cos DESC, cid ASC)."""
+    import numpy as np
+
+    n, dim = E.shape
+    m = cmat.shape[0]
+    # row norm: the same left fold acc += e[d]*e[d], then sqrt
+    ne = np.zeros(n)
+    for d in range(dim):
+        col = E[:, d]
+        ne += col * col
+    ne = np.sqrt(ne)
+    # dots: acc += e[d] * c[d] per (row, cell), d ascending
+    dots = np.zeros((n, m))
+    for d in range(dim):
+        dots += E[:, d, None] * cmat[None, :, d]
+    cos = dots / (ne[:, None] * ncs[None, :] + EPS)
+    # java.lang.Double.compare total order as an int64 key
+    bits = cos.view(np.int64)
+    key = np.where(bits < 0, bits ^ np.int64(0x7FFFFFFFFFFFFFFF), bits)
+    keff = min(k, m)
+    out = np.empty((n, keff), dtype=np.int64)
+    rows = np.arange(n)
+    for j in range(keff):
+        sel = np.argmax(key, axis=1)  # first max = smaller cid on ties
+        out[:, j] = cids[sel]
+        key[rows, sel] = _KEY_SENTINEL
+    return out
+
+
+def nearest_cells_udf(seeds, k: int) -> Callable[..., Column]:
+    """Vectorized twin of `_nearest_cells(vec_col, k)`: a pandas UDF
+    mapping a vector column to its top-k quantizer cells
+    (`array<int>`, cos DESC / cid ASC — the oracles' exact order).
+
+    ``seeds``: bounded list of (cid, ce: list[float], nc) — the same
+    rows the `__cents` broadcast relation carries, sorted by cid."""
+    _ship()
+    cids, cmat, ncs = _seed_arrays(seeds)
+    kk = int(k)
+
+    def _topk(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            valid = s.notna()
+            E = (
+                np.vstack(s[valid].to_numpy())
+                if valid.any()
+                else np.zeros((0, cmat.shape[1]))
+            )
+            top = topk_cells_np(E, cids, cmat, ncs, kk)
+            vals = np.empty(len(s), dtype=object)
+            vals[:] = None
+            for i, row in zip(np.flatnonzero(np.asarray(valid)), top):
+                vals[i] = row.tolist()
+            yield pd.Series(vals)
+
+    return F.pandas_udf(_topk, "array<int>")
+
+
+def nearest_cell_udf(seeds) -> Callable[..., Column]:
+    """Scalar (k=1) twin of ``element_at(_nearest_cells(vec_col, 1), 1)``:
+    maps a vector column straight to its single nearest cell (`int`)."""
+    _ship()
+    cids, cmat, ncs = _seed_arrays(seeds)
+
+    def _top1(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype="Int32")
+                continue
+            valid = s.notna()
+            E = (
+                np.vstack(s[valid].to_numpy())
+                if valid.any()
+                else np.zeros((0, cmat.shape[1]))
+            )
+            top = topk_cells_np(E, cids, cmat, ncs, 1)
+            out = pd.Series([None] * len(s), dtype="Int32")
+            out[np.asarray(valid)] = top[:, 0].astype("int32")
+            yield out
+
+    return F.pandas_udf(_top1, "int")

@@ -385,13 +385,21 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     allv = base.unionByName(aug)
     n_planes = derive_n_planes(table_row_count(sf_dir, "embeddings") + N_INJECTED)
     b = allv.withColumn("bucket", _lsh_bucket_col("e", n_planes))
-    left = b.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"), "bucket")
+    # r16 (guide §2.3): per-side norm folds once below the bucket join —
+    # bit-identical cosines, one fold per candidate pair instead of three.
+    left = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("e_a"),
+        "bucket",
+        F.sqrt(dot("e", "e")).alias("na"),
+    )
     right = b.select(
         F.col("vec_id").alias("vec_b"),
         F.col("e").alias("e_x"),
         F.col("bucket").alias("bucket_x"),
+        F.sqrt(dot("e", "e")).alias("nx"),
     )
-    cos = cosine("e_a", "e_x")
+    cos = dot("e_a", "e_x") / (F.col("na") * F.col("nx") + F.lit(EPS))
     return (
         left.join(
             right,
@@ -441,23 +449,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n_planes = derive_n_planes(table_row_count(sf_dir, "embeddings"))
     b = emb.withColumn("bucket", _lsh_bucket_col("embedding", n_planes))
+    # r16 (guide §2.3): per-side norm folds once below the bucket join —
+    # bit-identical scores, one fold per pair instead of three.
     left = b.select(
         F.col("vec_id"),
         F.col("embedding").alias("e_a"),
         "bucket",
+        F.sqrt(dot("embedding", "embedding")).alias("na"),
     ).filter(F.col("vec_id") < 50)
     right = b.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e_x"),
         F.col("bucket").alias("bucket_x"),
+        F.sqrt(dot("embedding", "embedding")).alias("nx"),
     )
+    pair_cos = dot("e_a", "e_x") / (F.col("na") * F.col("nx") + F.lit(EPS))
     pairs = left.join(
         right,
         (F.col("bucket") == F.col("bucket_x")) & (F.col("vec_id") != F.col("neighbor_id")),
     ).select(
         "vec_id",
         "neighbor_id",
-        F.round(cosine("e_a", "e_x"), 6).alias("cosine"),
+        F.round(pair_cos, 6).alias("cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -515,42 +528,24 @@ def _ivf_assign_cells(emb: DataFrame, k: int, n_cells: int = N_IVF_CELLS) -> Dat
             acc += x * x
         return math.sqrt(acc)
 
-    cents_df = spark.createDataFrame(
-        [
-            (
-                [
-                    (int(r.cid), [float(x) for x in r.ce], _norm(list(r.ce)))
-                    for r in sorted(seeds, key=lambda r: r.cid)
-                ],
-            )
-        ],
-        schema="__cents array<struct<cid:int,ce:array<double>,nc:double>>",
+    seed_rows = [
+        (int(r.cid), [float(x) for x in r.ce], _norm(list(r.ce)))
+        for r in sorted(seeds, key=lambda r: r.cid)
+    ]
+    # r16 (guide §4.2): the scoring fold runs as the Arrow-vectorized
+    # numpy twin (functions/nearcell.py) — bit-identical selection (cos
+    # DESC, cid ASC, Double.compare total order), ~1000x per cosine vs
+    # the interpreted HOF, and the plan stays independent of n_cells
+    # (the seeds ride the UDF closure instead of a broadcast relation —
+    # test_ivf_assign_plan_size_independent_of_cells still pins it).
+    from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
+        nearest_cells_udf,
     )
 
-    def _scored(ne):
-        return F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                (dot(F.col("e"), c["ce"]) / (ne * c["nc"] + F.lit(EPS))).alias("cos"),
-                (-c["cid"]).alias("negid"),
-            ),
-        )
-
-    # ascending array_sort on (cos, negid) then reverse = cos DESC with
-    # ties on negid DESC = cid ASC — the oracle's exact order
-    cells = F.element_at(
-        F.transform(
-            F.array(F.sqrt(dot("e", "e"))),
-            lambda ne: F.transform(
-                F.slice(F.reverse(F.array_sort(_scored(ne))), 1, k),
-                lambda s: -s["negid"],
-            ),
-        ),
-        1,
-    )
+    ensure_shipped(spark)
+    cells = nearest_cells_udf(seed_rows, k)(F.col("e"))
     return (
         emb.repartition(shuffle_partitions(spark))
-        .crossJoin(F.broadcast(cents_df))
         .select("vec_id", "e", cells.alias("cells"))
     )
 
@@ -619,19 +614,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "e", F.element_at("cells", 1).alias("cid"))
         .localCheckpoint(eager=False)
     )
+    # r16 (guide §2.3): norms are pair-invariant — fold each side's once
+    # below the join (projects don't collapse across joins) instead of
+    # re-folding the 64-wide arrays in every pair's cosine; identical
+    # doubles, bit-identical scores, one fold per pair instead of three.
     left = assigned.filter(F.col("vec_id") < 50).select(
-        "vec_id", F.col("e").alias("e_a"), "cid"
+        "vec_id",
+        F.col("e").alias("e_a"),
+        "cid",
+        F.sqrt(dot("e", "e")).alias("na"),
     )
     right = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("e_x"),
         F.col("cid").alias("cid_x"),
+        F.sqrt(dot("e", "e")).alias("nx"),
     )
+    pair_cos = dot("e_a", "e_x") / (F.col("na") * F.col("nx") + F.lit(EPS))
     pairs = left.join(
         right,
         (F.col("cid") == F.col("cid_x")) & (F.col("vec_id") != F.col("neighbor_id")),
     ).select(
-        "vec_id", "neighbor_id", F.round(cosine("e_a", "e_x"), 6).alias("cosine")
+        "vec_id", "neighbor_id", F.round(pair_cos, 6).alias("cosine")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1395,20 +1399,29 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _ivf_assign_cells(emb, IVF_N_PROBES).localCheckpoint(
         eager=False  # probes AND assignment read it
     )
+    # r16 (guide §2.3): per-side norm folds once below the join — see
+    # ann_ivf_topk; bit-identical scores, one fold per probed pair.
     assigned = cells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("e_x"),
         F.element_at("cells", 1).alias("cid_x"),
+        F.sqrt(dot("e", "e")).alias("nx"),
     )
     probes = (
         cells.filter(F.col("vec_id") < 50)
-        .select("vec_id", F.col("e").alias("e_q"), F.explode("cells").alias("cid"))
+        .select(
+            "vec_id",
+            F.col("e").alias("e_q"),
+            F.explode("cells").alias("cid"),
+            F.sqrt(dot("e", "e")).alias("nq"),
+        )
     )
+    probe_cos = dot("e_q", "e_x") / (F.col("nq") * F.col("nx") + F.lit(EPS))
     pairs = probes.join(
         assigned,
         (F.col("cid") == F.col("cid_x")) & (F.col("vec_id") != F.col("neighbor_id")),
     ).select(
-        "vec_id", "neighbor_id", F.round(cosine("e_q", "e_x"), 6).alias("cosine")
+        "vec_id", "neighbor_id", F.round(probe_cos, 6).alias("cosine")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

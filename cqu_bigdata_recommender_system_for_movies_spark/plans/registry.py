@@ -891,6 +891,14 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # unchanged at every sf (flat family untouched semantically;
 # ann_two_level_assign/_search re-planned onto the shared helpers with
 # identical output — parity re-proven at three sfs).
+# And (r16 OPTIMIZATION round, guide §4.2): the flat nearest-cell
+# assignment now runs as the Arrow-vectorized numpy twin
+# (functions/nearcell.py) wherever the centroid relation carries its
+# seed list — assign_batch, score_query_batch, _ivf_assign_cells,
+# item_cell_assignments and the candidate probe. Bit-identical selection
+# (same IEEE op order, Double.compare total order, cid tie-break) —
+# parity re-proven at three sfs + driver_sim; results unchanged, the
+# closure hash moves for the IVF/candidates families.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_ann_index_update",
     "streaming_ann_index_compact",
@@ -901,6 +909,16 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "streaming_ann_search",
     "ann_two_level_assign",
     "ann_two_level_search",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe_topk",
+    "ivf_pq_topk",
+    "streaming_recommend_candidates",
+    # r16 OPTIMIZATION: pair-invariant norms folded once per side below
+    # the candidate joins (guide §2.3) — one interpreted fold per scored
+    # pair instead of three; identical doubles, bit-identical results.
+    "ann_lsh_topk",
+    "embedding_near_dup_pairs",
+    "streaming_recommend_emit",
 )
 
 

@@ -46,7 +46,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
-    cosine,
+    EPS,
+    dot,
 )
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
 from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
@@ -78,18 +79,42 @@ def score_query_batch(
 ) -> DataFrame:
     """(query_id, rank, neighbor_id): one micro-batch of query vectors
     answered from the index. Map-side nprobe cell assignment on the
-    query side; candidates fetched on the cell key; exact cosine
-    ranking inside the candidate set."""
-    probes = batch_df.crossJoin(F.broadcast(cents)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.explode(_nearest_cells("e", SEARCH_NPROBE)).alias("cell"),
-    )
-    cands = probes.join(index_df, "cell").filter(
+    query side (the Arrow-vectorized twin of the fold when the centroid
+    relation carries its seed list — r16, functions/nearcell.py);
+    candidates fetched on the cell key; exact cosine ranking inside the
+    candidate set."""
+    seed_rows = getattr(cents, "_sg_seeds", None)
+    if seed_rows is not None:
+        from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
+            nearest_cells_udf,
+        )
+
+        probes = batch_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(
+                nearest_cells_udf(seed_rows, SEARCH_NPROBE)(F.col("e"))
+            ).alias("cell"),
+        )
+    else:
+        probes = batch_df.crossJoin(F.broadcast(cents)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(_nearest_cells("e", SEARCH_NPROBE)).alias("cell"),
+        )
+    # r16 (guide §2.3): both norms are join-invariant — fold them once
+    # per side BELOW the cell join instead of re-folding the 64-wide
+    # arrays inside the per-candidate cosine (projects don't collapse
+    # across the join, so each side's norm is evaluated once per row;
+    # the identical doubles keep the ranking bit-identical).
+    probes = probes.withColumn("qn", F.sqrt(dot("qe", "qe")))
+    indexed = index_df.withColumn("nn", F.sqrt(dot("ne", "ne")))
+    cands = probes.join(indexed, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    score = dot("qe", "ne") / (F.col("qn") * F.col("nn") + F.lit(EPS))
     w = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine("qe", "ne")), F.asc("neighbor_id")
+        F.desc(score), F.asc("neighbor_id")
     )
     return (
         cands.withColumn("rank", F.row_number().over(w))

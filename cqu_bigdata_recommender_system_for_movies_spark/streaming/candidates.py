@@ -138,17 +138,18 @@ def _centroid_relation(profiles: DataFrame, n_cells: int | None = None) -> DataF
             acc += x * x
         return math.sqrt(acc)
 
-    return spark.createDataFrame(
-        [
-            (
-                [
-                    (int(r.cid), [float(x) for x in r.ce], _norm(list(r.ce)))
-                    for r in sorted(seeds, key=lambda r: r.cid)
-                ],
-            )
-        ],
+    seed_rows = [
+        (int(r.cid), [float(x) for x in r.ce], _norm(list(r.ce)))
+        for r in sorted(seeds, key=lambda r: r.cid)
+    ]
+    cents_df = spark.createDataFrame(
+        [(seed_rows,)],
         schema="__cents array<struct<cid:int,ce:array<double>,nc:double>>",
     )
+    # r16: seed list rides beside the relation so assignment sites can
+    # run the Arrow-vectorized twin of the fold (functions/nearcell.py)
+    cents_df._sg_seeds = seed_rows  # noqa: SLF001 — engine-internal tag
+    return cents_df
 
 
 def _nearest_cells(vec_col: str, k: int):
@@ -229,7 +230,12 @@ def build_candidate_index(
     if n_cells is None:
         n_cells = derive_rec_cells(n_items)
     cents = _centroid_relation(profiles, n_cells)
-    index = item_cell_assignments(profiles, cents)
+    # r16 (guide §2.3): fold each item's norm ONCE into the index
+    # artifact — the per-batch cosine then runs one fold per candidate
+    # pair instead of three (same doubles, bit-identical scores).
+    index = item_cell_assignments(profiles, cents).withColumn(
+        "pnorm", F.sqrt(dot("profile", "profile"))
+    )
     if n_items <= _rec_broadcast_max_items():
         item_dim = F.broadcast(index.localCheckpoint(eager=True))
     else:
@@ -260,21 +266,49 @@ def score_candidates_batch(
     rounded = batch_df.withColumn(
         "interest", F.transform("interest", lambda x: F.round(x, 6))
     )
-    probed = (
-        rounded.crossJoin(F.broadcast(cents))
-        .select(
+    seed_rows = getattr(cents, "_sg_seeds", None)
+    if seed_rows is not None:
+        # r16: Arrow-vectorized twin of the probe fold (nearcell.py)
+        from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
+            nearest_cells_udf,
+        )
+
+        probed = rounded.select(
             "user_id",
             "interest",
-            _nearest_cells("interest", REC_NPROBE).alias("cells"),
+            nearest_cells_udf(seed_rows, REC_NPROBE)(F.col("interest")).alias(
+                "cells"
+            ),
+        ).withColumn("cell", F.explode("cells"))
+    else:
+        probed = (
+            rounded.crossJoin(F.broadcast(cents))
+            .select(
+                "user_id",
+                "interest",
+                _nearest_cells("interest", REC_NPROBE).alias("cells"),
+            )
+            .withColumn("cell", F.explode("cells"))
         )
-        .withColumn("cell", F.explode("cells"))
-    )
     # items carry ONE cell each and users probe distinct cells, so the
-    # cell join emits each (user, item) candidate at most once.
+    # cell join emits each (user, item) candidate at most once. r16: the
+    # user-side norm folds once per user, the item-side norm rides the
+    # prebuilt index (pnorm) — cosine per pair is then a single fold
+    # over the identical doubles (bit-identical scores; a dim built
+    # without pnorm falls back to the inline three-fold cosine).
+    probed = probed.withColumn("inorm", F.sqrt(dot("interest", "interest")))
+    if "pnorm" in item_dim.columns:
+        score = F.round(
+            dot("interest", "profile")
+            / (F.col("inorm") * F.col("pnorm") + F.lit(EPS)),
+            6,
+        )
+    else:
+        score = F.round(cosine("interest", "profile"), 6)
     scored = probed.join(item_dim, "cell").select(
         "user_id",
         "item_ref",
-        F.round(cosine("interest", "profile"), 6).alias("score"),
+        score.alias("score"),
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_ref"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -294,6 +328,18 @@ def item_cell_assignments(
     default derives it from the catalog COUNT."""
     if cents is None:
         cents = _centroid_relation(profiles, n_cells)
+    seed_rows = getattr(cents, "_sg_seeds", None)
+    if seed_rows is not None:
+        # r16: Arrow-vectorized twin of the assignment fold (nearcell.py)
+        from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
+            nearest_cell_udf,
+        )
+
+        return profiles.select(
+            "item_ref",
+            "profile",
+            nearest_cell_udf(seed_rows)(F.col("profile")).alias("cell"),
+        )
     return (
         profiles.crossJoin(F.broadcast(cents))
         .select(

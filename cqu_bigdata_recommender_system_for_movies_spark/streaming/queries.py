@@ -454,14 +454,24 @@ def streaming_recommend_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
-        cosine,
+        EPS,
+        dot,
     )
 
     # Materialize the item-profile dim ONCE: foreachBatch re-evaluates every
     # DataFrame it closes over per micro-batch, so without the checkpoint the
     # events scan + groupBy under item_profiles would re-run for every batch
-    # (measured 22 s -> ~4 s warm at sf0.1 once pinned).
-    profiles = item_profiles(spark, sf_dir).localCheckpoint(eager=True)
+    # (measured 22 s -> ~4 s warm at sf0.1 once pinned). r16 (guide §2.3):
+    # the profile-side norm is a pair-invariant subexpression — fold it ONCE
+    # per item into the checkpointed dim instead of once per (user, item)
+    # pair inside the interpreted cosine (same double either way, so scores
+    # and ranks are bit-identical; the per-pair work drops from three
+    # interpreted folds to one).
+    profiles = (
+        item_profiles(spark, sf_dir)
+        .withColumn("pnorm", F.sqrt(dot("profile", "profile")))
+        .localCheckpoint(eager=True)
+    )
     out_dir = tempfile.mkdtemp(prefix="spark_graft_recs_")
     shutil.rmtree(out_dir, ignore_errors=True)  # foreachBatch appends fresh
 
@@ -471,14 +481,25 @@ def streaming_recommend_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle's fold -> round -> cosine -> round pipeline exactly.
         batch_df = batch_df.withColumn(
             "interest", F.transform("interest", lambda x: F.round(x, 6))
+        ).withColumn(
+            # user-side norm once per user, not once per scored pair
+            "inorm",
+            F.sqrt(dot("interest", "interest")),
         )
         # crossJoin is deliberate (J5): every updated user scores every
         # item; the item side is a broadcast dim, so the expansion is
-        # map-side and the per-user top-10 prunes it immediately.
+        # map-side and the per-user top-10 prunes it immediately. The
+        # score is cosine with both norms pre-folded: dot / (inorm *
+        # pnorm + EPS) — the identical expression tree on identical
+        # doubles, one fold per pair instead of three.
         scored = batch_df.crossJoin(F.broadcast(profiles)).select(
             "user_id",
             "item_ref",
-            F.round(cosine("interest", "profile"), 6).alias("score"),
+            F.round(
+                dot("interest", "profile")
+                / (F.col("inorm") * F.col("pnorm") + F.lit(EPS)),
+                6,
+            ).alias("score"),
         )
         w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_ref"))
         top = scored.withColumn("rnk", F.row_number().over(w)).filter(
