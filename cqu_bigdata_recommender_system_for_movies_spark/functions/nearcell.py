@@ -165,3 +165,151 @@ def nearest_cell_udf(seeds) -> Callable[..., Column]:
             yield out
 
     return F.pandas_udf(_top1, "int")
+
+
+def two_level_topk_np(E, rep_arrays, cell_arrays, probe, k):
+    """Hierarchical top-k cells for a (n, dim) float64 matrix — the
+    numpy replay of `_two_level_cells`: level 1 selects each row's top
+    ``probe`` representatives (cos DESC, rid ASC), level 2 ranks the
+    probed groups' member cells (cos DESC, cid ASC across their union).
+    Work stays O((1 + probe) * sqrt(n_cells)) dots per row — the
+    level-2 dot loop runs per GROUP over only the rows that probed it —
+    so the hierarchical scaling argument survives vectorization.
+    Returns (n, k) int64; unfilled slots (fewer candidate cells than k)
+    hold -1, which callers must slice away before k > reachable cells
+    (the registered paths never request that)."""
+    import numpy as np
+
+    rids, rmat, nrs = rep_arrays
+    cids, cmat, ncs, gid_of_cell = cell_arrays
+    n, dim = E.shape
+    n_reps = rmat.shape[0]
+    m = cmat.shape[0]
+    ne = np.zeros(n)
+    for d in range(dim):
+        col = E[:, d]
+        ne += col * col
+    ne = np.sqrt(ne)
+    # level 1: full (n, n_reps) scoring — the sqrt-width term
+    rdots = np.zeros((n, n_reps))
+    for d in range(dim):
+        rdots += E[:, d, None] * rmat[None, :, d]
+    rcos = rdots / (ne[:, None] * nrs[None, :] + EPS)
+    rbits = rcos.view(np.int64)
+    rkey = np.where(rbits < 0, rbits ^ np.int64(0x7FFFFFFFFFFFFFFF), rbits)
+    probed = np.zeros((n, n_reps), dtype=bool)
+    rows = np.arange(n)
+    for _ in range(min(probe, n_reps)):
+        sel = np.argmax(rkey, axis=1)  # first max = smaller rid on ties
+        probed[rows, sel] = True
+        rkey[rows, sel] = _KEY_SENTINEL
+    # level 2: per-group scoring over only the rows that probed the
+    # group — scattered into a sentinel-initialized key matrix so the
+    # final selection ranks the probed-union exactly like the
+    # filter + sort expression (cos DESC, cid ASC).
+    key = np.full((n, m), _KEY_SENTINEL, dtype=np.int64)
+    for gi, rid in enumerate(rids):
+        rows_g = probed[:, gi]
+        if not rows_g.any():
+            continue
+        cells_g = gid_of_cell == rid
+        if not cells_g.any():
+            continue
+        Eg = E[rows_g]
+        Cg = cmat[cells_g]
+        dg = np.zeros((Eg.shape[0], Cg.shape[0]))
+        for d in range(dim):
+            dg += Eg[:, d, None] * Cg[None, :, d]
+        cg = dg / (ne[rows_g, None] * ncs[None, cells_g] + EPS)
+        gbits = cg.view(np.int64)
+        gkey = np.where(gbits < 0, gbits ^ np.int64(0x7FFFFFFFFFFFFFFF), gbits)
+        key[np.ix_(rows_g, cells_g)] = gkey
+    keff = min(k, m)
+    out = np.full((n, keff), -1, dtype=np.int64)
+    for j in range(keff):
+        sel = np.argmax(key, axis=1)
+        filled = key[rows, sel] != _KEY_SENTINEL
+        out[filled, j] = cids[sel[filled]]
+        key[rows, sel] = _KEY_SENTINEL
+    return out
+
+
+def _two_level_arrays(rep_rows, cell_rows):
+    import numpy as np
+
+    reps = sorted(rep_rows, key=lambda r: r[0])
+    cells = sorted(cell_rows, key=lambda c: c[0])
+    rep_arrays = (
+        np.array([r[0] for r in reps], dtype=np.int64),
+        np.array([r[1] for r in reps], dtype=np.float64),
+        np.array([r[2] for r in reps], dtype=np.float64),
+    )
+    cell_arrays = (
+        np.array([c[0] for c in cells], dtype=np.int64),
+        np.array([c[1] for c in cells], dtype=np.float64),
+        np.array([c[2] for c in cells], dtype=np.float64),
+        np.array([c[3] for c in cells], dtype=np.int64),
+    )
+    return rep_arrays, cell_arrays
+
+
+def two_level_cells_udf(rep_rows, cell_rows, probe: int, k: int):
+    """Vectorized twin of `_two_level_cells(vec_col, k)` under
+    ANN_GROUP_PROBE=``probe``: a pandas UDF mapping a vector column to
+    its hierarchically-selected top-k cells (`array<int>`).
+
+    ``rep_rows``: [(rid, re, nr)] — the `__reps` relation's structs;
+    ``cell_rows``: [(cid, ce, nc, gid)] — the `__gcents` structs."""
+    _ship()
+    rep_arrays, cell_arrays = _two_level_arrays(rep_rows, cell_rows)
+    pp, kk = int(probe), int(k)
+
+    def _topk(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            valid = s.notna()
+            E = (
+                np.vstack(s[valid].to_numpy())
+                if valid.any()
+                else np.zeros((0, cell_arrays[1].shape[1]))
+            )
+            top = two_level_topk_np(E, rep_arrays, cell_arrays, pp, kk)
+            vals = np.empty(len(s), dtype=object)
+            vals[:] = None
+            for i, row in zip(np.flatnonzero(np.asarray(valid)), top):
+                vals[i] = [int(c) for c in row if c >= 0]
+            yield pd.Series(vals)
+
+    return F.pandas_udf(_topk, "array<int>")
+
+
+def two_level_cell_udf(rep_rows, cell_rows, probe: int):
+    """Scalar (k=1) twin of `_two_level_cell(vec_col)`: the single
+    hierarchically-selected cell (`int`)."""
+    _ship()
+    rep_arrays, cell_arrays = _two_level_arrays(rep_rows, cell_rows)
+    pp = int(probe)
+
+    def _top1(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        for s in it:
+            if len(s) == 0:
+                yield pd.Series([], dtype="Int32")
+                continue
+            valid = s.notna()
+            E = (
+                np.vstack(s[valid].to_numpy())
+                if valid.any()
+                else np.zeros((0, cell_arrays[1].shape[1]))
+            )
+            top = two_level_topk_np(E, rep_arrays, cell_arrays, pp, 1)
+            out = pd.Series([None] * len(s), dtype="Int32")
+            out[np.asarray(valid)] = top[:, 0].astype("int32")
+            yield out
+
+    return F.pandas_udf(_top1, "int")

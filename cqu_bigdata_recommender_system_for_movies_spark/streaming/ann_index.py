@@ -262,6 +262,14 @@ def assign_batch(
       ingest path past the cap (measured: 8.9k vs 147 rows/s at 2048
       cells on the 2M replica)."""
     if isinstance(cents, TwoLevel):
+        two_rows = _two_level_seed_rows(cents.reps, cents.gcents)
+        if two_rows is not None:
+            from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
+                two_level_cell_udf,
+            )
+
+            cell = two_level_cell_udf(*two_rows, ANN_GROUP_PROBE)(F.col("e"))
+            return batch_df.select("vec_id", cell.alias("cell"), *carry)
         return (
             batch_df.crossJoin(F.broadcast(cents.gcents))
             .crossJoin(F.broadcast(cents.reps))
@@ -1261,17 +1269,34 @@ def _two_level_relations(
                 best, best_cos = rid, cos
         return best
 
+    rep_rows = [(rid, vecs[rid], norms[rid]) for rid in reps]
+    cell_rows = [(cid, vecs[cid], norms[cid], _group(cid)) for cid in sorted(vecs)]
     reps_df = spark.createDataFrame(
-        [([(rid, vecs[rid], norms[rid]) for rid in reps],)],
+        [(rep_rows,)],
         schema="__reps array<struct<rid:int,re:array<double>,nr:double>>",
     )
     gcents_df = spark.createDataFrame(
-        [([(cid, vecs[cid], norms[cid], _group(cid)) for cid in sorted(vecs)],)],
+        [(cell_rows,)],
         schema=(
             "__gcents array<struct<cid:int,ce:array<double>,nc:double,gid:int>>"
         ),
     )
+    # r16: the driver-resident seed rows ride beside the relations so
+    # assignment/probe sites can run the Arrow-vectorized hierarchical
+    # twin (functions/nearcell.py) instead of the interpreted HOF
+    reps_df._sg_seeds = rep_rows  # noqa: SLF001 — engine-internal tag
+    gcents_df._sg_seeds = cell_rows  # noqa: SLF001
     return reps_df, gcents_df
+
+
+def _two_level_seed_rows(reps: DataFrame, gcents: DataFrame):
+    """(rep_rows, cell_rows) when both relations carry their seed tags,
+    else None — the dispatch guard for the vectorized hierarchical twin."""
+    rep_rows = getattr(reps, "_sg_seeds", None)
+    cell_rows = getattr(gcents, "_sg_seeds", None)
+    if rep_rows is not None and cell_rows is not None:
+        return rep_rows, cell_rows
+    return None
 
 
 class TwoLevel(NamedTuple):
@@ -1403,6 +1428,18 @@ def ivf_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = derive_ann_cells(sf_dir)
     n_reps = derive_group_width(n_cells)
     reps, gcents = _two_level_relations(emb, n_cells, n_reps)
+    two_rows = _two_level_seed_rows(reps, gcents)
+    if two_rows is not None:
+        # r16: Arrow-vectorized hierarchical twin (functions/nearcell.py)
+        from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
+            two_level_cell_udf,
+        )
+
+        cell = two_level_cell_udf(*two_rows, ANN_GROUP_PROBE)(F.col("e"))
+        return (
+            emb.repartition(shuffle_partitions(spark))
+            .select("vec_id", cell.alias("cell"))
+        )
     return (
         emb.repartition(shuffle_partitions(spark))
         .crossJoin(F.broadcast(gcents))
@@ -1443,23 +1480,46 @@ def two_level_serve(
     from pyspark.sql import Window
 
     from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
-        cosine,
+        EPS,
+        dot,
     )
 
-    probes = (
-        queries_df.crossJoin(F.broadcast(quant.gcents))
-        .crossJoin(F.broadcast(quant.reps))
-        .select(
+    two_rows = _two_level_seed_rows(quant.reps, quant.gcents)
+    if two_rows is not None:
+        # r16: Arrow-vectorized hierarchical probe (functions/nearcell.py)
+        from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
+            two_level_cells_udf,
+        )
+
+        probes = queries_df.select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
-            F.explode(_two_level_cells("e", SEARCH_NPROBE)).alias("cell"),
+            F.explode(
+                two_level_cells_udf(*two_rows, ANN_GROUP_PROBE, SEARCH_NPROBE)(
+                    F.col("e")
+                )
+            ).alias("cell"),
         )
-    )
-    cands = probes.join(index_df, "cell").filter(
+    else:
+        probes = (
+            queries_df.crossJoin(F.broadcast(quant.gcents))
+            .crossJoin(F.broadcast(quant.reps))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("e").alias("qe"),
+                F.explode(_two_level_cells("e", SEARCH_NPROBE)).alias("cell"),
+            )
+        )
+    # r16 (guide §2.3): per-side norms fold once below the cell join —
+    # bit-identical ranking, one fold per candidate pair instead of three
+    probes = probes.withColumn("qn", F.sqrt(dot("qe", "qe")))
+    indexed = index_df.withColumn("nn", F.sqrt(dot("ne", "ne")))
+    cands = probes.join(indexed, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    score = dot("qe", "ne") / (F.col("qn") * F.col("nn") + F.lit(EPS))
     w = Window.partitionBy("query_id").orderBy(
-        F.desc(cosine("qe", "ne")), F.asc("neighbor_id")
+        F.desc(score), F.asc("neighbor_id")
     )
     return (
         cands.withColumn("rank", F.row_number().over(w))
@@ -1674,15 +1734,30 @@ def ann_two_level_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_cells = derive_ann_cells(sf_dir)
     quant = two_level_quantizer(emb, n_cells)
-    corpus = (
-        emb.repartition(shuffle_partitions(spark))
-        .crossJoin(F.broadcast(quant.gcents))
-        .crossJoin(F.broadcast(quant.reps))
-        .select(
+    two_rows = _two_level_seed_rows(quant.reps, quant.gcents)
+    if two_rows is not None:
+        # r16: Arrow-vectorized hierarchical assignment (nearcell.py)
+        from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
+            two_level_cell_udf,
+        )
+
+        corpus = emb.repartition(shuffle_partitions(spark)).select(
             F.col("vec_id").alias("neighbor_id"),
-            _two_level_cell("e").alias("cell"),
+            two_level_cell_udf(*two_rows, ANN_GROUP_PROBE)(F.col("e")).alias(
+                "cell"
+            ),
             F.col("e").alias("ne"),
         )
-    )
+    else:
+        corpus = (
+            emb.repartition(shuffle_partitions(spark))
+            .crossJoin(F.broadcast(quant.gcents))
+            .crossJoin(F.broadcast(quant.reps))
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                _two_level_cell("e").alias("cell"),
+                F.col("e").alias("ne"),
+            )
+        )
     queries = emb.filter(F.pmod("vec_id", F.lit(QUERY_MOD)) == QUERY_REM)
     return two_level_serve(queries, corpus, quant)

@@ -230,3 +230,64 @@ def test_nearest_cells_udf_null_and_tie_semantics():
     cids, cmat, ncs = _seed_arrays(seeds_tie)
     top = topk_cells_np(np.array([[0.5, 0.5]]), cids, cmat, ncs, 2)
     assert top.tolist() == [[5, 9]]
+
+
+def test_two_level_cells_udf_matches_interpreted_expression(spark, sf_dir):
+    """r16 optimization guard: the Arrow-vectorized hierarchical
+    selection (two_level_cells_udf) must be BIT-identical to the
+    interpreted `_two_level_cells` expression at the assignment (k=1,
+    scalar and array) and serving (k=SEARCH_NPROBE) shapes, on the real
+    corpus against the real derived two-level quantizer."""
+    from pyspark.sql import functions as F
+
+    import cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index as ai
+    from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
+        two_level_cell_udf,
+        two_level_cells_udf,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    n_cells = ai.derive_ann_cells(sf_dir)
+    reps, gcents = ai._two_level_relations(
+        emb, n_cells, ai.derive_group_width(n_cells)
+    )
+    rep_rows = reps._sg_seeds  # noqa: SLF001
+    cell_rows = gcents._sg_seeds  # noqa: SLF001
+    for k in (1, ai.SEARCH_NPROBE):
+        ref = {
+            r.vec_id: list(r.cells)
+            for r in emb.crossJoin(F.broadcast(gcents))
+            .crossJoin(F.broadcast(reps))
+            .select("vec_id", ai._two_level_cells("e", k).alias("cells"))
+            .collect()
+        }
+        got = {
+            r.vec_id: list(r.cells)
+            for r in emb.select(
+                "vec_id",
+                two_level_cells_udf(rep_rows, cell_rows, ai.ANN_GROUP_PROBE, k)(
+                    F.col("e")
+                ).alias("cells"),
+            ).collect()
+        }
+        assert got == ref, f"k={k}: vectorized hierarchical selection diverged"
+    ref1 = {
+        r.vec_id: r.cell
+        for r in emb.crossJoin(F.broadcast(gcents))
+        .crossJoin(F.broadcast(reps))
+        .select("vec_id", ai._two_level_cell("e").alias("cell"))
+        .collect()
+    }
+    got1 = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id",
+            two_level_cell_udf(rep_rows, cell_rows, ai.ANN_GROUP_PROBE)(
+                F.col("e")
+            ).alias("cell"),
+        ).collect()
+    }
+    assert got1 == ref1
