@@ -919,6 +919,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ann_lsh_topk",
     "embedding_near_dup_pairs",
     "streaming_recommend_emit",
+    # r16 OPTIMIZATION: the final-snapshot fingerprint fold runs once,
+    # machine-wide, checkpointed (it re-ran per consumer on a one-task
+    # scan) — identical fingerprints, ~2x on the query.
+    "streaming_simhash_dedup",
 )
 
 

@@ -1359,7 +1359,21 @@ def streaming_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp")
         .agg(F.min("of_id").alias("corr_of"))
     )
-    base = with_fingerprint(docs)  # (doc_id, fp)
+    # (doc_id, fp) — r16: the ~1 ms/doc interpreted fingerprint fold used
+    # to re-run per consumer (two joins read base) at the SCAN's
+    # parallelism (one small file = one task); repartition to machine
+    # width and checkpoint so it runs once, wide (guide §1.2/§2.4 — same
+    # fold, same rows, identical fingerprints)
+    from cqu_bigdata_recommender_system_for_movies_spark.session import (
+        shuffle_partitions,
+    )
+
+    n_fold = max(
+        shuffle_partitions(spark), spark.sparkContext.defaultParallelism
+    )
+    base = with_fingerprint(docs.repartition(n_fold)).localCheckpoint(
+        eager=True
+    )
     corrected = (
         base.join(corr, base.fp == corr.grp)
         .where(F.col("corr_of") < F.col("doc_id"))
