@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
 from cqu_bigdata_recommender_system_for_movies_spark.session import shuffle_partitions
-from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load, scan_fanout
 
 SHINGLE_N = 5
 JACCARD_THRESHOLD = 0.3
@@ -111,6 +111,13 @@ def _shingles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``distinct`` would just add a full shuffle of the exploded stream for
     nothing — the round-2 plan paid that shuffle twice per query."""
     docs = load(spark, sf_dir, "documents")
+    # r16 (guide §2.5 input skew): a small one-file scan runs this whole
+    # CPU-dense md5-shingle pipeline on ONE task — fan out first when the
+    # scan's natural split count is under machine width (scan_fanout is
+    # None at scale, where the exchange would be pure cost)
+    fan = scan_fanout(spark, sf_dir, "documents")
+    if fan:
+        docs = docs.repartition(fan)
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     n_sh = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
     shingles = F.when(n_sh > 0,
@@ -319,6 +326,9 @@ def _token_hashes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle applies the SAME distinct-after-hash, so both engines
     conflate identically even then."""
     docs = load(spark, sf_dir, "documents")
+    fan = scan_fanout(spark, sf_dir, "documents")  # r16: see _shingles_raw
+    if fan:
+        docs = docs.repartition(fan)
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     tok = docs.select("doc_id", F.explode(toks).alias("w"))
     return tok.select(

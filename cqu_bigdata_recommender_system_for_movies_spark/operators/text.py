@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
-from cqu_bigdata_recommender_system_for_movies_spark.tables import load, sql_in_list
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load, scan_fanout, sql_in_list
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -448,6 +448,11 @@ def _contam_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv is the portable 8-byte hash of each 3-gram (never the n-gram text —
     the join/agg keys downstream shuffle 8 bytes)."""
     docs = load(spark, sf_dir, "documents")
+    # r16 (guide §2.5 input skew): fan a small one-file scan out before
+    # the CPU-dense md5-shingle pipeline (None at scale — see scan_fanout)
+    fan = scan_fanout(spark, sf_dir, "documents")
+    if fan:
+        docs = docs.repartition(fan)
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     n_sh = F.greatest(F.size(toks) - 2, F.lit(0))
     shingles = F.when(

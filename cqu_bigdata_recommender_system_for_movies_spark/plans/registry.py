@@ -923,6 +923,24 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # machine-wide, checkpointed (it re-ran per consumer on a one-task
     # scan) — identical fingerprints, ~2x on the query.
     "streaming_simhash_dedup",
+    # r16 OPTIMIZATION (guide §2.5 input skew): scan_fanout repartitions
+    # a small one-file documents scan to machine width before the
+    # CPU-dense md5-shingle/token-hash pipelines (_shingles_raw,
+    # _token_hashes_df, _contam_shingles); None at scale where the scan
+    # already fans out. Order-insensitive aggregates throughout —
+    # results identical (family re-proven vs DuckDB).
+    "contamination_check",
+    "dedup_canonical_docs",
+    "dedup_components",
+    "dedup_components_lss",
+    "dedup_pipeline_summary",
+    "minhash_jaccard_estimate",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "prefix_filter_jaccard_join",
+    "simhash_fingerprint",
+    "simhash_near_dup_pairs",
+    "source_shingle_containment",
 )
 
 

@@ -113,6 +113,48 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def scan_fanout(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """Partition count to ``repartition`` a table scan to BEFORE a
+    CPU-dense per-row projection, or None when the scan already fans out
+    (r16, guide §2.5 "input skew" / §1.2). A small parquet file scans as
+    ~ceil(bytes / maxPartitionBytes) tasks — often ONE — so an expensive
+    narrow pipeline on it (md5 shingling, interpreted folds) serializes
+    on one core while the rest idle (the r10/r11 probe finding, now
+    applied at the suite scale where one 4 MB file = one task). The
+    decision is driver-side file metadata only, and scale-adaptive: once
+    the source's natural split count reaches machine width the exchange
+    would be pure cost (at 100 TB the scan already has thousands of
+    splits) and this returns None."""
+    from cqu_bigdata_recommender_system_for_movies_spark.session import (
+        shuffle_partitions,
+    )
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(f)
+                for f in glob.glob(os.path.join(path, "*.parquet"))
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return None
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+    )
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    try:
+        s = str(raw).lower().removesuffix("b")
+        mult = units.get(s[-1:], 1)
+        max_split = int(s.rstrip("kmg")) * mult
+    except (TypeError, ValueError):
+        max_split = 128 * 1024 * 1024
+    width = max(shuffle_partitions(spark), spark.sparkContext.defaultParallelism)
+    est_tasks = max(1, -(-nbytes // max_split))
+    return width if est_tasks < width else None
+
+
 def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The core fact: who "rated" which item how much, when.
 
