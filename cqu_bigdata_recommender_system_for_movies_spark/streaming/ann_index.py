@@ -124,6 +124,27 @@ ANN_COMPACT_EVERY = 4
 # with zero index-side exchange), keeping the compaction file bound
 # n_buckets x (ANN_COMPACT_EVERY + 1) independent of quantizer growth.
 ANN_MAX_BUCKETS = 16
+# Rows per task for the pre-assignment fan-out (r16): the vectorized
+# assignment costs ~1 µs/row, so ~20k rows ≈ 20 ms of useful work per
+# task — below one task's scheduling overhead there is nothing to
+# spread and the round-robin exchange ahead of the fold is pure cost
+# (it existed to parallelize the ~1 ms/row interpreted fold). Batches
+# under this skip the exchange; a 500k-row decade batch still fans to
+# ~25 tasks, capped at machine width.
+ASSIGN_ROWS_PER_TASK = 20_000
+
+
+def derive_fold_parts(spark: SparkSession, est_rows: int | None) -> int | None:
+    """Fan-out width for a pre-assignment exchange given the expected
+    batch row count: 0 = skip the exchange (small batch), capped at
+    machine width, None when the size is unknown (callers then keep the
+    historical full-width fan-out)."""
+    if est_rows is None:
+        return None
+    width = max(
+        shuffle_partitions(spark), spark.sparkContext.defaultParallelism
+    )
+    return min(width, est_rows // ASSIGN_ROWS_PER_TASK)
 
 
 # Ceiling on the DERIVED quantizer width. Two measured curves cross
@@ -324,6 +345,7 @@ def apply_index_batch(
     n_buckets: int,
     check_ledger: bool = True,
     carry: tuple[str, ...] = (),
+    fold_parts: int | None = None,
 ) -> bool:
     """One idempotent maintenance append. Returns False when the batch
     was already applied (a foreachBatch replay), True after a commit.
@@ -335,17 +357,29 @@ def apply_index_batch(
     checkpoint, so anything above the floor cannot be in the table),
     making the steady-state cost zero scans per batch instead of one.
 
-    The embedding fold runs at full map-side width; only the assigned
-    (vec_id, cell, batch_id) rows — bytes per row, not the vectors —
-    are then repartitioned onto the bucket layout so each append adds
-    AT MOST ONE FILE PER BUCKET (an un-repartitioned bucketed write
-    emits one file per bucket PER TASK, which is how append-only
-    bucketed tables blow up their file counts at scale)."""
+    ``fold_parts`` sizes the pre-assignment fan-out exchange (r16): the
+    vectorized assignment (functions/nearcell.py) costs ~1 µs/row, so a
+    small batch is cheaper to assign in place than to round-robin
+    exchange first — callers derive the width from the expected batch
+    rows (maintain_index: corpus footers / n_slices) and pass 0/None to
+    skip the exchange entirely. Default None keeps the historical
+    full-width fan-out for callers that don't know their batch size.
+    Per-row-deterministic assignment means the partitioning never
+    touches results.
+
+    Only the assigned (vec_id, cell, batch_id) rows — bytes per row,
+    not the vectors — are then repartitioned onto the bucket layout so
+    each append adds AT MOST ONE FILE PER BUCKET (an un-repartitioned
+    bucketed write emits one file per bucket PER TASK, which is how
+    append-only bucketed tables blow up their file counts at scale)."""
     if check_ledger and batch_already_applied(spark, table, batch_id):
         return False
-    assigned = assign_batch(
-        batch_df.repartition(shuffle_partitions(spark)), cents, carry=carry
-    ).withColumn("batch_id", F.lit(int(batch_id)))
+    if fold_parts is None:
+        fold_parts = shuffle_partitions(spark)
+    fanned = batch_df.repartition(fold_parts) if fold_parts else batch_df
+    assigned = assign_batch(fanned, cents, carry=carry).withColumn(
+        "batch_id", F.lit(int(batch_id))
+    )
     writer = (
         assigned.repartition(n_buckets, "cell")
         .write.mode("append")
@@ -827,6 +861,13 @@ def maintain_index(
             F.max("ver").alias("__dver")
         )
 
+    # r16: size the pre-assignment fan-out from the staged corpus footers
+    # (driver-side metadata) — small batches skip the exchange entirely,
+    # decade batches fan to ~rows/ASSIGN_ROWS_PER_TASK tasks
+    fold_parts = derive_fold_parts(
+        spark, max(1, table_row_count(sf_dir, "embeddings") // max(n_slices, 1))
+    )
+
     def emit(batch_df: DataFrame, batch_id: int) -> None:
         upserts = batch_df
         if upsert:
@@ -864,6 +905,7 @@ def maintain_index(
             check_ledger=False,  # the guard above already ran
             carry=(("ver",) if upsert else ())
             + (("e",) if carry_vectors else ()),
+            fold_parts=fold_parts,
         )
         assert applied
         state["appends"] += 1

@@ -60,11 +60,12 @@ from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import 
     _ann_cents_relation,
     apply_index_batch,
     derive_ann_cells,
+    derive_fold_parts,
 )
 from cqu_bigdata_recommender_system_for_movies_spark.streaming.candidates import (
     _nearest_cells,
 )
-from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load, table_row_count
 
 ANN_SEARCH_TABLE = "spark_graft_ann_search_index"
 # SEARCH_NPROBE / SEARCH_TOPK / QUERY_MOD / QUERY_REM moved to
@@ -217,7 +218,18 @@ def streaming_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(loc, ignore_errors=True)
     n_buckets = min(ANN_MAX_BUCKETS, n_cells)
-    apply_index_batch(spark, tbl, loc, emb, cents, 0, n_buckets, carry=("e",))
+    apply_index_batch(
+        spark,
+        tbl,
+        loc,
+        emb,
+        cents,
+        0,
+        n_buckets,
+        carry=("e",),
+        # r16: size the pre-assignment fan-out from the corpus footers
+        fold_parts=derive_fold_parts(spark, table_row_count(sf_dir, "embeddings")),
+    )
     index_df = spark.table(tbl).select(
         F.col("vec_id").alias("neighbor_id"), "cell", F.col("e").alias("ne")
     )
