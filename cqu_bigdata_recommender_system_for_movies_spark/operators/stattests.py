@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import register
-from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+from cqu_bigdata_recommender_system_for_movies_spark.tables import load, scan_fanout
 
 # ---------------------------------------------------------------------------
 # A/B experiment readout
@@ -511,6 +511,12 @@ def _pois_weight_sql(u_expr: str) -> str:
 )
 def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    # r16 (guide §2.5 input skew): the md5-per-(row, replica-group)
+    # pipeline is the documented dominant scan-side cost; on a one-file
+    # suite scan it ran as ONE task — fan out first (None at scale)
+    fan = scan_fanout(spark, sf_dir, "orders")
+    if fan:
+        orders = orders.repartition(fan)
     n_groups = (BOOT_REPLICAS + 3) // 4
     # one md5 per (row, group) — materialized as a column BEFORE the slice
     # explode so the four uniforms it feeds never re-hash
@@ -779,24 +785,27 @@ def theil_sen_slope_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_returnflag").orderBy(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
+    # r16 (guide §2.4): the consecutive pair (i, i+1) is LEAD over the
+    # SAME window — one window pass instead of materializing the indexed
+    # points twice and self-joining on (g, i+1), which shuffled the
+    # point table two more times. lead() evaluates in the same physical
+    # Window node as row_number (same partitioning, same order), a null
+    # lead marks the group's last row exactly where the inner join
+    # dropped the unmatched even row, and the slope expression is
+    # unchanged — identical pairs, identical doubles.
     pts = li.select(
         F.col("l_returnflag").alias("g"),
-        F.col("l_quantity").alias("x"),
-        F.col("l_extendedprice").alias("y"),
-        (F.row_number().over(w) - 1).alias("i"),
+        F.col("l_quantity").alias("xa"),
+        F.col("l_extendedprice").alias("ya"),
+        (F.row_number().over(w) - 1).alias("ia"),
+        F.lead("l_quantity").over(w).alias("xb"),
+        F.lead("l_extendedprice").over(w).alias("yb"),
     )
-    a = pts.filter(F.col("i") % 2 == 0).select(
-        "g", F.col("i").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    pairs = pts.filter(
+        (F.col("ia") % 2 == 0)
+        & F.col("xb").isNotNull()
+        & (F.col("xb") != F.col("xa"))
     )
-    b = pts.select(
-        F.col("g").alias("gb"),
-        F.col("i").alias("ib"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-    )
-    pairs = a.join(
-        b, (F.col("g") == F.col("gb")) & (F.col("ib") == F.col("ia") + 1)
-    ).filter(F.col("xb") != F.col("xa"))
     slopes = pairs.select(
         "g",
         ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("slope"),

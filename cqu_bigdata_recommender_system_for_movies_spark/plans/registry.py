@@ -941,6 +941,12 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "simhash_fingerprint",
     "simhash_near_dup_pairs",
     "source_shingle_containment",
+    # r16 OPTIMIZATION: bootstrap's md5-replica pipeline fans out the
+    # one-file orders scan (scan_fanout); theil_sen's consecutive pair
+    # is LEAD over the same window instead of a self-join (one window
+    # pass, two fewer exchanges) — identical pairs/doubles both.
+    "bootstrap_mean_ci",
+    "theil_sen_slope_robust",
 )
 
 
