@@ -576,6 +576,24 @@ EXPECTED_SHIFTS: dict[str, str] = {
 # first-run variance). Ambient, clean.
 
 
+# Round-16 (optimization round) adjudication of the closing-record
+# flags: the committed run D (247.3 s raw vs the 300.6 s round-start
+# baseline, calibration 0.217 vs the r15 record's 0.297 — the known
+# cross-host over-correction) flags nine names. Seven are raw-flat or
+# raw-FASTER (stream_stream_join 3.27->3.01, lpa 3.59->3.33,
+# item_knn 3.32->3.20, als_item_fold_in 6.11->5.96, data_profile
+# +0.24, kcore +0.40, adamic_adar +0.16) — calibration artifact only.
+# The two real raw deltas are this host's roaming hypervisor-steal
+# bursts hitting stage-dense queries (a different set every run:
+# pagerank spiked 2.5->14.8 in one run with ZERO code change):
+# streaming_recommend_candidates 10.06 (warm isolation floor ~4.6 at
+# matched calibration, AT its 4.52 record) and als_user_fold_in 9.68
+# (warm floor ~3.8, UNDER its 5.93 record; ALS cold-fit alone swung
+# 4.8-21.6 s across FRESH isolated sessions on this host). Floors in
+# OPTIMIZATION_r16.md; no code cause — the r16 diff makes both
+# queries faster at matched conditions.
+
+
 def _regressions(
     timings: dict[str, float], sf: float, calibration: float = 0.0
 ) -> dict[str, dict[str, float]]:
