@@ -848,106 +848,98 @@ R16_WINDOW: tuple[str, ...] = R16_CHANGED_HEAD + (
     "rfm_segmentation",
 )
 
-# Round 16 rotation (VERDICT r15 #1): burn the pinned window.
-DRIVER_CHECK_FIRST: tuple[str, ...] = R16_WINDOW
-DRIVER_CHECK_LAST: tuple[str, ...] = ()
-
-# Queries whose implementation hash (transitive in-package closure, see
-# plans/manifest.py) changed since the round-16 start tree (the tree the
-# r15 driver verified; plans/query_manifest.json is frozen there).
-# VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as any
-# query/oracle/helper change — enforced by
-# tests/test_plans.py::test_changed_queries_are_manifested, which fails
-# on any hash drift not named here. The r17 window head is derived from
-# it mechanically: CHANGED_THIS_ROUND minus R16_WINDOW (in-window names
-# get fresh r16 rows at round end and need no r17 slot). At the start of
-# round 17: refresh the manifest (python -m
-# cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
-# refresh), pin R17_WINDOW, reset this tuple to ().
-#
-# r16 changes so far (ADVICE r15 #1/#3): maintain_index now HONORS a
-# caller-pinned n_cells (the unconditional reassignment silently ran
-# every "pinned" probe at the derived width), and the generation-swap
-# machinery gained recover_swap — a startup step every fresh=False
-# resume runs that completes a promotion interrupted between the two
-# swap renames (the complete new generation survives under the temp
-# name; previously a resume at that instant would have started a fresh
-# gen0 beside it). Registered-query behavior is unchanged (they run
-# fresh=True and never pin a width — results identical at every sf);
-# the closure hash moves for the maintain/migrate family.
-#
-# And (VERDICT r15 #2 — the lifecycle integration seam): the two-level
-# quantizer is now a first-class TwoLevel value assign_batch dispatches
-# on, so maintain_index / migrate_index_table / requantize_loop inherit
-# hierarchical assignment via two_level=True at the UNCAPPED
-# sqrt-corpus width (derive_ann_cells_wide + ANN_CELLS_WIDE_SQL twin);
-# two_level_serve factors the hierarchical probe/fetch/rank pipeline
-# out of ann_two_level_search so it can serve the MAINTAINED artifact
-# (test_two_level_serve_of_crud_maintained_index). NEW registered
-# query: streaming_ann_requantize_two_level — the WIDE drift lifecycle
-# end to end (two-level appends, skew alarm, two-level refresh from
-# stored vectors, two-level migration), oracle = the fresh two-level
-# rebuild under the refreshed quantizer. Existing-query results are
-# unchanged at every sf (flat family untouched semantically;
-# ann_two_level_assign/_search re-planned onto the shared helpers with
-# identical output — parity re-proven at three sfs).
-# And (r16 OPTIMIZATION round, guide §4.2): the flat nearest-cell
-# assignment now runs as the Arrow-vectorized numpy twin
-# (functions/nearcell.py) wherever the centroid relation carries its
-# seed list — assign_batch, score_query_batch, _ivf_assign_cells,
-# item_cell_assignments and the candidate probe. Bit-identical selection
-# (same IEEE op order, Double.compare total order, cid tie-break) —
-# parity re-proven at three sfs + driver_sim; results unchanged, the
-# closure hash moves for the IVF/candidates families.
-CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "streaming_ann_index_update",
+# r17 fill — the EXACT round-17 window, pinned at the start of round 17
+# from the round-16 manifest (VERDICT r16 #9). Rule, recomputed and
+# asserted by tests/test_plans.py::test_r17_window_pin:
+# (a) head = the r16 CHANGED_THIS_ROUND tuple minus R16_WINDOW names
+# (in-window names got fresh r16 rows at round end), ordered
+# never-driver-checked FIRST (the standing r11 rule): the one query
+# registered mid-round-16 with no driver row in any CORRECTNESS_r*
+# file (streaming_ann_requantize_two_level — the WIDE two-level drift
+# lifecycle end to end, VERDICT r16 #9's exact ask), then the nineteen
+# changed-but-previously-green names in CHANGED_THIS_ROUND order (the
+# r16 optimization closures: the Arrow-vectorized assignment family,
+# the folded-norm pair scorers, the scan-fanout dedup/text family, and
+# the lead()-paired Theil–Sen).
+# (b) oldest-green-first re-confirmations (last driver round ascending
+# over CORRECTNESS_r01..r16, NAME as the tie-break, R16_WINDOW names
+# excluded since their r16 rows are freshest) up to the 50-slot window:
+# the four remaining r11-latest rows (scd2_priority_history,
+# streaming_approx_topk, vocab_build, zipf_law_fit) then the first 26
+# r12-latest rows alphabetically, from ab_test_zscore through
+# lateral_join_top_orders.
+R17_CHANGED_HEAD: tuple[str, ...] = (
+    "streaming_ann_requantize_two_level",
     "streaming_ann_index_compact",
     "streaming_ann_index_upsert",
     "streaming_ann_index_delete",
-    "streaming_ann_index_requantize",
-    "streaming_ann_requantize_two_level",
     "streaming_ann_search",
-    "ann_two_level_assign",
-    "ann_two_level_search",
-    "ann_ivf_topk",
     "ann_ivf_multiprobe_topk",
-    "ivf_pq_topk",
     "streaming_recommend_candidates",
-    # r16 OPTIMIZATION: pair-invariant norms folded once per side below
-    # the candidate joins (guide §2.3) — one interpreted fold per scored
-    # pair instead of three; identical doubles, bit-identical results.
     "ann_lsh_topk",
     "embedding_near_dup_pairs",
     "streaming_recommend_emit",
-    # r16 OPTIMIZATION: the final-snapshot fingerprint fold runs once,
-    # machine-wide, checkpointed (it re-ran per consumer on a one-task
-    # scan) — identical fingerprints, ~2x on the query.
     "streaming_simhash_dedup",
-    # r16 OPTIMIZATION (guide §2.5 input skew): scan_fanout repartitions
-    # a small one-file documents scan to machine width before the
-    # CPU-dense md5-shingle/token-hash pipelines (_shingles_raw,
-    # _token_hashes_df, _contam_shingles); None at scale where the scan
-    # already fans out. Order-insensitive aggregates throughout —
-    # results identical (family re-proven vs DuckDB).
     "contamination_check",
-    "dedup_canonical_docs",
-    "dedup_components",
-    "dedup_components_lss",
-    "dedup_pipeline_summary",
-    "minhash_jaccard_estimate",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
     "prefix_filter_jaccard_join",
     "simhash_fingerprint",
     "simhash_near_dup_pairs",
     "source_shingle_containment",
-    # r16 OPTIMIZATION: bootstrap's md5-replica pipeline fans out the
-    # one-file orders scan (scan_fanout); theil_sen's consecutive pair
-    # is LEAD over the same window instead of a self-join (one window
-    # pass, two fewer exchanges) — identical pairs/doubles both.
     "bootstrap_mean_ci",
     "theil_sen_slope_robust",
 )
+R17_WINDOW: tuple[str, ...] = R17_CHANGED_HEAD + (
+    "scd2_priority_history",
+    "streaming_approx_topk",
+    "vocab_build",
+    "zipf_law_fit",
+    "ab_test_zscore",
+    "ansi_try_functions_suite",
+    "asof_join_next_order",
+    "benford_law_audit",
+    "chi_square_independence",
+    "class_tfidf_top_terms",
+    "cms_user_frequency",
+    "collation_case_insensitive_group",
+    "column_entropy_profile",
+    "compaction_bin_packing",
+    "csv_corrupt_record_audit",
+    "data_expectations_audit",
+    "decayed_popularity_topk",
+    "dynamic_partition_pruning_join",
+    "embedding_label_drift",
+    "event_spike_detection",
+    "event_transition_probs",
+    "file_metadata_columns",
+    "frequent_event_paths",
+    "histogram_quantile_sketch",
+    "item_adamic_adar_topk",
+    "item_knn_graph",
+    "join_size_estimation_audit",
+    "kmv_intersection_estimate",
+    "ks_test_source_drift",
+    "lateral_join_top_orders",
+)
+
+# Round 17 rotation (VERDICT r16 #9): burn the pinned window.
+DRIVER_CHECK_FIRST: tuple[str, ...] = R17_WINDOW
+DRIVER_CHECK_LAST: tuple[str, ...] = ()
+
+# Queries whose implementation hash (transitive in-package closure, see
+# plans/manifest.py) changed since the round-17 start tree (the tree the
+# r16 driver verified; plans/query_manifest.json is frozen there).
+# VERDICT r9 #3: this tuple is appended IN THE SAME COMMIT as any
+# query/oracle/helper change — enforced by
+# tests/test_plans.py::test_changed_queries_are_manifested, which fails
+# on any hash drift not named here. The r18 window head is derived from
+# it mechanically: CHANGED_THIS_ROUND minus R17_WINDOW (in-window names
+# get fresh r17 rows at round end and need no r18 slot). At the start of
+# round 18: refresh the manifest (python -m
+# cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
+# refresh), pin R18_WINDOW, reset this tuple to ().
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
 def _driver_order(names) -> list[str]:

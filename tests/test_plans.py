@@ -1301,7 +1301,8 @@ def test_r16_window_pin():
     )
 
     all_queries()  # populate the registry
-    assert DRIVER_CHECK_FIRST == R16_WINDOW  # the r16 rotation is live
+    # (the r16 rotation completed in CORRECTNESS_r16 — 50/50 green; the
+    # live rotation points at R17_WINDOW — asserted by test_r17_window_pin)
     assert len(R16_WINDOW) == DRIVER_WINDOW
     assert len(set(R16_WINDOW)) == len(R16_WINDOW)
     assert R16_WINDOW[: len(R16_CHANGED_HEAD)] == R16_CHANGED_HEAD
@@ -1359,6 +1360,114 @@ def test_r16_window_pin():
     assert R16_WINDOW == expect, (
         "pinned R16_WINDOW deviates from the oldest-green-first rule: "
         f"{[(a, b) for a, b in zip(R16_WINDOW, expect) if a != b]}"
+    )
+
+
+def test_r17_window_pin():
+    """VERDICT r16 #9: pin the EXACT r17 window at the start of round 17.
+    Recompute it from the stated rule — head = the r16
+    CHANGED_THIS_ROUND tuple minus R16_WINDOW names, ordered
+    never-driver-checked FIRST (the standing r11 rule: never-checked
+    precedes changed): the one query registered mid-round-16 with no
+    driver row in any CORRECTNESS_r* file
+    (streaming_ann_requantize_two_level), then the nineteen
+    changed-but-previously-green names in CHANGED_THIS_ROUND order.
+    Fill = oldest-green-first (last driver round ascending over
+    CORRECTNESS_r01..r16, NAME tie-break, R16_WINDOW names excluded
+    since their r16 rows are freshest) — and assert the pinned tuple
+    matches bit for bit. The r16 CHANGED_THIS_ROUND tuple is reproduced
+    here as a literal because it was reset to () at the same commit that
+    pinned this window."""
+    import glob
+    import json
+    import os
+    import re
+
+    from cqu_bigdata_recommender_system_for_movies_spark.plans.registry import (
+        DRIVER_CHECK_FIRST,
+        DRIVER_WINDOW,
+        QUERIES,
+        R16_WINDOW,
+        R17_CHANGED_HEAD,
+        R17_WINDOW,
+    )
+
+    all_queries()  # populate the registry
+    assert DRIVER_CHECK_FIRST == R17_WINDOW  # the r17 rotation is live
+    assert len(R17_WINDOW) == DRIVER_WINDOW
+    assert len(set(R17_WINDOW)) == len(R17_WINDOW)
+    assert R17_WINDOW[: len(R17_CHANGED_HEAD)] == R17_CHANGED_HEAD
+    # the r16 CHANGED_THIS_ROUND tuple, frozen at the r17 pin commit
+    changed_r16 = (
+        "streaming_ann_index_update",
+        "streaming_ann_index_compact",
+        "streaming_ann_index_upsert",
+        "streaming_ann_index_delete",
+        "streaming_ann_index_requantize",
+        "streaming_ann_requantize_two_level",
+        "streaming_ann_search",
+        "ann_two_level_assign",
+        "ann_two_level_search",
+        "ann_ivf_topk",
+        "ann_ivf_multiprobe_topk",
+        "ivf_pq_topk",
+        "streaming_recommend_candidates",
+        "ann_lsh_topk",
+        "embedding_near_dup_pairs",
+        "streaming_recommend_emit",
+        "streaming_simhash_dedup",
+        "contamination_check",
+        "dedup_canonical_docs",
+        "dedup_components",
+        "dedup_components_lss",
+        "dedup_pipeline_summary",
+        "minhash_jaccard_estimate",
+        "minhash_lsh_dedup",
+        "ngram_jaccard_pairs",
+        "prefix_filter_jaccard_join",
+        "simhash_fingerprint",
+        "simhash_near_dup_pairs",
+        "source_shingle_containment",
+        "bootstrap_mean_ci",
+        "theil_sen_slope_robust",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rnd > 16:
+            continue  # the pin froze on the r01..r16 rows
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    head_pool = tuple(n for n in changed_r16 if n not in set(R16_WINDOW))
+    never_checked = tuple(n for n in head_pool if n not in last)
+    replanned = tuple(n for n in head_pool if n in last)
+    assert never_checked == ("streaming_ann_requantize_two_level",)
+    expect_head = never_checked + replanned
+    assert R17_CHANGED_HEAD == expect_head, (
+        "r17 head deviates from never-checked-first over "
+        "CHANGED_THIS_ROUND(r16) minus R16_WINDOW: "
+        f"{[(a, b) for a, b in zip(R17_CHANGED_HEAD, expect_head) if a != b]}"
+    )
+    unknown = [n for n in R17_WINDOW if n not in QUERIES]
+    assert not unknown, f"r17 window names unregistered queries: {unknown}"
+    overlap = set(R17_WINDOW) & set(R16_WINDOW)
+    assert not overlap, (
+        f"r17 window repeats r16-window names whose rows are freshest: {overlap}"
+    )
+    rest = [
+        n
+        for n in QUERIES
+        if n not in set(R17_CHANGED_HEAD) and n not in set(R16_WINDOW)
+    ]
+    rest.sort(key=lambda n: (last.get(n, 99), n))
+    expect = R17_CHANGED_HEAD + tuple(
+        rest[: DRIVER_WINDOW - len(R17_CHANGED_HEAD)]
+    )
+    assert R17_WINDOW == expect, (
+        "pinned R17_WINDOW deviates from the oldest-green-first rule: "
+        f"{[(a, b) for a, b in zip(R17_WINDOW, expect) if a != b]}"
     )
 
 
