@@ -20,11 +20,19 @@ bit-sensitive result hash requires:
 - The cosine expression ``dot / (ne * nc + EPS)`` is replayed with the
   same association: ``(ne * nc) + EPS`` then the divide.
 - Cell selection replicates ``reverse(array_sort((cos, -cid)))[:k]`` —
-  cos DESC, ties to the smaller cid — including Spark's total order on
-  doubles (java.lang.Double.compare: -0.0 < +0.0, NaN greatest) by
-  comparing the IEEE total-order integer key of each cosine rather than
-  the float itself. Ascending-cid argmax keeps the first of equal keys,
-  which IS the smaller-cid tie-break.
+  cos DESC, ties to the smaller cid — by comparing the IEEE
+  total-order integer key of each cosine rather than the float itself.
+  Spark orders doubles with SQLOrderingUtil.compareDoubles, which
+  checks primitive ``==`` FIRST (so -0.0 and +0.0 compare EQUAL and
+  the tie falls through to cid; NaN sorts greatest via the
+  Double.compare fallback — unreachable here, the denominator is
+  >= EPS > 0), so signed zeros are normalized to +0.0 BEFORE the key
+  is built (ADVICE r16: the raw total-order key would rank
+  -0.0 < +0.0 and could diverge from Spark when a +0.0 cosine sits on
+  the larger cid — itself unreachable for these non-negative-seeded
+  folds, but the key now matches Spark's comparator by construction
+  instead of by reachability argument). Ascending-cid argmax keeps the
+  first of equal keys, which IS the smaller-cid tie-break.
 
 The closure captures the bounded seed arrays by value (cloudpickle), so
 the physical plan stays independent of quantizer width — the same
@@ -60,7 +68,26 @@ def _ship() -> None:
 # here are never NaN — the denominator is >= EPS > 0).
 _KEY_SENTINEL = -(2**63)
 
-EPS = 1e-8  # must equal operators.vectors.EPS (cosine denominator)
+# must equal operators.vectors.EPS (cosine denominator) — pinned by
+# tests/test_functions.py::test_nearcell_eps_matches_vectors (ADVICE
+# r16: a module-level import of operators.vectors here would drag the
+# whole registry into every worker's UDF import and wire a new closure
+# edge into 14 query manifests; the equality test is the cheaper pin)
+EPS = 1e-8
+
+
+def _spark_double_keys(cos):
+    """int64 sort keys replicating Spark's double comparator
+    (SQLOrderingUtil.compareDoubles: primitive ``==`` first, so
+    -0.0 == +0.0; Double.compare otherwise): normalize signed zeros,
+    then take the IEEE total-order key. ``cos`` is modified in place
+    only via the returned array; NaN never occurs here (denominator
+    >= EPS)."""
+    import numpy as np
+
+    cos = np.where(cos == 0.0, 0.0, cos)  # -0.0 -> +0.0 (ADVICE r16)
+    bits = cos.view(np.int64)
+    return np.where(bits < 0, bits ^ np.int64(0x7FFFFFFFFFFFFFFF), bits)
 
 
 def _seed_arrays(seeds):
@@ -93,9 +120,8 @@ def topk_cells_np(E, cids, cmat, ncs, k):
     for d in range(dim):
         dots += E[:, d, None] * cmat[None, :, d]
     cos = dots / (ne[:, None] * ncs[None, :] + EPS)
-    # java.lang.Double.compare total order as an int64 key
-    bits = cos.view(np.int64)
-    key = np.where(bits < 0, bits ^ np.int64(0x7FFFFFFFFFFFFFFF), bits)
+    # Spark's double comparator as an int64 key (signed zeros unified)
+    key = _spark_double_keys(cos)
     keff = min(k, m)
     out = np.empty((n, keff), dtype=np.int64)
     rows = np.arange(n)
@@ -195,8 +221,7 @@ def two_level_topk_np(E, rep_arrays, cell_arrays, probe, k):
     for d in range(dim):
         rdots += E[:, d, None] * rmat[None, :, d]
     rcos = rdots / (ne[:, None] * nrs[None, :] + EPS)
-    rbits = rcos.view(np.int64)
-    rkey = np.where(rbits < 0, rbits ^ np.int64(0x7FFFFFFFFFFFFFFF), rbits)
+    rkey = _spark_double_keys(rcos)
     probed = np.zeros((n, n_reps), dtype=bool)
     rows = np.arange(n)
     for _ in range(min(probe, n_reps)):
@@ -221,9 +246,7 @@ def two_level_topk_np(E, rep_arrays, cell_arrays, probe, k):
         for d in range(dim):
             dg += Eg[:, d, None] * Cg[None, :, d]
         cg = dg / (ne[rows_g, None] * ncs[None, cells_g] + EPS)
-        gbits = cg.view(np.int64)
-        gkey = np.where(gbits < 0, gbits ^ np.int64(0x7FFFFFFFFFFFFFFF), gbits)
-        key[np.ix_(rows_g, cells_g)] = gkey
+        key[np.ix_(rows_g, cells_g)] = _spark_double_keys(cg)
     keff = min(k, m)
     out = np.full((n, keff), -1, dtype=np.int64)
     for j in range(keff):
@@ -309,7 +332,12 @@ def two_level_cell_udf(rep_rows, cell_rows, probe: int):
             )
             top = two_level_topk_np(E, rep_arrays, cell_arrays, pp, 1)
             out = pd.Series([None] * len(s), dtype="Int32")
-            out[np.asarray(valid)] = top[:, 0].astype("int32")
+            # ADVICE r16: the -1 unfilled sentinel (a vector whose probed
+            # groups own zero cells) must surface as NULL — matching the
+            # array variant's c >= 0 filter — not as a real cell id -1
+            cells = pd.array(top[:, 0], dtype="Int32")
+            cells[top[:, 0] == -1] = pd.NA
+            out[np.asarray(valid)] = cells
             yield out
 
     return F.pandas_udf(_top1, "int")

@@ -939,7 +939,30 @@ DRIVER_CHECK_LAST: tuple[str, ...] = ()
 # round 18: refresh the manifest (python -m
 # cqu_bigdata_recommender_system_for_movies_spark.plans.manifest
 # refresh), pin R18_WINDOW, reset this tuple to ().
-CHANGED_THIS_ROUND: tuple[str, ...] = ()
+# r17 changes so far (ADVICE r16 + VERDICT r16 #4 hygiene on the shared
+# ANN/IVF assignment helpers — results unchanged, re-proven vs DuckDB):
+# nearcell's sort keys now replicate Spark's ==-based double comparator
+# exactly (signed zeros normalized before the total-order key — the raw
+# key ranked -0.0 < +0.0, divergent only in an unreachable
+# configuration); two_level_cell_udf masks the -1 unfilled sentinel to
+# NULL (the array variant's c >= 0 filter); derive_fold_parts never
+# returns 1 (a repartition(1) paid an exchange to SERIALIZE the
+# assignment — the 20k-40k-row band now skips the exchange).
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "ann_ivf_multiprobe_topk",
+    "ann_ivf_topk",
+    "ann_two_level_assign",
+    "ann_two_level_search",
+    "ivf_pq_topk",
+    "streaming_ann_index_compact",
+    "streaming_ann_index_delete",
+    "streaming_ann_index_requantize",
+    "streaming_ann_index_update",
+    "streaming_ann_index_upsert",
+    "streaming_ann_requantize_two_level",
+    "streaming_ann_search",
+    "streaming_recommend_candidates",
+)
 
 
 def _driver_order(names) -> list[str]:

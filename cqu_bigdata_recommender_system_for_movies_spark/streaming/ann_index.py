@@ -138,13 +138,21 @@ def derive_fold_parts(spark: SparkSession, est_rows: int | None) -> int | None:
     """Fan-out width for a pre-assignment exchange given the expected
     batch row count: 0 = skip the exchange (small batch), capped at
     machine width, None when the size is unknown (callers then keep the
-    historical full-width fan-out)."""
+    historical full-width fan-out).
+
+    r17 (VERDICT r16 #4): parts == 1 is never returned — a
+    `repartition(1)` pays a full exchange to SERIALIZE the assignment,
+    strictly worse than skipping the exchange outright, and the
+    20k-40k-row band hit it (suite batches skip below 20k, decade
+    batches fan out above 40k, but real arrival batches live in
+    between). Below 2 derived tasks the exchange buys nothing: skip."""
     if est_rows is None:
         return None
     width = max(
         shuffle_partitions(spark), spark.sparkContext.defaultParallelism
     )
-    return min(width, est_rows // ASSIGN_ROWS_PER_TASK)
+    parts = est_rows // ASSIGN_ROWS_PER_TASK
+    return 0 if parts < 2 else min(width, parts)
 
 
 # Ceiling on the DERIVED quantizer width. Two measured curves cross

@@ -205,9 +205,13 @@ def test_nearest_cells_udf_matches_interpreted_fold(spark, sf_dir):
 
 
 def test_nearest_cells_udf_null_and_tie_semantics():
-    """Null vectors map to null cells (the fold's null propagation), and
-    an exact cosine tie selects the smaller cid — including the
-    -0.0 < +0.0 Double.compare edge the total-order key exists for."""
+    """An exact cosine tie selects the smaller cid — including the
+    -0.0 vs +0.0 edge: Spark orders doubles with
+    SQLOrderingUtil.compareDoubles, whose primitive ``==`` check makes
+    -0.0 and +0.0 EQUAL (ADVICE r16 — java.lang.Double.compare would
+    rank -0.0 < +0.0; the key normalizes signed zeros so both
+    configurations fall through to the cid tie-break, matching Spark's
+    comparator by construction)."""
     import numpy as np
 
     from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
@@ -215,21 +219,69 @@ def test_nearest_cells_udf_null_and_tie_semantics():
         _seed_arrays,
     )
 
-    # two orthogonal unit seeds: a vector along +x ties at cos 0 against
-    # the +y and -y seeds? No — construct an exact tie: seeds y and -y,
-    # query along x gives dot 0.0 with both; +0.0 and -0.0 cosines.
+    # seeds y and -y; query along x gives dot +0.0 with one seed and
+    # -0.0 with the other. Under Spark's ==-based comparator the two
+    # cosines TIE, so the smaller cid wins in BOTH sign placements —
+    # the second is exactly the configuration where the raw total-order
+    # key would diverge (+0.0 on the larger cid).
+    E = np.array([[1.0, 0.0]])
     seeds = [(3, [0.0, 1.0], 1.0), (7, [0.0, -1.0], 1.0)]
     cids, cmat, ncs = _seed_arrays(seeds)
-    E = np.array([[1.0, 0.0]])
-    top = topk_cells_np(E, cids, cmat, ncs, 2)
-    # dot(+x, +y) = +0.0, dot(+x, -y) = -0.0; Double.compare orders
-    # -0.0 < +0.0, so cell 3 (+0.0) outranks cell 7 (-0.0)
-    assert top.tolist() == [[3, 7]]
+    assert topk_cells_np(E, cids, cmat, ncs, 2).tolist() == [[3, 7]]
+    seeds_flipped = [(3, [0.0, -1.0], 1.0), (7, [0.0, 1.0], 1.0)]
+    cids, cmat, ncs = _seed_arrays(seeds_flipped)
+    assert topk_cells_np(E, cids, cmat, ncs, 2).tolist() == [[3, 7]]
     # a true bitwise tie falls to the smaller cid
     seeds_tie = [(5, [0.0, 1.0], 1.0), (9, [0.0, 1.0], 1.0)]
     cids, cmat, ncs = _seed_arrays(seeds_tie)
     top = topk_cells_np(np.array([[0.5, 0.5]]), cids, cmat, ncs, 2)
     assert top.tolist() == [[5, 9]]
+
+
+def test_nearcell_eps_matches_vectors():
+    """ADVICE r16: nearcell.EPS is a by-value copy of
+    operators.vectors.EPS (a module-level import would wire the whole
+    registry into every UDF worker import and add a closure edge to 14
+    query manifests); silent drift would break the bit-exactness
+    contract of every vectorized twin — pin the equality."""
+    from cqu_bigdata_recommender_system_for_movies_spark.functions import nearcell
+    from cqu_bigdata_recommender_system_for_movies_spark.operators import vectors
+
+    assert nearcell.EPS == vectors.EPS
+
+
+def test_two_level_cell_udf_masks_unfilled_sentinel(spark):
+    """ADVICE r16: a vector whose probed level-1 groups own ZERO member
+    cells gets the -1 unfilled sentinel from two_level_topk_np; the
+    scalar UDF must surface that as NULL (the array variant's c >= 0
+    filter), never as a real cell id -1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.functions.nearcell import (
+        two_level_cell_udf,
+        two_level_topk_np,
+        _two_level_arrays,
+    )
+
+    # two reps; every cell grouped under rep 0; probe=1 — a query much
+    # closer to rep 1 probes only the cell-less group
+    rep_rows = [(0, [1.0, 0.0], 1.0), (1, [0.0, 1.0], 1.0)]
+    cell_rows = [(0, [1.0, 0.0], 1.0, 0), (2, [0.9, 0.1], 0.905538, 0)]
+    rep_arrays, cell_arrays = _two_level_arrays(rep_rows, cell_rows)
+    top = two_level_topk_np(
+        np.array([[0.0, 1.0]]), rep_arrays, cell_arrays, 1, 1
+    )
+    assert top.tolist() == [[-1]]  # the sentinel is reachable here
+    # the real UDF end to end: the sentinel row comes back as NULL
+    df = spark.createDataFrame(
+        [([0.0, 1.0],), ([1.0, 0.0],)], "e array<double>"
+    )
+    got = df.select(
+        two_level_cell_udf(rep_rows, cell_rows, 1)(F.col("e")).alias("cell")
+    ).collect()
+    cells = sorted((r.cell is None, r.cell) for r in got)
+    assert cells == [(False, 0), (True, None)]
 
 
 def test_two_level_cells_udf_matches_interpreted_expression(spark, sf_dir):

@@ -2321,3 +2321,89 @@ def test_candidate_loop_plan_shape(spark):
         "dim side is not reading the bucketed table layout:\n"
         + physical2[:2000]
     )
+
+
+def test_arrow_assignment_path_is_wired(spark, sf_dir):
+    """VERDICT r16 #7 / ADVICE r16: the ~1000x-faster Arrow-vectorized
+    assignment dispatches on a dynamic `_sg_seeds` attribute tagged onto
+    the centroid DataFrames; any intervening transformation silently
+    drops the tag and falls back to the interpreted fold — correct but
+    slow, and invisible without a pin. One representative wired site per
+    family must compile to an ArrowEvalPython node with NO
+    BroadcastNestedLoopJoin (the interpreted fallback's broadcast
+    `__cents` shape); a dropped tag fails here, not in a bench."""
+    import pyspark.sql.functions as F
+
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming import (
+        ann_index as ai,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming import (
+        ann_search as asrch,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming import (
+        candidates as cand,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.queries import (
+        item_profiles,
+    )
+    from cqu_bigdata_recommender_system_for_movies_spark.tables import load
+
+    queries = all_queries()
+
+    def check(df, label):
+        plan = _plan(df)
+        assert "ArrowEvalPython" in plan, (
+            f"{label}: the vectorized assignment fell back to the "
+            f"interpreted fold (no ArrowEvalPython):\n{plan[:2000]}"
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{label}: the broadcast __cents fallback shape is live:\n"
+            f"{plan[:2000]}"
+        )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    n_cells = ai.derive_ann_cells(sf_dir)
+
+    # family 1: offline IVF assignment (ann_ivf_topk / multiprobe / pq).
+    # The registered query localCheckpoints the assignment (its final
+    # plan reads an ExistingRDD), so pin the assignment sub-plan itself.
+    from cqu_bigdata_recommender_system_for_movies_spark.operators.vectors import (
+        _ivf_assign_cells,
+    )
+
+    check(_ivf_assign_cells(emb, 1), "_ivf_assign_cells")
+
+    # family 2: maintained-index flat append assignment (the CRUD loops)
+    cents = ai._ann_cents_relation(emb, n_cells)
+    check(ai.assign_batch(emb, cents), "assign_batch(flat)")
+
+    # family 3: maintained-index two-level assignment (wide lifecycle)
+    quant = ai.two_level_quantizer(emb, n_cells)
+    check(ai.assign_batch(emb, quant), "assign_batch(two_level)")
+
+    # family 4: the serving probe (streaming_ann_search's per-batch side)
+    index_df = ai.assign_batch(emb, cents).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    ).join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("e").alias("ne")), "neighbor_id")
+    check(asrch.score_query_batch(emb.limit(10), cents, index_df),
+          "score_query_batch")
+
+    # family 5: two-level serving (ann_two_level_search / two_level_serve)
+    check(queries["ann_two_level_search"](spark, sf_dir),
+          "ann_two_level_search")
+
+    # family 6: the candidate index + per-batch probe
+    # (streaming_recommend_candidates' offline and online halves)
+    profiles = item_profiles(spark, sf_dir).localCheckpoint(eager=True)
+    ccents = cand._centroid_relation(profiles)
+    check(cand.item_cell_assignments(profiles, ccents),
+          "item_cell_assignments")
+    users = profiles.select(
+        F.col("item_ref").alias("user_id"), F.col("profile").alias("interest")
+    ).limit(10)
+    _, item_dim, _ = cand.build_candidate_index(profiles)
+    check(cand.score_candidates_batch(users, ccents, item_dim),
+          "score_candidates_batch")

@@ -2112,3 +2112,28 @@ def test_two_level_serve_of_crud_maintained_index(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_tombs")
         shutil.rmtree(final_loc, ignore_errors=True)
+
+
+def test_derive_fold_parts_never_one(spark):
+    """VERDICT r16 #4: derive_fold_parts must never return 1 — a
+    repartition(1) pays a full exchange to SERIALIZE the assignment,
+    strictly worse than skipping it. 25k rows (inside the old 20k-40k
+    ==1 band) now skips; small batches skip; big batches still fan out
+    capped at machine width; unknown stays None."""
+    from cqu_bigdata_recommender_system_for_movies_spark.streaming.ann_index import (
+        ASSIGN_ROWS_PER_TASK,
+        derive_fold_parts,
+    )
+
+    assert derive_fold_parts(spark, None) is None
+    assert derive_fold_parts(spark, 100) == 0
+    assert derive_fold_parts(spark, 25_000) == 0  # the old ==1 band
+    assert derive_fold_parts(spark, ASSIGN_ROWS_PER_TASK * 2) == 2
+    big = derive_fold_parts(spark, 10_000_000)
+    width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    assert big == width
+    for rows in (0, 1, 19_999, 25_000, 39_999, 40_000, 10_000_000):
+        assert derive_fold_parts(spark, rows) != 1, rows
