@@ -862,6 +862,12 @@ _NORM_WS_RE = "[ ]+"
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # r17 (guide §2.5): two regex passes per doc on a one-task scan
+    # serialized on one core (measured 1.37 s -> 0.33 s fanned). Pure
+    # per-row map — no aggregate, results row-identical.
+    fan = scan_fanout(spark, sf_dir, "documents")
+    if fan:
+        docs = docs.repartition(fan)
     normalized = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), _NORM_PUNCT_RE, " "),
@@ -1260,6 +1266,14 @@ def boolean_retrieval_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def phrase_retrieval_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # r17 (guide §2.5 input skew — the r16 scan_fanout class, this site
+    # missed): the bigram generation + checkpoint materialization ran on
+    # the suite's ONE scan task (measured 5.0 s first-run; fanned 1.3 s).
+    # None at scale where the scan already fans out. Downstream
+    # aggregates are exact counts — order-insensitive.
+    fan = scan_fanout(spark, sf_dir, "documents")
+    if fan:
+        docs = docs.repartition(fan)
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     n_bg = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.when(
@@ -1399,6 +1413,15 @@ BIGRAM_BACKOFF = 1 - BIGRAM_INTERP_LAMBDA
 )
 def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # r17 (guide §2.5): the token + bigram explodes and their map-side
+    # partial aggregations ran on the suite's one scan task. The per-doc
+    # avg(log(prob)) sums doubles in a new partial order after the
+    # fan-out — the same double-sum-order class the engine/oracle pair
+    # already tolerates at the ROUND(4) grain (re-proven vs DuckDB at
+    # three sfs for this change).
+    fan = scan_fanout(spark, sf_dir, "documents")
+    if fan:
+        docs = docs.repartition(fan)
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     t = docs.select("doc_id", toks.alias("toks"))
     tok = t.select("doc_id", F.explode("toks").alias("w"))
