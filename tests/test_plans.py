@@ -1717,9 +1717,10 @@ def test_hash_split_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_text_normalize_no_shuffle(spark, sf_dir):
-    plan = _plan(all_queries()["text_normalize"](spark, sf_dir))
-    assert "Exchange" not in plan
+# (test_text_normalize_no_shuffle retired in r17: the zero-shuffle claim
+# is a SCALE property once scan_fanout parallelizes the one-task suite
+# scan — test_text_normalize_narrow_at_scale_fanned_at_suite asserts
+# both regimes.)
 
 
 def test_item_cooccurrence_no_cartesian(spark, sf_dir):
