@@ -862,12 +862,6 @@ _NORM_WS_RE = "[ ]+"
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # r17 (guide §2.5): two regex passes per doc on a one-task scan
-    # serialized on one core (measured 1.37 s -> 0.33 s fanned). Pure
-    # per-row map — no aggregate, results row-identical.
-    fan = scan_fanout(spark, sf_dir, "documents")
-    if fan:
-        docs = docs.repartition(fan)
     normalized = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), _NORM_PUNCT_RE, " "),
@@ -1413,15 +1407,6 @@ BIGRAM_BACKOFF = 1 - BIGRAM_INTERP_LAMBDA
 )
 def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # r17 (guide §2.5): the token + bigram explodes and their map-side
-    # partial aggregations ran on the suite's one scan task. The per-doc
-    # avg(log(prob)) sums doubles in a new partial order after the
-    # fan-out — the same double-sum-order class the engine/oracle pair
-    # already tolerates at the ROUND(4) grain (re-proven vs DuckDB at
-    # three sfs for this change).
-    fan = scan_fanout(spark, sf_dir, "documents")
-    if fan:
-        docs = docs.repartition(fan)
     toks = F.filter(F.split("text", " "), lambda w: w != "")
     t = docs.select("doc_id", toks.alias("toks"))
     tok = t.select("doc_id", F.explode("toks").alias("w"))

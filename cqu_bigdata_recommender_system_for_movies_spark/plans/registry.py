@@ -978,15 +978,15 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # for batches that DO delete). Replay order stays version order
     # (path order); winners are data-derived either way. Delete warm
     # floor 11.2 -> ~6.0 s; results identical (oracle re-proven).
-    # r17 OPTIMIZATION (guide §2.5 — the r16 scan_fanout class, three
-    # sites it missed): the bigram/normalize/token pipelines ran on the
-    # suite's ONE documents scan task; fanned to machine width before
-    # the CPU-dense projections, None at scale. phrase first-run
-    # 5.0 -> 1.3 s, normalize 1.4 -> 0.3 s. Results identical
-    # (re-proven vs DuckDB at three sfs).
+    # r17 OPTIMIZATION (guide §2.5 — the r16 scan_fanout class): the
+    # bigram generation + checkpoint materialization ran on the suite's
+    # ONE documents scan task; fanned to machine width, None at scale.
+    # Warm isolation floor 2.27 -> 0.94 s. Results identical (re-proven
+    # vs DuckDB at three sfs). The same fan-out was TRIALLED on
+    # text_normalize and bigram_logprob_score and reverted — their
+    # one-task work is cheaper than the exchange (cold-session floors
+    # regressed ~0.1-0.2 s), so their hashes are back at baseline.
     "phrase_retrieval_topdocs",
-    "text_normalize",
-    "bigram_logprob_score",
 )
 
 

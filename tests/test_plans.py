@@ -455,9 +455,7 @@ SHUFFLE_FREE_QUERIES = [
     "array_functions_suite",
     "unpivot_doc_metrics",
     "pii_redaction",
-    # text_normalize moved to its own scale-aware pin (r17): at suite
-    # scale it carries exactly one scan_fanout round-robin exchange;
-    # the zero-shuffle claim holds at scale and is asserted there.
+    "text_normalize",
     "multimodal_frame_sample",
     "doc_fingerprint",
     "multimodal_decode_features",
@@ -475,28 +473,13 @@ def test_claimed_narrow_queries_have_zero_exchanges(name, spark, sf_dir):
     assert "Exchange" not in plan, f"{name} claims zero shuffle but plans one"
 
 
-def test_text_normalize_narrow_at_scale_fanned_at_suite(spark, sf_dir):
-    """text_normalize's zero-shuffle claim is a SCALE property (r17): at
-    suite scale the one-file documents scan serializes two regex passes
-    on one core, so scan_fanout inserts exactly one round-robin
-    exchange; once the scan's natural split count reaches machine width
-    (here simulated by shrinking maxPartitionBytes) scan_fanout returns
-    None and the plan is the original pure map — no exchange at 100 TB."""
-    q = all_queries()["text_normalize"]
-    plan = _plan(q(spark, sf_dir))
-    assert plan.count("Exchange") == 1 and "roundrobin" in plan.lower(), plan[:1500]
-    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
-    try:
-        from cqu_bigdata_recommender_system_for_movies_spark.tables import (
-            scan_fanout,
-        )
-
-        assert scan_fanout(spark, sf_dir, "documents") is None
-        plan_scale = _plan(q(spark, sf_dir))
-        assert "Exchange" not in plan_scale, plan_scale[:1500]
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+# (r17 note: a text_normalize/bigram_logprob scan fan-out was trialled
+# and REVERTED — unbiased cold-session isolation floors showed the
+# exchange costs more than the one-task regex/explode work it
+# parallelizes at suite scale (warm floors regressed ~0.1-0.2 s), and
+# at 100 TB scan_fanout is None anyway. phrase_retrieval_topdocs KEPT
+# its fan-out: its checkpoint materialization on one task was the real
+# bottleneck — warm floor 2.27 -> 0.94 s.)
 
 
 def test_itemcf_pairs_generated_map_side(spark, sf_dir):
@@ -1717,10 +1700,9 @@ def test_hash_split_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-# (test_text_normalize_no_shuffle retired in r17: the zero-shuffle claim
-# is a SCALE property once scan_fanout parallelizes the one-task suite
-# scan — test_text_normalize_narrow_at_scale_fanned_at_suite asserts
-# both regimes.)
+def test_text_normalize_no_shuffle(spark, sf_dir):
+    plan = _plan(all_queries()["text_normalize"](spark, sf_dir))
+    assert "Exchange" not in plan
 
 
 def test_item_cooccurrence_no_cartesian(spark, sf_dir):
