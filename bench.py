@@ -594,6 +594,21 @@ EXPECTED_SHIFTS: dict[str, str] = {
 # queries faster at matched conditions.
 
 
+# Round-17 (optimization round 2) adjudication of the closing-record
+# flags (vs BENCH_r16, calib_scale 0.94): three names, none with any
+# r17 code change that could slow them (recommend_emit and
+# data_profile_summary are hash-unchanged this round; candidates' r17
+# diff is the hygiene fix that driver_sim re-proved and isolation shows
+# FASTER). Standing-protocol isolation runs (fresh session, calibration
+# [0.915, 0.176, 0.192], 3 reps, sf0.1): streaming_recommend_emit
+# 9.10 cold -> 3.99/3.58 warm (record 4.68 — UNDER);
+# streaming_recommend_candidates 5.53 -> 4.10/3.77 warm (record 4.343 —
+# UNDER); data_profile_summary 4.12/4.18/3.72 — this host's documented
+# 3.7-4.7 warm band (OPTIMIZATION_r16.md) vs the driver-host 3.363
+# record, untouched path. Roaming-burst variance, no code cause, map
+# adjudicated clean.
+
+
 def _regressions(
     timings: dict[str, float], sf: float, calibration: float = 0.0
 ) -> dict[str, dict[str, float]]:
