@@ -1813,12 +1813,20 @@ def test_scd2_single_shuffle(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
 
 
-def test_data_profile_single_scan_expand(spark, sf_dir):
-    """All 7 columns' exact-distinct stats from one scan via one Expand —
-    not 7 scans of the fact table."""
+def test_data_profile_no_expand_pruned_branches(spark, sf_dir):
+    """r17 re-plan (guide §2.3): the 7-column profile is a UNION of
+    per-column aggregate branches — NO Expand (the old single
+    42-aggregate job row-multiplied the whole fact table 8x for the
+    multi-distinct), and every branch's scan prunes to exactly its own
+    column (columnar parquet: 7 one-column scans read the same total
+    bytes the old 7-column single scan did)."""
+    import re
+
     plan = _plan(all_queries()["data_profile_summary"](spark, sf_dir))
-    assert plan.count("FileScan parquet") == 1
-    assert plan.count("Expand") == 1
+    assert "Expand" not in plan
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(scans) == 7, plan[:1500]
+    assert all(s.count(":") == 1 for s in scans), scans  # one column each
 
 
 def test_approx_topk_no_keyed_shuffle(spark, sf_dir):
