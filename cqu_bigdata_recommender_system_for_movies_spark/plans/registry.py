@@ -995,6 +995,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # identical (parity re-proven at sf0.001/0.1 and a 10x lineitem
     # replica — the ROUND(4) double-sum means hold).
     "data_profile_summary",
+    # r17 OPTIMIZATION (guide §2.3): the seen-pair dedup + anti-join
+    # shuffle now carries only pairs involving the broadcast candidate
+    # pool (semi-join prefilter) instead of every (user, item) pair —
+    # 2.28 -> 1.59 s warm; results identical (parity at two sfs).
+    "rec_diversity_metrics",
 )
 
 
