@@ -81,6 +81,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import time
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -784,17 +785,27 @@ def maintain_index(
             # n_slices sequential jobs, each re-evaluating the full
             # versions union to filter out one slice (~0.3-0.5 s of pure
             # job overhead per slice at suite scale). partitionBy("ver")
-            # yields the same one-file-per-slice layout in one pass; the
-            # file source replays dirs in path order (= version order
-            # for these single-digit slice counts), and correctness
-            # never depended on replay order anyway — winners are
-            # data-derived (max ver per key; the r14 batch-merge note).
+            # yields the same one-file-per-slice layout in one pass.
+            # Correctness never depended on replay order — winners are
+            # data-derived (max ver per key; the r14 batch-merge note) —
+            # but the file source orders equal-mtime files arbitrarily,
+            # so the mtimes are staggered driver-side (microseconds of
+            # os.utime, no Spark job) to keep the REALISTIC replay the
+            # old sequential writes produced: versions arrive in order,
+            # the tombstone slice last.
             (
                 versions.repartition(n_slices, "ver")
                 .write.mode("overwrite")
                 .partitionBy("ver")
                 .parquet(stage_dir)
             )
+            base_t = time.time()
+            for s in range(n_slices):
+                vdir = os.path.join(stage_dir, f"ver={s}")
+                if os.path.isdir(vdir):
+                    for f in os.listdir(vdir):
+                        t = base_t + s * 2.0
+                        os.utime(os.path.join(vdir, f), (t, t))
         read_schema = "vec_id long, e array<double>, ver integer, op string"
         stream = (
             spark.readStream.schema(read_schema)

@@ -56,10 +56,11 @@ N_BUCKETS = 16
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--upsert"]
-    upsert = "--upsert" in sys.argv
+    args = [a for a in sys.argv[1:] if a not in ("--upsert", "--deletes")]
+    deletes = "--deletes" in sys.argv
+    upsert = "--upsert" in sys.argv or deletes  # deletes implies versioning
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
-    n_slices = int(args[1]) if len(args) > 1 else (4 if upsert else 12)
+    n_slices = int(args[1]) if len(args) > 1 else (5 if deletes else 4 if upsert else 12)
     compact_every = (
         int(args[2]) if len(args) > 2 else (2 if upsert else ANN_COMPACT_EVERY)
     )
@@ -80,6 +81,7 @@ def main() -> None:
         audit=audit,
         cleanup=False,
         upsert=upsert,
+        deletes=deletes,
         n_cells=pin_cells,
     )
     maintain_sec = round(time.perf_counter() - t0, 1)
@@ -87,7 +89,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "mode": "upsert" if upsert else "append",
+                "mode": (
+                    "delete" if deletes else "upsert" if upsert else "append"
+                ),
                 "maintain_sec": maintain_sec,
                 "n_vectors": n_vecs,
                 "rows_at_compactions": [
